@@ -1,0 +1,124 @@
+package graft.graph
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** dbt-style model DAG: named models with declared `ref()` dependencies,
+  * topologically ordered, independent models built concurrently.
+  *
+  * Mirrors the reference's orchestration (Airflow/dags/rdbms_transformation
+  * .py:202-211: staging → dimensions → [three facts in parallel] → tests) with
+  * dbt `--threads 8` parallelism (`:50-58`) mapped to concurrent job
+  * submission on a shared SparkSession — Spark's scheduler interleaves the
+  * jobs across the cluster, which is the idiomatic Spark analog of dbt
+  * threads.
+  */
+final case class Model(
+    name: String,
+    deps: Seq[String],
+    build: Map[String, DataFrame] => DataFrame,
+    materialization: Materialization = View)
+
+sealed trait Materialization
+/** dbt `materialized='view'` → lazy DataFrame (plan only, recomputed per use). */
+case object View extends Materialization
+/** dbt `materialized='table'` → persisted parquet, optionally cluster-sorted. */
+final case class Table(clusterBy: Seq[String] = Nil) extends Materialization
+/** dbt incremental: append rows where `column >= max(column)` in the sink
+  * (reference: json_transform/macros/incremental_filter.sql:1-5).
+  */
+final case class Incremental(watermarkColumn: String) extends Materialization
+
+final class ModelGraph(models: Seq[Model]) {
+  private val byName = models.map(m => m.name -> m).toMap
+  require(byName.size == models.size, "duplicate model names")
+
+  /** Kahn topological order; fails fast on unknown refs / cycles. */
+  val topoOrder: Seq[String] = {
+    models.foreach(m => m.deps.foreach(d =>
+      require(byName.contains(d) || !models.exists(_.name == d),
+        s"unknown dep $d of ${m.name}")))
+    val internal = models.map(m => m.name -> m.deps.filter(byName.contains)).toMap
+    var remaining = internal
+    val order = Seq.newBuilder[String]
+    while (remaining.nonEmpty) {
+      val ready = remaining.collect {
+        case (n, ds) if ds.forall(d => !remaining.contains(d)) => n
+      }.toSeq.sorted
+      require(ready.nonEmpty, s"cycle among ${remaining.keys.mkString(",")}")
+      order ++= ready
+      remaining = remaining -- ready
+    }
+    order.result()
+  }
+
+  /** Build every model against a registry seeded with the source tables.
+    * Models at the same topological depth run concurrently (Futures sharing
+    * the SparkSession), like dbt threads. Materialization is applied by
+    * `materialize` (injected so tests can run fully lazy).
+    */
+  def run(sources: Map[String, DataFrame],
+          materialize: (Model, DataFrame) => DataFrame = (_, df) => df,
+          parallelism: Int = 8)(implicit spark: SparkSession): Map[String, DataFrame] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // group topo order into waves of mutually independent models
+      var registry = sources
+      var remaining = topoOrder
+      while (remaining.nonEmpty) {
+        val wave = remaining.takeWhile(n =>
+          byName(n).deps.forall(d => registry.contains(d) || !byName.contains(d)))
+        require(wave.nonEmpty, s"unresolvable deps for ${remaining.head}")
+        val reg = registry
+        val built = Await.result(
+          Future.sequence(wave.map { n =>
+            val m = byName(n)
+            Future(n -> materialize(m, m.build(reg)))
+          }), Duration.Inf)
+        registry = registry ++ built
+        remaining = remaining.drop(wave.size)
+      }
+      registry
+    } finally pool.shutdown()
+  }
+}
+
+object ModelGraph {
+  /** The reference's full star-schema + document-model graph
+    * (SURVEY.md §3.2, §7.1). Sources: raw `sub`, `tag`, `num`, `pre`.
+    */
+  def edgar(spark: SparkSession, rowCap: Option[Int] = Some(100000)): ModelGraph = {
+    import graft.models._
+    new ModelGraph(Seq(
+      Model("stg_sub", Seq("sub"), r => Staging.stgSub(r("sub"))),
+      Model("stg_num", Seq("num"), r => Staging.stgNum(r("num")),
+        Table(clusterBy = Seq("ADSH", "TAG", "VERSION_TAG"))),
+      Model("stg_tag", Seq("tag"), r => Staging.stgTag(r("tag"))),
+      Model("stg_pre", Seq("pre"), r => Staging.stgPre(r("pre"))),
+      Model("dim_address", Seq("stg_sub"), r => Dims.dimAddress(r("stg_sub"))),
+      Model("dim_company", Seq("dim_address", "stg_sub"),
+        r => Dims.dimCompany(r("dim_address"), r("stg_sub"))),
+      Model("dim_filings", Seq("stg_pre", "stg_tag", "stg_num", "stg_sub"),
+        r => Dims.dimFilings(r("stg_pre"), r("stg_tag"), r("stg_num"), r("stg_sub"))),
+      Model("dim_date", Nil, _ => Dims.dimDate(spark)),
+      Model("fct_balanceSheet",
+        Seq("stg_num", "stg_pre", "stg_sub", "dim_company", "dim_filings", "dim_date"),
+        r => Facts.fctBalanceSheet(r, rowCap), Table(clusterBy = Seq("COMPANY_NAME"))),
+      Model("fct_IncomeStatement",
+        Seq("stg_num", "stg_pre", "stg_sub", "dim_company", "dim_filings", "dim_date"),
+        r => Facts.fctIncomeStatement(r, rowCap), Table(clusterBy = Seq("COMPANY_NAME"))),
+      Model("fct_Cashflows",
+        Seq("stg_num", "stg_pre", "stg_sub", "dim_company", "dim_filings", "dim_date"),
+        r => Facts.fctCashflows(r, rowCap), Table(clusterBy = Seq("COMPANY_NAME"))),
+      Model("raw_stg_sub_modified", Seq("sub"),
+        r => JsonModels.rawStgSubModified(r("sub"))),
+      Model("stg_financial_data", Seq("raw_stg_sub_modified", "num", "tag", "pre"),
+        r => JsonModels.stgFinancialData(r("raw_stg_sub_modified"), r("num"), r("tag"), r("pre"))),
+      Model("financial_statements_json", Seq("stg_financial_data"),
+        r => JsonModels.financialStatementsJson(r("stg_financial_data")))
+    ))
+  }
+}

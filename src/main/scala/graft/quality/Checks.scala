@@ -1,0 +1,131 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Data-quality operators — the Spark realization of the reference's dbt
+  * generic + dbt_expectations tests (SURVEY.md §2.9, T1–T10). Each check
+  * compiles to a DataFrame of *violating rows* ("pass" = 0 rows), exactly like
+  * a dbt test query.
+  *
+  * Checks are reporting, not hard failures (SURVEY.md §7.4#6 — the reference
+  * tolerates `ON_ERROR='CONTINUE'` and ships tests that real EDGAR data
+  * violates). `Checks.report` gives violation counts per check.
+  *
+  * Scale note: every check is a single filter or partial-agg over the table —
+  * no collects; `report` fires them as independent Spark jobs.
+  */
+object Checks {
+
+  /** T1 `not_null`. */
+  def notNull(df: DataFrame, column: String): DataFrame =
+    df.filter(col(column).isNull)
+
+  /** T2 `unique` / T9 `unique_combination_of_columns` — key groups seen >1×. */
+  def unique(df: DataFrame, columns: String*): DataFrame =
+    df.groupBy(columns.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  /** T3 `relationships` (FK, single or composite) — child keys with no parent
+    * (left-anti join, J9). Parent side is deduplicated and broadcast when
+    * small (Catalyst/AQE decides).
+    */
+  def relationships(child: DataFrame, childCols: Seq[String],
+                    parent: DataFrame, parentCols: Seq[String]): DataFrame = {
+    val parentKeys = parent.select(parentCols.map(col): _*).dropDuplicates()
+      .toDF(childCols: _*)
+    child.filter(childCols.map(col(_).isNotNull).reduce(_ && _))
+      .join(parentKeys, childCols, "left_anti")
+  }
+
+  /** T4 `accepted_values`. */
+  def acceptedValues(df: DataFrame, column: String, values: Seq[Any]): DataFrame =
+    df.filter(col(column).isNotNull && !col(column).isin(values: _*))
+
+  /** T5 `expect_column_values_to_match_regex`. */
+  def matchesRegex(df: DataFrame, column: String, regex: String): DataFrame =
+    df.filter(col(column).isNotNull && !col(column).rlike(regex))
+
+  /** T6 `expect_column_values_to_be_between`. */
+  def between(df: DataFrame, column: String, lo: Any, hi: Any): DataFrame =
+    df.filter(col(column).isNotNull && !col(column).between(lit(lo), lit(hi)))
+
+  /** T7 `expect_column_values_to_be_of_type` — schema-level; violating "rows"
+    * is the whole table when the declared type mismatches, else empty.
+    */
+  def ofType(df: DataFrame, column: String, expected: DataType): Boolean =
+    df.schema(column).dataType == expected
+
+  /** T8 `expect_column_value_lengths_to_be_between`. */
+  def lengthBetween(df: DataFrame, column: String, lo: Int, hi: Int): DataFrame =
+    df.filter(col(column).isNotNull && !length(col(column)).between(lo, hi))
+
+  /** T10 singular test `not_null_except_zero` (reference:
+    * json_transform/tests/testing_for_date_validity.sql:1-6): `period` may be
+    * null only when `fy = 0`.
+    */
+  def notNullExceptZero(df: DataFrame, column: String, guard: String = "fy"): DataFrame =
+    df.filter(col(column).isNull && coalesce(col(guard), lit(-1)) =!= 0)
+
+  /** Arbitrary predicate check: violating rows = rows where `valid` is false. */
+  def expect(df: DataFrame, valid: Column): DataFrame = df.filter(!valid)
+
+  final case class CheckResult(name: String, violations: Long) {
+    def passed: Boolean = violations == 0L
+  }
+
+  /** Run named checks, returning violation counts (reporting mode). */
+  def report(checks: Seq[(String, DataFrame)]): Seq[CheckResult] =
+    checks.map { case (name, df) => CheckResult(name, df.count()) }
+
+  /** The reference's declared test suite over the four raw EDGAR tables —
+    * ported line-by-line from the dbt YAMLs (masterfindata/models/Staging/
+    * {sub,num,tag,pre}_source.yml, json_transformation_source.yml).
+    */
+  def edgarSuite(sub: DataFrame, tag: DataFrame, num: DataFrame,
+                 pre: DataFrame): Seq[(String, DataFrame)] = Seq(
+    // sub_source.yml
+    "sub.adsh.unique" -> unique(sub, "adsh"),
+    "sub.adsh.not_null" -> notNull(sub, "adsh"),
+    "sub.cik.not_null" -> notNull(sub, "cik"),
+    "sub.name.not_null" -> notNull(sub, "name"),
+    "sub.period.regex" -> matchesRegex(sub.withColumn("p", col("period").cast("string")), "p", "^\\d{4}-\\d{2}-\\d{2}$"),
+    "sub.fy.between_1900_2100" -> between(sub, "fy", 1900, 2100),
+    "sub.wksi.accepted" -> acceptedValues(sub, "wksi", Seq(true, false)),
+    "sub.filed.not_null" -> notNull(sub, "filed"),
+    "sub.accepted.not_null" -> notNull(sub, "accepted"),
+    "sub.nciks.not_null" -> notNull(sub, "nciks"),
+    "sub.aciks.regex" -> matchesRegex(sub, "aciks", "^[0-9,]*$"),
+    // tag_source.yml
+    "tag.tag.not_null" -> notNull(tag, "tag"),
+    "tag.version.not_null" -> notNull(tag, "version"),
+    "tag.custom.accepted" -> acceptedValues(tag, "custom", Seq(true, false)),
+    "tag.abstract.accepted" -> acceptedValues(tag, "abstract", Seq(true, false)),
+    "tag.datatype.regex" -> matchesRegex(tag, "datatype", "^(string|integer|boolean|decimal|date|float)$"),
+    "tag.iord.accepted" -> acceptedValues(tag, "iord", Seq("I", "D")),
+    "tag.crdr.accepted" -> acceptedValues(tag, "crdr", Seq("C", "D")),
+    "tag.doc.length" -> lengthBetween(tag, "doc", 1, 16777216),
+    "tag.tag_version.unique" -> unique(tag, "tag", "version"),
+    // num_source.yml
+    "num.tag.not_null" -> notNull(num, "tag"),
+    "num.version.not_null" -> notNull(num, "version"),
+    "num.ddate.not_null" -> notNull(num, "ddate"),
+    "num.value.between_0_1e9" -> between(num, "value", 0, 1000000000),
+    "num.adsh.fk_sub" -> relationships(num, Seq("adsh"), sub, Seq("adsh")),
+    "num.tag_version.fk_tag" -> relationships(num, Seq("tag", "version"), tag, Seq("tag", "version")),
+    // pre_source.yml
+    "pre.report.not_null" -> notNull(pre, "report"),
+    "pre.stmt.accepted" -> acceptedValues(pre, "stmt", Seq("BS", "IS", "CF", "EQ", "CI", "SI", "UN")),
+    "pre.inpth.accepted" -> acceptedValues(pre, "inpth", Seq(true, false)),
+    "pre.rfile.accepted" -> acceptedValues(pre, "rfile", Seq("H", "X")),
+    "pre.tag.not_null" -> notNull(pre, "tag"),
+    "pre.plabel.length" -> lengthBetween(pre, "plabel", 1, 512),
+    "pre.negating.accepted" -> acceptedValues(pre, "negating", Seq(true, false)),
+    "pre.adsh.fk_sub" -> relationships(pre, Seq("adsh"), sub, Seq("adsh")),
+    "pre.tag_version.fk_tag" -> relationships(pre, Seq("tag", "version"), tag, Seq("tag", "version")),
+    // singular test (json_transform/tests/testing_for_date_validity.sql)
+    "sub.period.not_null_except_fy0" -> notNullExceptZero(sub, "period", "fy")
+  )
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.ModelGraph
+import graft.io.TsvReader
+import graft.quality.Checks
+
+/** End-to-end EDGAR pipeline over the TSV fixtures: COPY-equivalent load →
+  * staging → dims → facts → JSON document model, asserting the reference's
+  * exact semantics (sentinels, surrogate keys, DOW quirk, decimal sums).
+  */
+class EdgarPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val raw = TsvReader.readAll(spark, TestSpark.edgarFixtures,
+    landTo = Some(java.nio.file.Files.createTempDirectory("edgar-raw").toString))
+  private lazy val models =
+    ModelGraph.edgar(spark).run(raw)(spark)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("TSV load: schemas, leniency, ON_ERROR=CONTINUE") {
+    assert(raw("sub").count() === 3)
+    assert(raw("tag").count() === 4)
+    // the corrupt num row (bad date + non-numeric value) is skipped at land
+    // time, not fatal — COPY ON_ERROR='CONTINUE'
+    assert(raw("num").count() === 8)
+    assert(raw("pre").count() === 7)
+    // declared types survive: value is DecimalType(28,4)
+    assert(raw("num").schema("value").dataType.toString === "DecimalType(28,4)")
+    // 0/1 → boolean
+    assert(raw("sub").schema("wksi").dataType.typeName === "boolean")
+    // literal NULL string → null (NULL_IF)
+    assert(raw("sub").filter(col("adsh") === "0000000001-24-000001")
+      .select("afs").head.isNullAt(0))
+  }
+
+  test("stg_sub: null sentinels and ticker extraction") {
+    val msft = models("stg_sub").filter(col("ADSH") === "0000789019-24-000456").head()
+    val schema = models("stg_sub").columns.zipWithIndex.toMap
+    assert(msft.getString(schema("STPRBA")) === "Unknown")
+    assert(msft.getString(schema("CITYBA")) === "Unknown")
+    assert(msft.getString(schema("BAS2")) === "Does not exist or Unknown")
+    assert(msft.getString(schema("Ticker")) === "MSFT")
+  }
+
+  test("surrogate keys match dbt_utils.generate_surrogate_key formula") {
+    val appleSk = models("dim_company")
+      .filter(col("CIK") === 320193).select("Company_SK").head.getString(0)
+    assert(appleSk === md5hex("320193-APPLE INC"))
+  }
+
+  test("dim_date: 11323 rows, Snowflake-DOW weekend quirk preserved") {
+    val dd = models("dim_date")
+    assert(dd.count() === 11323)
+    val jan1 = dd.filter(col("DATE_SK") === 20000101L).head() // Saturday
+    val jan2 = dd.filter(col("DATE_SK") === 20000102L).head() // Sunday
+    val c = dd.columns.zipWithIndex.toMap
+    assert(jan1.getInt(c("DAY_OF_WEEK")) === 6)
+    assert(jan1.getString(c("IS_WEEKEND")) === "Y") // Saturday flagged
+    assert(jan2.getInt(c("DAY_OF_WEEK")) === 0)
+    assert(jan2.getString(c("IS_WEEKEND")) === "N") // reference bug: Sunday NOT flagged
+    assert(jan1.getLong(c("DATE_SK")) === 20000101L)
+  }
+
+  test("fct_balanceSheet: grouped decimal sums with ROUND(.,2)") {
+    val bs = models("fct_balanceSheet")
+    val rows = bs.collect().map(r =>
+      (r.getAs[String]("COMPANY_NAME"), r.getAs[String]("TAG")) ->
+        r.getAs[java.math.BigDecimal]("FCT_VALUE")).toMap
+    assert(rows.size === 4) // 2 companies × {Assets, Liabilities}
+    // Reference semantics quirk reproduced faithfully: key_data joins
+    // dim_filings on (STMT, FiledDate) only — NOT on tag — so every BS value
+    // of a (company, filed-date) is counted under EVERY BS tag of that date.
+    // APPLE BS total = 352583e6 + 335038e6 + 264904e6 = 952525e6 under both
+    // Assets and Liabilities; MSFT = 512163e6 + 243686e6 = 755849e6.
+    assert(rows(("APPLE INC", "Assets")) ===
+      new java.math.BigDecimal("952525000000.00"))
+    assert(rows(("APPLE INC", "Liabilities")) ===
+      new java.math.BigDecimal("952525000000.00"))
+    assert(rows(("MICROSOFT CORP", "Assets")) ===
+      new java.math.BigDecimal("755849000000.00"))
+    assert(rows(("MICROSOFT CORP", "Liabilities")) ===
+      new java.math.BigDecimal("755849000000.00"))
+    // every row is BS only
+    assert(bs.filter(col("STATEMENTTYPE") =!= "BS").count() === 0)
+  }
+
+  test("fct_IncomeStatement / fct_Cashflows: parameterized stmt filter") {
+    val is = models("fct_IncomeStatement")
+    assert(is.select("TAG").distinct().collect().map(_.getString(0)).toSet === Set("Revenues"))
+    val cf = models("fct_Cashflows")
+    assert(cf.collect().map(_.getAs[String]("TAG")).toSet ===
+      Set("NetCashProvidedByOperatingActivities"))
+  }
+
+  test("financial_statements_json: nested document per filing") {
+    val doc = models("financial_statements_json")
+    // TEST CO has no num rows but survives the left-join chain as one filing
+    assert(doc.count() === 3)
+    val apple = doc.filter(col("filing_id") === "0000320193-24-000123").head()
+    val info = apple.getAs[org.apache.spark.sql.Row]("company_info")
+    assert(info.getAs[String]("company_name") === "APPLE INC")
+    val fin = apple.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("financial_data")
+    assert(fin.size === 5) // 4 num rows joined to pre (+1 extra-period Assets)
+    // null period in TEST CO → 9999-12-31 sentinel (handle_null_dates macro)
+    val testco = models("raw_stg_sub_modified")
+      .filter(col("adsh") === "0000000001-24-000001")
+      .select(col("period").cast("string")).head.getString(0)
+    assert(testco === "9999-12-31")
+  }
+
+  test("data-quality suite: designed violations only") {
+    val results = Checks.report(Checks.edgarSuite(
+      raw("sub"), raw("tag"), raw("num"), raw("pre")))
+    val byName = results.map(r => r.name -> r.violations).toMap
+    info("violations: " + results.filter(!_.passed).mkString(", "))
+    assert(byName("sub.adsh.unique") === 0)
+    assert(byName("num.adsh.fk_sub") === 0)
+    assert(byName("pre.tag_version.fk_tag") === 0)
+    // TEST CO: period null but fy=0 → allowed by the singular test
+    assert(byName("sub.period.not_null_except_fy0") === 0)
+    // The reference declares value ∈ [0, 1e9] (num_source.yml:31-33) but real
+    // EDGAR monetary values exceed it — checks are reporting, not failing
+    // (SURVEY.md §7.4#6). All 8 fixture values violate, by design.
+    assert(byName("num.value.between_0_1e9") === 8)
+    // TEST CO's fy=0 violates the declared 1900–2100 range (while the singular
+    // test explicitly allows it) — another declared-test-vs-reality case.
+    assert(byName("sub.fy.between_1900_2100") === 1)
+    val designed = Set("num.value.between_0_1e9", "sub.fy.between_1900_2100")
+    val unexpected = results.filter(!_.passed).filterNot(r => designed(r.name))
+    assert(unexpected.isEmpty, s"unexpected violations: $unexpected")
+  }
+}

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Runs each SQL in <verifyOutDir>/oracle_sql.json against DuckDB views over the
+<sfDir> parquet tables and compares (sorted columns, sorted rows, stringified)
+with the Spark parquet results the graft.Verify main wrote.
+
+Dev tooling only — uses the driver-side python stack (duckdb/pandas); the
+library itself is pure Scala/Spark.
+"""
+import duckdb, json, glob, sys
+import pandas as pd
+
+TABLES = ["lineitem", "orders", "customer", "part", "supplier", "nation",
+          "region", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # stringify for dtype-insensitive compare (float64 reprs must match)
+    df = df.astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main(sfdir: str, outdir: str) -> int:
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sfdir}/{tbl}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    failed = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            expected = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"{name}: ORACLE ERROR {e}")
+            failed.append(name)
+            continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"{name}: NO SPARK OUTPUT")
+            failed.append(name)
+            continue
+        got = norm(pd.concat([pd.read_parquet(p) for p in files]))
+        if list(got.columns) != list(expected.columns):
+            print(f"{name}: SCHEMA MISMATCH spark={list(got.columns)} duck={list(expected.columns)}")
+            failed.append(name)
+        elif not got.equals(expected):
+            print(f"{name}: VALUE MISMATCH rows spark={len(got)} duck={len(expected)}")
+            merged = got.compare(expected) if len(got) == len(expected) else None
+            if merged is not None and not merged.empty:
+                print(merged.head(5))
+            else:
+                print(" spark:\n", got.head(5), "\n duck:\n", expected.head(5))
+            failed.append(name)
+        else:
+            print(f"{name}: MATCH rows={len(got)}")
+    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} match")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
