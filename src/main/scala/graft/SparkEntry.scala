@@ -36,7 +36,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: partial+final hash aggregation with decimal-exact sums (TPC-H Q1 shape)
-    "q1_agg" -> ((s, dir) => {
+    "q1_agg" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -46,7 +46,7 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           count(lit(1)).as("n_rows"))
     })
-  )
+  ) ++ graft.operators.Relational.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -58,5 +58,5 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
-  )
+  ) ++ graft.operators.Relational.oracles
 }

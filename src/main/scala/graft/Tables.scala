@@ -11,8 +11,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Nanoseconds per day — `events.ts` is parquet TIMESTAMP(NANOS), which
+    * Spark only reads as a nano-epoch LongType (legacy conf below).
+    */
+  val NanosPerDay: Long = 24L * 3600 * 1000 * 1000 * 1000
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) — illegal for Spark's vectorized
+    // reader unless read as raw nanos (queries treat ts as a nano-epoch long).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def all(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
     names.map(n => n -> apply(spark, sfDir, n)).toMap

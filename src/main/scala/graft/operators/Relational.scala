@@ -1,0 +1,411 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.fn.Keys
+import graft.serve.{Eq, Filters, NumBetween}
+
+/** The relational operator battery — every scan/filter/join/agg/window/sort/
+  * set/scalar operator from SURVEY.md §2 exercised over the driver tables
+  * (TESTDATA.md), each with a DuckDB oracle for the hash-compare gate.
+  *
+  * Conventions for cross-engine hash equality:
+  *  - money sums aggregate in DECIMAL (exact, order-independent) and emit
+  *    DOUBLE (identical binary value in both engines);
+  *  - timestamps are compared/emitted via DATE casts (no tz/ntz skew);
+  *  - every LIMIT/OFFSET rides on a unique ORDER key (deterministic subset).
+  *
+  * Scale notes are attached per query where the plan shape matters.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P1: projection + rename — column pruning reaches the scan (ReadSchema).
+    "p1_project_rename" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        upper(col("c_name")).as("name_uc"),
+        col("c_acctbal").as("acctbal"))
+    }),
+
+    // P3: constant filter — pushed to parquet (PushedFilters).
+    "p3_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" &&
+          col("l_shipdate").cast("date") >= lit("1995-07-01"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // P5: dynamic predicate builder (the UI-filter path) — same pushdown.
+    "p5_dynamic_filters" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(Filters.toCondition(Seq(
+          Eq("c_mktsegment", "BUILDING"),
+          NumBetween("c_acctbal", 0.0, 5000.0))))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    }),
+
+    // P6: incremental watermark filter — batch form of the reference's
+    // `col >= (SELECT MAX(col) FROM this)` macro; scalar agg is broadcast,
+    // no shuffle of the big side. (events.ts is a nano-epoch long — see Tables)
+    "p6_incremental_watermark" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wm = ev.agg((max(col("ts")) - lit(7L * graft.Tables.NanosPerDay)).as("wm"))
+      ev.join(broadcast(wm))
+        .filter(col("ts") >= col("wm"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // J1: plain equi-join — Catalyst picks broadcast-hash (nation is tiny).
+    "j1_inner_equi" -> ((s, dir) => {
+      t(s, dir, "customer").join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+    }),
+
+    // J2: multi-table chain with a constant filter — dims broadcast, the
+    // filter prunes region before the join (PushDownPredicates).
+    "j2_join_chain" -> ((s, dir) => {
+      t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"), col("n_name"))
+    }),
+
+    // J3: composite-key join (num⋈pre shape from the fact build).
+    "j3_composite_key" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val g = li.groupBy(col("l_orderkey"), col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"))
+      li.join(g, Seq("l_orderkey", "l_partkey"))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("n_lines"))
+    }),
+
+    // J4: explicit broadcast join of a small dim into the big fact, then agg.
+    "j4_broadcast_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // J5+P2: left join + null-default sentinel (the staging COALESCE family).
+    "j5_left_coalesce" -> ((s, dir) => {
+      t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("c_name"), lit("Unknown")).as("cust_name"),
+          col("o_totalprice"))
+    }),
+
+    // J6: left join + IS NOT NULL — Catalyst's EliminateOuterJoin rewrites to
+    // inner; same rows as the reference's key_data stage (P4).
+    "j6_left_null_filter" -> ((s, dir) => {
+      t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .filter(col("c_custkey").isNotNull)
+        .select(col("o_orderkey"), col("c_name"))
+    }),
+
+    // J7: denormalizing left-join chain (the JSON path's sub→num→tag→pre).
+    "j7_denorm_chain" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("l_orderkey")).as("n_lineitems"))
+    }),
+
+    // J9: FK-orphan check as left-anti (the dbt relationships test).
+    "j9_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer").join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // left-semi (EXISTS) — the inverse of J9.
+    "j10_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer").join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+    }),
+
+    // A2: DISTINCT — hash agg on all columns.
+    "a2_distinct" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+    }),
+
+    // A3: collect-to-array agg; array is sorted then joined so the unordered
+    // ARRAY_AGG semantics hash stably (SURVEY.md §7.4#3).
+    "a3_collect_sorted" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(col("o_orderkey"))),
+            x => x.cast("string"))).as("order_keys"))
+    }),
+
+    // A4: scalar MAX subquery → rows at the max (broadcast single-row join).
+    "a4_scalar_max" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.join(broadcast(o.agg(max(col("o_totalprice")).as("mx"))))
+        .filter(col("o_totalprice") === col("mx"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // A5: global min/max (the UI slider-bounds query).
+    "a5_minmax" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        min(col("l_shipdate").cast("date")).as("min_ship"),
+        max(col("l_shipdate").cast("date")).as("max_ship"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+    }),
+
+    // A6: value_counts (the UI pie chart).
+    "a6_value_counts" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
+    // A7/T2/T9: duplicate detection — key groups seen more than once.
+    "a7_dup_groups" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+    }),
+
+    // W1: ranked top-k per group (row_number over partition).
+    "w1_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_nationkey"), col("c_custkey"), col("rn"))
+    }),
+
+    // lag + running sum per key (sequence analytics over the event stream);
+    // running sum in DECIMAL so the frame-ordered accumulation is exact.
+    "w2_lag_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("running",
+          sum(col("value").cast("decimal(14,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+        .select(col("event_id"), col("user_id"), col("prev_value"), col("running"))
+    }),
+
+    // W2/W3: generated calendar dimension (dim_date) from spark.range — no
+    // single-partition ROW_NUMBER; embarrassingly parallel at any size.
+    "w3_calendar_dim" -> ((s, dir) => {
+      graft.models.Dims.dimDate(s)
+        .select(col("DATE_SK").as("date_sk"), col("FULL_DT").as("full_dt"),
+          col("YEAR").as("year"), col("MONTH").as("month"),
+          col("QUARTER").as("quarter"), col("DAY_OF_MONTH").as("day_of_month"),
+          col("DAY_OF_WEEK").as("day_of_week"), col("IS_WEEKEND").as("is_weekend"))
+    }),
+
+    // O3: deterministic pagination — unique order key, then offset/limit.
+    "o3_limit_offset" -> ((s, dir) => {
+      t(s, dir, "orders").orderBy(col("o_orderkey"))
+        .offset(50).limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // Set ops (beyond reference parity — it has none; SURVEY.md §2.7).
+    "set_union" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+        .union(t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("k")))
+        .distinct()
+    }),
+    "set_intersect" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("k")))
+    }),
+    "set_except" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey").as("k"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("k")))
+    }),
+
+    // F1-F6/F15: scalar-function suite incl. the dbt_utils-exact MD5 key.
+    "f_scalar_suite" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        Keys.surrogateKey(col("c_custkey"), col("c_name")).as("sk"),
+        upper(split_part(col("c_name"), lit("#"), lit(1))).as("prefix_uc"),
+        concat_ws("-", col("c_custkey").cast("string"), col("c_mktsegment")).as("composite"),
+        round((col("c_acctbal") - 32) * 5 / 9, 2).as("converted"),
+        length(col("c_name")).as("name_len"))
+    }),
+
+    // F14/F16: quarter derivation + regex date validation (the API gateway).
+    "f_quarter_of_date" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("d", col("o_orderdate").cast("date"))
+        .filter(col("d").cast("string").rlike("^\\d{4}-\\d{2}-\\d{2}$") &&
+          year(col("d")).between(1992, 1998))
+        .select(col("o_orderkey"),
+          concat(year(col("d")), lit("q"), quarter(col("d"))).as("year_quarter"))
+    }),
+
+    // T4: accepted_values violations (reporting rows, as in quality.Checks).
+    "t4_accepted_values" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(!col("event_type").isin("view", "click", "signup", "purchase"))
+        .select(col("event_id"), col("event_type"))
+    }),
+
+    // T6: range violations — events.value outside [0, 100].
+    "t6_range_violations" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(!col("value").between(0, 100))
+        .select(col("event_id"), col("value"))
+    }),
+
+    // T8: length-bound violations — documents longer than 300 chars.
+    "t8_length_violations" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(!length(col("text")).between(0, 300))
+        .select(col("doc_id"), length(col("text")).as("len"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "p1_project_rename" ->
+      "SELECT c_custkey AS id, UPPER(c_name) AS name_uc, c_acctbal AS acctbal FROM customer",
+    "p3_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'R' AND CAST(l_shipdate AS DATE) >= DATE '1995-07-01'""".stripMargin,
+    "p5_dynamic_filters" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal BETWEEN 0.0 AND 5000.0""".stripMargin,
+    "p6_incremental_watermark" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE ts >= (SELECT MAX(ts) - INTERVAL 7 DAY FROM events)""".stripMargin,
+    "j1_inner_equi" ->
+      "SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey",
+    "j2_join_chain" ->
+      """SELECT o_orderkey, c_custkey, n_name
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |WHERE r_name = 'ASIA'""".stripMargin,
+    "j3_composite_key" ->
+      """SELECT li.l_orderkey, li.l_partkey, li.l_linenumber, g.n_lines
+        |FROM lineitem li JOIN (
+        |  SELECT l_orderkey, l_partkey, COUNT(*) AS n_lines
+        |  FROM lineitem GROUP BY l_orderkey, l_partkey) g
+        |ON li.l_orderkey = g.l_orderkey AND li.l_partkey = g.l_partkey""".stripMargin,
+    "j4_broadcast_agg" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "j5_left_coalesce" ->
+      """SELECT o_orderkey, COALESCE(c_name, 'Unknown') AS cust_name, o_totalprice
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "j6_left_null_filter" ->
+      """SELECT o_orderkey, c_name
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey IS NOT NULL""".stripMargin,
+    "j7_denorm_chain" ->
+      """SELECT c_custkey, COUNT(l_orderkey) AS n_lineitems
+        |FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_custkey""".stripMargin,
+    "j9_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j10_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "a2_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "a3_collect_sorted" ->
+      """SELECT o_custkey, STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "a4_scalar_max" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice = (SELECT MAX(o_totalprice) FROM orders)""".stripMargin,
+    "a5_minmax" ->
+      """SELECT MIN(CAST(l_shipdate AS DATE)) AS min_ship, MAX(CAST(l_shipdate AS DATE)) AS max_ship,
+        |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+    "a6_value_counts" ->
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    "a7_dup_groups" ->
+      """SELECT user_id, event_type, COUNT(*) AS n FROM events
+        |GROUP BY user_id, event_type HAVING COUNT(*) > 1""".stripMargin,
+    "w1_topk_per_group" ->
+      """SELECT c_nationkey, c_custkey, rn FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) WHERE rn <= 3""".stripMargin,
+    "w2_lag_running" ->
+      """SELECT event_id, user_id,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "w3_calendar_dim" ->
+      """SELECT CAST(STRFTIME(full_dt, '%Y%m%d') AS BIGINT) AS date_sk,
+        |  full_dt,
+        |  CAST(EXTRACT(YEAR FROM full_dt) AS INT) AS year,
+        |  CAST(EXTRACT(MONTH FROM full_dt) AS INT) AS month,
+        |  CAST(EXTRACT(QUARTER FROM full_dt) AS INT) AS quarter,
+        |  CAST(EXTRACT(DAY FROM full_dt) AS INT) AS day_of_month,
+        |  CAST(EXTRACT(DOW FROM full_dt) AS INT) AS day_of_week,
+        |  CASE WHEN EXTRACT(DOW FROM full_dt) IN (6,7) THEN 'Y' ELSE 'N' END AS is_weekend
+        |FROM (SELECT DATE '2000-01-01' + CAST(i AS INT) AS full_dt FROM range(11323) t(i))""".stripMargin,
+    "o3_limit_offset" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 50",
+    "set_union" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders""".stripMargin,
+    "set_except" ->
+      "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders",
+    "f_scalar_suite" ->
+      """SELECT c_custkey,
+        |  MD5(CONCAT_WS('-', COALESCE(CAST(c_custkey AS VARCHAR), ''), COALESCE(CAST(c_name AS VARCHAR), ''))) AS sk,
+        |  UPPER(SPLIT_PART(c_name, '#', 1)) AS prefix_uc,
+        |  CONCAT_WS('-', CAST(c_custkey AS VARCHAR), c_mktsegment) AS composite,
+        |  ROUND((c_acctbal - 32) * 5 / 9, 2) AS converted,
+        |  LENGTH(c_name) AS name_len
+        |FROM customer""".stripMargin,
+    "f_quarter_of_date" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS VARCHAR) || 'q' ||
+        |  CAST(EXTRACT(QUARTER FROM CAST(o_orderdate AS DATE)) AS VARCHAR) AS year_quarter
+        |FROM orders
+        |WHERE REGEXP_MATCHES(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '^\d{4}-\d{2}-\d{2}$')
+        |  AND EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) BETWEEN 1992 AND 1998""".stripMargin,
+    "t4_accepted_values" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_type NOT IN ('view', 'click', 'signup', 'purchase')""".stripMargin,
+    "t6_range_violations" ->
+      "SELECT event_id, value FROM events WHERE value NOT BETWEEN 0 AND 100",
+    "t8_length_violations" ->
+      "SELECT doc_id, LENGTH(text) AS len FROM documents WHERE LENGTH(text) NOT BETWEEN 0 AND 300"
+  )
+}
