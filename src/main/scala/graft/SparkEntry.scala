@@ -46,7 +46,10 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           count(lit(1)).as("n_rows"))
     })
-  ) ++ graft.operators.Relational.queries
+  ) ++ graft.operators.Relational.queries ++
+    graft.operators.TextAnalysis.queries ++
+    graft.operators.Dedup.queries ++
+    graft.operators.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -58,5 +61,8 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
-  ) ++ graft.operators.Relational.oracles
+  ) ++ graft.operators.Relational.oracles ++
+    graft.operators.TextAnalysis.oracles ++
+    graft.operators.Dedup.oracles ++
+    graft.operators.Similarity.oracles
 }

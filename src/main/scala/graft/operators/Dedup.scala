@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Deduplication operators for a training-data pipeline, in increasing
+  * sophistication: exact (hash-groupBy), character-n-gram Jaccard,
+  * MinHash+LSH (the 100 TB path), SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design:
+  *  - Exact dedup is one hash aggregation on the fingerprint — shuffles once
+  *    on the hash, never on the text.
+  *  - The brute-force pairwise Jaccard exists as the *oracle baseline*; its
+  *    O(N²) self-join is only run at verification scale. The production path
+  *    is MinHash banding: explode→min-hash→band→bucket self-join touches
+  *    O(N·k) rows and only pairs colliding in a band are verified — the
+  *    standard way this stays tractable at billions of documents.
+  *  - SimHash reduces each doc to 64 bits; candidate pairs come from exact
+  *    16-bit band matches (hamming ≤ 3 guarantees ≥ one exact band by
+  *    pigeonhole over 4 bands).
+  */
+object Dedup {
+
+  /** Distinct character n-gram shingles of a string column. */
+  def shingles(c: Column, n: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(1), length(c) - (n - 1)),
+      i => c.substr(i, lit(n))))
+
+  /** Set Jaccard similarity of two array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** MinHash signature aggregation: k independent hash slots, each the min of
+    * `xxhash64(shingle, seed)` over the doc's shingle set.
+    */
+  def minhashSignature(exploded: DataFrame, idCol: String, shingleCol: String,
+                       numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(col(shingleCol), lit(i))).as(s"h$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** 64-bit SimHash from a token column: per-bit signed vote of token hashes. */
+  def simhashBits(tokenHash: Column): Seq[Column] =
+    (0 until 64).map { b =>
+      (shiftright(tokenHash, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"b$b")
+    }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "embeddings")
+
+  /** Pairwise n-gram Jaccard over all a<b pairs — oracle baseline (O(N²)). */
+  def ngramJaccardPairs(d: DataFrame, threshold: Double): DataFrame = {
+    val sh = d.select(col("doc_id"), shingles(col("text")).as("g"))
+    sh.alias("a").join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(jaccard(col("a.g"), col("b.g")), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** MinHash+LSH near-dup pairs: k=16 hashes, 4 bands × 4 rows; candidates
+    * from band-bucket collisions, verified with true Jaccard ≥ threshold.
+    */
+  def minhashLshPairs(d: DataFrame, threshold: Double,
+                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val sh = d.select(col("doc_id"), shingles(col("text")).as("g"))
+    val exploded = sh.select(col("doc_id"), explode(col("g")).as("s"))
+    val sigs = minhashSignature(exploded, "doc_id", "s", numHashes)
+    val bandStructs = (0 until bands).map { bi =>
+      struct(lit(bi).as("bi"),
+        hash((bi * rows until (bi + 1) * rows).map(i => col(s"h$i")): _*).as("bk"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bk").as("bk"))
+    val cands = banded.alias("l")
+      .join(banded.alias("r"),
+        col("l.bi") === col("r.bi") && col("l.bk") === col("r.bk") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("g").as("ga")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("g").as("gb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("ga"), col("gb")), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, banded candidates. */
+  def simhashPairs(d: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("th"))
+    val bitAggs = simhashBits(col("th")).zipWithIndex.map {
+      case (b, i) => sum(b).as(s"v$i")
+    }
+    val votes = toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sim = votes.select(col("doc_id"),
+      (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("simhash"))
+    // 4 × 16-bit bands: hamming ≤ 3 over 64 bits ⇒ at least one band equal.
+    val bandCols = (0 until 4).map(k =>
+      struct(lit(k).as("bi"),
+        shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL)).as("bk")))
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.bi").as("bi"), col("band.bk").as("bk"))
+    banded.alias("l").join(banded.alias("r"),
+        col("l.bi") === col("r.bi") && col("l.bk") === col("r.bk") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: duplicate-content groups with the survivor id
+    "dedup_exact_groups" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select(col("keep_id"), col("n_copies"))
+    }),
+
+    // exact dedup survivors via fingerprint + row_number (the scalable form:
+    // shuffles on a 128-bit hash, never on the text itself)
+    "dedup_exact_survivors" -> ((s, dir) => {
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"))
+    }),
+
+    // brute-force n-gram Jaccard pairs (oracle baseline for the LSH path)
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      ngramJaccardPairs(docs(s, dir), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("jac"))),
+
+    // MinHash+LSH near-dup pairs — the 100 TB path (no oracle: depends on
+    // xxhash64; the rows are verified true-Jaccard ≥ 0.8 pairs)
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      minhashLshPairs(docs(s, dir), threshold = 0.8)),
+
+    // SimHash near-dup pairs (no oracle: xxhash64-dependent)
+    "dedup_simhash" -> ((s, dir) => simhashPairs(docs(s, dir))),
+
+    // embedding-cosine near-dup pairs (sequential-double formula both sides)
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(VectorFns.cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+        .filter(col("cos") >= 0.4)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact_groups" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text HAVING COUNT(*) > 1""".stripMargin,
+    "dedup_exact_survivors" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, length(text) - 1), i -> text[i:i+2])) AS g
+        |FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |        len(list_distinct(a.g || b.g)), 4) AS jac
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |      len(list_distinct(a.g || b.g)), 4) >= 0.8""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH c AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |    (SQRT(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |     SQRT(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM c WHERE ROUND(cos, 4) >= 0.4""".stripMargin
+  )
+}

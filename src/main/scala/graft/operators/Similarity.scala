@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers:
+  *  - `bruteForceTopK` — exact baseline: query×corpus cross join, ranked by
+  *    cosine. O(Q·N); the oracle and the recall yardstick.
+  *  - `lshTopK` — random-hyperplane LSH: each vector gets sign-bit buckets
+  *    from deterministic hyperplanes; only bucket collisions are scored.
+  *    At 100 TB the bucket join replaces the cross join — candidate count is
+  *    ~N/2^bits per band, and everything stays a hash join on a small key.
+  *  - `ivfTopK` — inverted-file: corpus is partitioned into cells (centroid =
+  *    per-cell mean vector), a query probes its nProbe nearest centroids and
+  *    scores only those cells. The centroid table is tiny and broadcast.
+  *
+  * Rank output only (q_id, neighbor_id, rank) for the exact baseline's oracle —
+  * ranks are stable across engines because the cosine formula is the
+  * sequential-double contract of [[VectorFns]] with a vec_id tiebreak.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "embeddings")
+
+  /** Queries = every 100th vector — deterministic, scale-independent. */
+  private def querySet(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Exact top-k by cosine (excluding self), ranked desc with id tiebreak. */
+  def bruteForceTopK(e: DataFrame, k: Int): DataFrame = {
+    val q = querySet(e)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    q.join(e.alias("c"), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorFns.cosine(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1] — a pure
+    * arithmetic hash of (plane, dim), identical on every run and node.
+    */
+  private def planeComponent(plane: Int, d: Int): Double = {
+    var x = plane.toLong * 2654435761L + d.toLong * 40503L + 0x9E3779B97F4A7C15L
+    x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 33)
+    (x & 0xFFFFFFL).toDouble / 0x7FFFFFL - 1.0
+  }
+
+  /** Sign-bit LSH bucket of a vector for one band of hyperplanes. */
+  private def bandBucket(v: Column, band: Int, bitsPerBand: Int): Column =
+    (0 until bitsPerBand).map { bit =>
+      val plane = band * bitsPerBand + bit
+      val comps = (0 until 64).map(d => lit(planeComponent(plane, d)))
+      val dot = aggregate(
+        zip_with(v, array(comps: _*), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, z) => acc + z)
+      when(dot >= 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Random-hyperplane LSH ANN: bands × bitsPerBand sign bits; candidates
+    * collide in ≥1 band; exact cosine ranks the candidates.
+    *
+    * Defaults (8×4) target ~0.8 recall for cos≈0.5 neighbors: per-band
+    * collision (1-θ/π)^bits ≈ 0.2, across 8 bands 1-(1-0.2)^8 ≈ 0.83. More
+    * bits per band → fewer candidates but lower recall; tune per corpus
+    * (clustered real embeddings do far better than this random-data floor).
+    */
+  def lshTopK(e: DataFrame, k: Int, bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
+    def banded(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+      val bandStructs = (0 until bands).map(b =>
+        struct(lit(b).as("bi"), bandBucket(col(embCol), b, bitsPerBand).as("bk")))
+      df.select(col(idCol), col(embCol), explode(array(bandStructs: _*)).as("band"))
+        .select(col(idCol), col(embCol), col("band.bi").as("bi"), col("band.bk").as("bk"))
+    }
+    val q = banded(querySet(e), "q_id", "q_emb")
+    val c = banded(e.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+    val cands = q.join(c, Seq("bi", "bk"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cands
+      .select(col("q_id"), col("vec_id"),
+        VectorFns.cosine(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Per-cell mean centroids: posexplode → (cell, dim) mean → re-assembled
+    * array (sorted by dim, so the array is deterministic).
+    */
+  def centroids(e: DataFrame, cellCol: String): DataFrame =
+    e.select(col(cellCol).as("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+  /** IVF ANN: cells = the `label` column (stand-in for a k-means assignment);
+    * a query probes its nProbe nearest centroids, scores only those cells.
+    */
+  def ivfTopK(e: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
+    val cent = broadcast(centroids(e, "label"))
+    val q = querySet(e)
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cell"))
+    val probed = q.join(cent)
+      .select(col("q_id"), col("q_emb"), col("cell"),
+        VectorFns.cosine(col("q_emb"), col("centroid")).as("cdist"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    probed.join(e.select(col("vec_id"), col("embedding"), col("label").as("cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorFns.cosine(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact cosine top-10 (oracle-gated; ranks only)
+    "ann_brute_topk" -> ((s, dir) => bruteForceTopK(emb(s, dir), k = 10)),
+    // LSH-bucketed ANN (approximate — rows-only check)
+    "ann_lsh_topk" -> ((s, dir) => lshTopK(emb(s, dir), k = 10)),
+    // IVF ANN probing 3 cells (approximate — rows-only check)
+    "ann_ivf_topk" -> ((s, dir) => ivfTopK(emb(s, dir), k = 10))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |    (SQRT(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))) *
+        |     SQRT(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id AS neighbor_id, rank FROM (
+        |  SELECT q_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM c) WHERE rank <= 10""".stripMargin
+  )
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language identification (stopword-profile
+  * heuristic), and document fingerprinting. All are codegen'd column
+  * expressions (`split`/`filter`/`regexp_*`/`md5`) — no UDFs — so they run
+  * inside whole-stage codegen over any `documents`-shaped table at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Normalized-content fingerprint: MD5 over lowercased, space-collapsed
+    * text. Equal fingerprints ⇔ equal normalized content — the exact-dedup key.
+    */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** Count of tokens drawn from a fixed marker list (codegen'd In predicate). */
+  def markerCount(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isInCollection(markers)))
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+  /** Stopword ratio — a standard quality signal. */
+  def stopwordRatio(c: Column): Column =
+    markerCount(c, EnglishStopwords).cast("double") / tokenCount(c)
+
+  /** Composite quality score ∈ [0,1]: length credit (saturating at 50 tokens)
+    * discounted by stopword density. Deterministic arithmetic only.
+    */
+  def qualityScore(c: Column): Column =
+    round(least(lit(1.0), tokenCount(c) / lit(50.0)) *
+      (lit(1.0) - lit(0.5) * stopwordRatio(c)), 4)
+
+  /** Language-ID marker profiles (n-gram/stopword heuristic). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "les", "une", "est", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "es", "por", "como"))
+
+  /** Stopword-profile language guess with a fixed preference order on ties
+    * (en > de > fr > es) so the result is deterministic.
+    */
+  def langGuess(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerCount(c, ms) }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // token counting + surface statistics
+    "text_token_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          tokenCount(col("text")), 4).as("avg_token_len"))
+    }),
+
+    // quality scoring (length/stopword signals)
+    "text_quality_score" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        round(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        qualityScore(col("text")).as("quality"))
+    }),
+
+    // language identification (stopword-profile heuristic)
+    "text_langid" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scoreCols = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+        markerCount(col("text"), ms).as(s"score_$lang")
+      }
+      d.select((col("doc_id") +: scoreCols :+ langGuess(col("text")).as("lang_guess")): _*)
+    }),
+
+    // document fingerprinting (normalized content hash)
+    "text_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    })
+  )
+
+  private val markerListSql: Map[String, String] =
+    (LangMarkers :+ ("stop" -> EnglishStopwords)).map { case (k, ms) =>
+      k -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
+    }.toMap
+
+  def oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  LENGTH(text) AS n_chars,
+        |  ROUND(CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |    len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "text_quality_score" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |  len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      x -> list_contains(${markerListSql("stop")}, x))) AS n_stop
+         |FROM documents)
+         |SELECT doc_id,
+         |  ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+         |  ROUND(LEAST(1.0, n_tokens / 50.0) *
+         |        (1.0 - 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)), 4) AS quality
+         |FROM t""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  len(list_filter(string_split_regex(trim(text), '\\s+'), x -> list_contains(${markerListSql("en")}, x))) AS score_en,
+         |  len(list_filter(string_split_regex(trim(text), '\\s+'), x -> list_contains(${markerListSql("de")}, x))) AS score_de,
+         |  len(list_filter(string_split_regex(trim(text), '\\s+'), x -> list_contains(${markerListSql("fr")}, x))) AS score_fr,
+         |  len(list_filter(string_split_regex(trim(text), '\\s+'), x -> list_contains(${markerListSql("es")}, x))) AS score_es
+         |FROM documents)
+         |SELECT doc_id, score_en, score_de, score_fr, score_es,
+         |  CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+         |       WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+         |       WHEN score_fr >= score_es THEN 'fr'
+         |       ELSE 'es' END AS lang_guess
+         |FROM t""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin
+  )
+}

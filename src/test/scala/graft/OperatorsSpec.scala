@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFns
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Unit specs for the LLM-pipeline operators over small in-memory data with
+  * hand-computable expectations.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "der hund ist nicht die katze und nicht der fuchs")
+  ).toDF("doc_id", "text")
+
+  test("VectorFns: cosine identities") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 2f), Array(2f, 4f, 4f))
+    ).toDF("a", "b").select(VectorFns.cosine(col("a"), col("b")).as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(got(0) === 1.0)
+    assert(got(1) === 0.0)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+  }
+
+  test("TextAnalysis: tokens, fingerprint, quality, langid") {
+    val r = docs.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.langGuess(col("text")).as("lang")
+    ).collect().map(r => r.getLong(0) -> r).toMap
+    assert(r(0L).getAs[Int]("n") === 9)
+    // exact dup → identical fingerprint; near-dup → different
+    assert(r(0L).getAs[String]("fp") === r(3L).getAs[String]("fp"))
+    assert(r(0L).getAs[String]("fp") !== r(1L).getAs[String]("fp"))
+    // whitespace normalization folds into the same fingerprint
+    val fpNorm = Seq((9L, "  THE quick   brown fox jumps over the lazy dog "))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(col("text"))).head.getString(0)
+    assert(fpNorm === r(0L).getAs[String]("fp"))
+    // stopword-profile language guess: German markers win on doc 4
+    assert(r(4L).getAs[String]("lang") === "de")
+    assert(r(0L).getAs[String]("lang") === "en")
+  }
+
+  test("Dedup: exact groups and jaccard") {
+    val groups = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("n"))
+      .filter(col("n") > 1).collect()
+    assert(groups.length === 1)
+    assert(groups(0).getAs[Long]("keep") === 0L)
+    assert(groups(0).getAs[Long]("n") === 2L)
+
+    // jaccard of identical sets = 1.0
+    val j = docs.filter(col("doc_id").isin(0L, 3L))
+      .select(Dedup.shingles(col("text")).as("g"))
+    val both = j.collect().map(_.getSeq[String](0).toSet)
+    assert(both(0) === both(1))
+  }
+
+  test("Dedup: minhash LSH finds the planted near-dup pair") {
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.7)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"expected (0,1) in $pairs") // near-dup
+    assert(pairs.contains((0L, 3L)), s"expected (0,3) in $pairs") // exact dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated doc stays out
+  }
+
+  test("Dedup: simhash of exact duplicates has hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 3L)
+    assert(exact.isDefined && exact.get._3 === 0)
+  }
+
+  test("Similarity: brute-force top-k ranks the aligned vector first") {
+    val e = Seq(
+      (0, Array(1f, 0f, 0f, 0f), 0),
+      (100, Array(0.9f, 0.1f, 0f, 0f), 0), // nearest to q
+      (2, Array(0f, 1f, 0f, 0f), 1),
+      (3, Array(0.5f, 0.5f, 0f, 0f), 1),
+      (4, Array(-1f, 0f, 0f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    // query set = vec_id % 100 == 0 → {0, 100}
+    val top = Similarity.bruteForceTopK(e, k = 2).collect()
+      .map(r => (r.getAs[Int]("q_id"), r.getAs[Int]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(top.contains((0, 100, 1))) // 0's nearest neighbor is 100
+    assert(top.contains((100, 0, 1))) // and vice versa
+  }
+
+  test("Similarity: centroids are per-cell means in dim order") {
+    val e = Seq(
+      (0, Array(1f, 3f), 0),
+      (1, Array(3f, 5f), 0),
+      (2, Array(10f, 20f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val c = Similarity.centroids(e, "label").collect()
+      .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1)).toMap
+    assert(c(0) === Seq(2.0, 4.0))
+    assert(c(1) === Seq(10.0, 20.0))
+  }
+}
