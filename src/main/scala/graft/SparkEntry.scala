@@ -49,7 +49,9 @@ object SparkEntry {
   ) ++ graft.operators.Relational.queries ++
     graft.operators.TextAnalysis.queries ++
     graft.operators.Dedup.queries ++
-    graft.operators.Similarity.queries
+    graft.operators.Similarity.queries ++
+    graft.operators.Multimodal.queries ++
+    graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -64,5 +66,7 @@ object SparkEntry {
   ) ++ graft.operators.Relational.oracles ++
     graft.operators.TextAnalysis.oracles ++
     graft.operators.Dedup.oracles ++
-    graft.operators.Similarity.oracles
+    graft.operators.Similarity.oracles ++
+    graft.operators.Multimodal.oracles ++
+    graft.streaming.EventStreams.oracles
 }

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` table shape — the engine's stream
+  * path (the reference is batch-only; SURVEY.md §1.1 notes its only
+  * "incremental" notion is a watermark filter, which Structured Streaming
+  * generalizes).
+  *
+  * All transforms are defined on a DataFrame so the same code runs on a
+  * batch frame (for the DuckDB oracle) and on `readStream` (tested with a
+  * MemoryStream in `StreamingSpec`). `ts` arrives as a nano-epoch long (see
+  * [[graft.Tables]]); [[withEventTime]] converts to a proper timestamp for
+  * watermarking.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionSummary(user_id: Long, n_events: Long,
+                                  start_ts: Long, end_ts: Long)
+
+  /** Nano-epoch long → TimestampType column (microsecond precision). */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  /** Tumbling-window aggregation: counts + exact decimal sums per
+    * (hour-window, event_type). Works identically on batch and stream; on a
+    * stream add `.withWatermark("event_time", ...)` upstream (the spec does).
+    *
+    * Output uses the hour index (epoch-hours) rather than a timestamp so the
+    * batch oracle compares exactly.
+    */
+  def hourlyTypeCounts(df: DataFrame): DataFrame =
+    withEventTime(df)
+      .groupBy(
+        window(col("event_time"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .select(
+        (unix_timestamp(col("w.start")) / 3600).cast("long").as("hour_idx"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Stateful sessionization: events of a user belong to one session while
+    * gaps stay under `gap` (in ts units); emits a summary when the gap is exceeded
+    * (flatMapGroupsWithState — the custom-state path, SURVEY steering).
+    * Processing-time timeout flushes trailing sessions in a real stream; for
+    * deterministic tests the spec drains with a final empty batch.
+    */
+  def sessionize(events: Dataset[Event], gap: Long)
+                (implicit spark: SparkSession): Dataset[SessionSummary] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
+          val incoming = it.toList.sortBy(e => (e.ts, e.event_id))
+          val all = (state.getOption.getOrElse(Nil) ++ incoming).sortBy(e => (e.ts, e.event_id))
+          // split into gap-delimited sessions; keep the open tail in state
+          val sessions = all.foldLeft(List.empty[List[Event]]) {
+            case (acc, e) => acc match {
+              case cur :: rest if e.ts - cur.last.ts <= gap => (cur :+ e) :: rest
+              case _ => List(e) :: acc
+            }
+          }.reverse
+          val (closed, open) = sessions.splitAt(math.max(0, sessions.size - 1))
+          state.update(open.headOption.getOrElse(Nil))
+          closed.iterator.map(s =>
+            SessionSummary(userId, s.size.toLong, s.head.ts, s.last.ts))
+      }
+  }
+
+  /** Force-close all open sessions (batch-mode drain for deterministic runs). */
+  def sessionizeBatch(events: Dataset[Event], gap: Long)
+                     (implicit spark: SparkSession): Dataset[SessionSummary] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.toDF()
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+      .select(col("user_id"), col("n_events"), col("start_ts"), col("end_ts"))
+      .as[SessionSummary]
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // windowed aggregation (batch-equivalent of the streaming query)
+    "stream_hourly_counts" -> ((s, dir) =>
+      hourlyTypeCounts(graft.Tables(s, dir, "events"))),
+
+    // gap-based sessionization (batch window form; the streaming form is the
+    // flatMapGroupsWithState path tested in StreamingSpec). Sessionizes on
+    // microseconds — DuckDB's epoch_ns truncates ns timestamps to µs, so the
+    // oracle can only see µs resolution.
+    "stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      sessionizeBatch(
+        graft.Tables(s, dir, "events")
+          .select(col("event_id"), expr("ts div 1000").as("ts"), col("user_id"),
+            col("event_type"), col("value")).as[Event],
+        gap = 30L * 60 * 1000 * 1000)(s)
+        .toDF()
+        .select(col("user_id"), col("n_events"),
+          col("start_ts").as("start_us"), col("end_ts").as("end_us"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "stream_hourly_counts" ->
+      """SELECT CAST(FLOOR(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_idx,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, tus, event_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, COUNT(*) AS n_events, MIN(tus) AS start_us, MAX(tus) AS end_us
+        |FROM s GROUP BY user_id, session_id""".stripMargin
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.serve.{Engine, Eq, NumBetween, ResultCache}
+
+class ServeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshEngine(cache: Option[ResultCache] = None): Engine = {
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0))
+      .toDF("id", "cat", "v").createOrReplaceTempView("serve_t")
+    new Engine(spark, cache)
+  }
+
+  test("select: filters + deterministic pagination") {
+    val e = freshEngine()
+    val rows = e.select("serve_t", Seq(Eq("cat", "a")), orderBy = Seq("id")).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    val page = e.select("serve_t", Nil, limit = 2, offset = 1, orderBy = Seq("id")).collect()
+    assert(page.map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    val range = e.select("serve_t", Seq(NumBetween("v", 15.0, 35.0)), orderBy = Seq("id"))
+    assert(range.collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+  }
+
+  test("sql gateway: SELECT passes, commands are rejected (P8)") {
+    val e = freshEngine()
+    assert(e.sql("SELECT count(*) AS n FROM serve_t").head.getLong(0) === 4L)
+    // CTE-wrapped select passes (string sniffing would be fooled either way)
+    assert(e.sql("WITH x AS (SELECT id FROM serve_t) SELECT max(id) FROM x").head.getLong(0) === 4L)
+    val err = intercept[IllegalArgumentException] {
+      e.sql("DROP TABLE serve_t")
+    }
+    assert(err.getMessage.contains("only SELECT"))
+    intercept[IllegalArgumentException] {
+      e.sql("CREATE TABLE t2 AS SELECT * FROM serve_t")
+    }
+    // table untouched by the rejected commands
+    assert(spark.table("serve_t").count() === 4L)
+  }
+
+  test("result cache: plan-fingerprint hits, TTL expiry, invalidation") {
+    var now = 0L
+    val cache = new ResultCache(ttlSeconds = 10, clock = () => now)
+    val e = freshEngine(Some(cache))
+    val q = "SELECT cat, count(*) AS n FROM serve_t GROUP BY cat"
+    e.sql(q).collect()
+    assert(cache.stats === ((0L, 1L, 1)))
+    // same semantic plan → hit (even with different formatting)
+    e.sql("SELECT  cat,  count(*) AS n  FROM serve_t  GROUP BY cat").collect()
+    assert(cache.stats._1 === 1L)
+    // TTL expiry → miss again
+    now = 11000L
+    e.sql(q).collect()
+    assert(cache.stats._2 === 2L)
+    cache.clear()
+    assert(cache.stats._3 === 0)
+  }
+
+  test("catalog introspection (S11)") {
+    val e = freshEngine()
+    assert(e.listDatabases().contains("default"))
+    assert(e.listTables("default").contains("serve_t"))
+  }
+
+  test("filter-widget inference (V4)") {
+    val e = freshEngine()
+    val spec = e.filterWidgetSpec("serve_t")
+    assert(spec("cat") === e.Categorical)  // 3 distinct < 15
+    assert(spec("v") === e.NumericRange)
+    assert(spec("id") === e.NumericRange)
+  }
+}

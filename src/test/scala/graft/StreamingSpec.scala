@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, SessionSummary}
+
+/** Structured Streaming specs: the windowed aggregation and the stateful
+  * sessionizer run as real streams (MemoryStream source, memory sink), and
+  * the sessionizer agrees with its batch-window equivalent.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val us = 1000L * 1000 // ts unit below: microseconds
+  private def ev(id: Long, tMin: Long, user: Long, typ: String = "view"): Event =
+    Event(id, tMin * 60 * us, user, typ, 1.0)
+
+  test("streaming windowed aggregation over a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // EventStreams expects nano ts; our helper built µs → scale up
+    val counts = EventStreams.hourlyTypeCounts(
+      input.toDF().withColumn("ts", org.apache.spark.sql.functions.col("ts") * 1000))
+    val q = counts.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("hourly").start()
+    try {
+      input.addData(ev(1, 10, 1), ev(2, 20, 1), ev(3, 70, 2), ev(4, 80, 2, "click"))
+      q.processAllAvailable()
+      val out = spark.table("hourly").collect()
+        .map(r => (r.getAs[Long]("hour_idx"), r.getAs[String]("event_type")) -> r.getAs[Long]("n"))
+        .toMap
+      // ts anchored at epoch: minutes 10/20 → hour 0; 70/80 → hour 1
+      assert(out((0L, "view")) === 2L)
+      assert(out((1L, "view")) === 1L)
+      assert(out((1L, "click")) === 1L)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization matches the batch-window form") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    // user 1: events at minutes 0, 10, 50 (gaps 10, 40) with 30-min gap → two sessions
+    // user 2: events at minutes 5, 100 → two sessions
+    val events = Seq(
+      ev(1, 0, 1), ev(2, 10, 1), ev(3, 50, 1),
+      ev(4, 5, 2), ev(5, 100, 2))
+    val gap = 30L * 60 * us
+
+    val batch = EventStreams.sessionizeBatch(events.toDS(), gap).collect()
+      .map(x => (x.user_id, x.n_events, x.start_ts, x.end_ts)).toSet
+    assert(batch === Set(
+      (1L, 2L, 0L, 10L * 60 * us),
+      (1L, 1L, 50L * 60 * us, 50L * 60 * us),
+      (2L, 1L, 5L * 60 * us, 5L * 60 * us),
+      (2L, 1L, 100L * 60 * us, 100L * 60 * us)))
+
+    // streaming: feed in two batches, then a closing event far in the future
+    // per user so every earlier session closes (Append emits closed sessions).
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gap)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions").start()
+    try {
+      input.addData(ev(1, 0, 1), ev(2, 10, 1), ev(4, 5, 2))
+      q.processAllAvailable()
+      input.addData(ev(3, 50, 1), ev(5, 100, 2))
+      q.processAllAvailable()
+      input.addData(ev(98, 10000, 1), ev(99, 10000, 2))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions").as[SessionSummary].collect()
+        .map(x => (x.user_id, x.n_events, x.start_ts, x.end_ts)).toSet
+      assert(batch.subsetOf(streamed))
+    } finally q.stop()
+  }
+}
