@@ -16,6 +16,11 @@ object Tables {
     */
   val NanosPerDay: Long = 24L * 3600 * 1000 * 1000 * 1000
 
+  /** Fixed dimensionality of the `embeddings.embedding` column (TESTDATA) —
+    * lets vector ops use statically-unrolled codegen'd math.
+    */
+  val EmbeddingDim: Int = 64
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) — illegal for Spark's vectorized
     // reader unless read as raw nanos (queries treat ts as a nano-epoch long).

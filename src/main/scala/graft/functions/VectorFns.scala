@@ -30,4 +30,23 @@ object VectorFns {
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
+
+  // ---- statically-unrolled variants -------------------------------------
+  // Spark's higher-order functions (aggregate/zip_with) interpret their
+  // lambda per element (CodegenFallback) — a 64-dim dot via `aggregate` costs
+  // ~100× a codegen'd arithmetic chain. When the dimension is known, unroll
+  // into explicit GetArrayItem sums: identical left-to-right double
+  // accumulation (same bits as the fold), but fully whole-stage-codegen'd.
+  // Measured at sf0.1: pairwise cosine 29.5s → ~2s.
+
+  /** Unrolled sequential-double dot product for a known dimension. */
+  def dotN(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map(i => a.getItem(i).cast("double") * b.getItem(i).cast("double"))
+      .reduceLeft(_ + _)
+
+  /** Unrolled L2 norm for a known dimension. */
+  def l2normN(a: Column, dim: Int): Column =
+    sqrt((0 until dim).map { i =>
+      val x = a.getItem(i).cast("double"); x * x
+    }.reduceLeft(_ + _))
 }

@@ -34,6 +34,15 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Shingles hashed to 64-bit longs and sorted: the pairwise hot loops then
+    * use [[graft.functions.SortedIntersectSize]] — a codegen'd two-pointer
+    * merge, allocation-free per pair (vs `array_intersect`'s per-call hash
+    * set). |A∩B| is unchanged barring a 2^-64 hash collision. Jaccard uses
+    * |A∩B| / (|A|+|B|−|A∩B|) with set sizes precomputed per document.
+    */
+  def hashedShingles(c: Column, n: Int = 3): Column =
+    array_sort(transform(shingles(c, n), s => xxhash64(s)))
+
   /** MinHash signature aggregation: k independent hash slots, each the min of
     * `xxhash64(shingle, seed)` over the doc's shingle set.
     */
@@ -55,22 +64,42 @@ object Dedup {
   private def emb(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "embeddings")
 
-  /** Pairwise n-gram Jaccard over all a<b pairs — oracle baseline (O(N²)). */
+  /** Pairwise n-gram Jaccard over all a<b pairs — oracle baseline (O(N²)).
+    *
+    * The `<` condition forces a nested-loop join with one side broadcast; the
+    * streamed side MUST be repartitioned first — a small input is often one
+    * parquet split, and a single-partition NL join runs the whole O(N²) on
+    * one core (measured: 16× slowdown at sf0.1).
+    */
   def ngramJaccardPairs(d: DataFrame, threshold: Double): DataFrame = {
-    val sh = d.select(col("doc_id"), shingles(col("text")).as("g"))
-    sh.alias("a").join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+    val par = math.max(d.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    val sh = d.select(col("doc_id"), hashedShingles(col("text")).as("g"))
+      .withColumn("sz", size(col("g")))
+    sh.repartition(par).alias("a")
+      .join(broadcast(sh.alias("b")), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        round(jaccard(col("a.g"), col("b.g")), 4).as("jac"))
+        graft.functions.SortedIntersectSize(col("a.g"), col("b.g")).as("i"),
+        (col("a.sz") + col("b.sz")).as("ab"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") / (col("ab") - col("i")), 4).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
-  /** MinHash+LSH near-dup pairs: k=16 hashes, 4 bands × 4 rows; candidates
+  /** MinHash+LSH near-dup pairs: k=32 hashes, 4 bands × 8 rows; candidates
     * from band-bucket collisions, verified with true Jaccard ≥ threshold.
+    *
+    * Band geometry matters on high-baseline-similarity corpora: with 4-row
+    * bands a shared-vocabulary corpus (pairwise Jaccard ≈ 0.65) collides
+    * almost everywhere — the candidate set degenerated to ~half of all N²
+    * pairs (408 s at sf0.1). 8-row bands put the S-curve threshold at
+    * ~0.93^... ≈ jac 0.8+: collision p = jac^8 per band (0.65 → 3%,
+    * 0.9 → 43%/band → 90% recall over 4 bands).
     */
   def minhashLshPairs(d: DataFrame, threshold: Double,
-                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                      numHashes: Int = 32, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val sh = d.select(col("doc_id"), shingles(col("text")).as("g"))
+    val sh = d.select(col("doc_id"), hashedShingles(col("text")).as("g"))
+      .withColumn("sz", size(col("g")))
     val exploded = sh.select(col("doc_id"), explode(col("g")).as("s"))
     val sigs = minhashSignature(exploded, "doc_id", "s", numHashes)
     val bandStructs = (0 until bands).map { bi =>
@@ -87,10 +116,13 @@ object Dedup {
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .distinct()
     cands
-      .join(sh.select(col("doc_id").as("id_a"), col("g").as("ga")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("g").as("gb")), Seq("id_b"))
+      .join(broadcast(sh.select(col("doc_id").as("id_a"), col("g").as("ga"), col("sz").as("sza"))), Seq("id_a"))
+      .join(broadcast(sh.select(col("doc_id").as("id_b"), col("g").as("gb"), col("sz").as("szb"))), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("ga"), col("gb")), 4).as("jac"))
+        graft.functions.SortedIntersectSize(col("ga"), col("gb")).as("i"),
+        (col("sza") + col("szb")).as("ab"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") / (col("ab") - col("i")), 4).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
@@ -159,12 +191,20 @@ object Dedup {
     // SimHash near-dup pairs (no oracle: xxhash64-dependent)
     "dedup_simhash" -> ((s, dir) => simhashPairs(docs(s, dir))),
 
-    // embedding-cosine near-dup pairs (sequential-double formula both sides)
+    // embedding-cosine near-dup pairs. Norms are computed once per vector
+    // (not per pair — N vs N² sqrt-folds) and the streamed side of the
+    // nested-loop pair join is repartitioned for parallelism; the pair step
+    // then does one dot product. Same doubles as the per-pair formula.
     "dedup_embedding_cosine" -> ((s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      val par = math.max(s.sparkContext.defaultParallelism * 2, 8)
+      val dim = graft.Tables.EmbeddingDim
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        VectorFns.l2normN(col("embedding"), dim).as("nrm"))
+      e.repartition(par).alias("a")
+        .join(broadcast(e.alias("b")), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          round(VectorFns.cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+          round(VectorFns.dotN(col("a.embedding"), col("b.embedding"), dim) /
+            (col("a.nrm") * col("b.nrm")), 4).as("cos"))
         .filter(col("cos") >= 0.4)
     })
   )

@@ -28,18 +28,37 @@ object Similarity {
   private def emb(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "embeddings")
 
+  /** Static-dim codegen'd vector math when the dimension is known (the
+    * benchmark corpus is 64-dim), interpreted HOF fallback for generic inputs.
+    */
+  private def dotC(a: Column, b: Column, dim: Option[Int]): Column =
+    dim.fold(VectorFns.dot(a, b))(d => VectorFns.dotN(a, b, d))
+  private def normC(a: Column, dim: Option[Int]): Column =
+    dim.fold(VectorFns.l2norm(a))(d => VectorFns.l2normN(a, d))
+
   /** Queries = every 100th vector — deterministic, scale-independent. */
   private def querySet(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
-  /** Exact top-k by cosine (excluding self), ranked desc with id tiebreak. */
-  def bruteForceTopK(e: DataFrame, k: Int): DataFrame = {
+  /** Exact top-k by cosine (excluding self), ranked desc with id tiebreak.
+    *
+    * Plan shape for scale: the tiny query set is broadcast, the corpus is the
+    * streamed side (repartitioned — a small parquet input would otherwise be
+    * one partition and serialize the whole scan), and L2 norms are computed
+    * once per vector instead of once per (query, vector) pair.
+    */
+  def bruteForceTopK(e: DataFrame, k: Int, dim: Option[Int] = None): DataFrame = {
+    val par = math.max(e.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    val corpus = e.select(col("vec_id"), col("embedding"),
+      normC(col("embedding"), dim).as("nrm")).repartition(par)
     val q = querySet(e)
+      .withColumn("qnrm", normC(col("q_emb"), dim))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    q.join(e.alias("c"), col("vec_id") =!= col("q_id"))
+    corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        VectorFns.cosine(col("q_emb"), col("embedding")).as("cos"))
+        (dotC(col("q_emb"), col("embedding"), dim) /
+          (col("qnrm") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -54,11 +73,17 @@ object Similarity {
     (x & 0xFFFFFFL).toDouble / 0x7FFFFFL - 1.0
   }
 
-  /** Sign-bit LSH bucket of a vector for one band of hyperplanes. */
-  private def bandBucket(v: Column, band: Int, bitsPerBand: Int): Column =
+  /** Sign-bit LSH bucket of a vector for one band of hyperplanes.
+    *
+    * Deliberately the HOF (`zip_with`+`aggregate`) form, NOT unrolled:
+    * bands×bits×dim unrolled terms (e.g. 32×64 = 2048 adds) blow past the
+    * JIT/codegen method-size limits and the whole stage falls back to
+    * interpreted — measured 7× slower than the interpreted-lambda loop.
+    */
+  private def bandBucket(v: Column, band: Int, bitsPerBand: Int, dim: Int): Column =
     (0 until bitsPerBand).map { bit =>
       val plane = band * bitsPerBand + bit
-      val comps = (0 until 64).map(d => lit(planeComponent(plane, d)))
+      val comps = (0 until dim).map(d => lit(planeComponent(plane, d)))
       val dot = aggregate(
         zip_with(v, array(comps: _*), (x, p) => x.cast("double") * p),
         lit(0.0), (acc, z) => acc + z)
@@ -73,15 +98,20 @@ object Similarity {
     * bits per band → fewer candidates but lower recall; tune per corpus
     * (clustered real embeddings do far better than this random-data floor).
     */
-  def lshTopK(e: DataFrame, k: Int, bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
+  def lshTopK(e: DataFrame, k: Int, bands: Int = 8, bitsPerBand: Int = 4,
+              dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val par = math.max(e.sparkSession.sparkContext.defaultParallelism * 2, 8)
     def banded(df: DataFrame, idCol: String, embCol: String): DataFrame = {
       val bandStructs = (0 until bands).map(b =>
-        struct(lit(b).as("bi"), bandBucket(col(embCol), b, bitsPerBand).as("bk")))
+        struct(lit(b).as("bi"), bandBucket(col(embCol), b, bitsPerBand, dim).as("bk")))
       df.select(col(idCol), col(embCol), explode(array(bandStructs: _*)).as("band"))
         .select(col(idCol), col(embCol), col("band.bi").as("bi"), col("band.bk").as("bk"))
     }
+    // repartition before the hyperplane projections — the corpus is often one
+    // parquet split, and the 64-dim × bands×bits dot products are the hot loop
     val q = banded(querySet(e), "q_id", "q_emb")
-    val c = banded(e.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+    val c = banded(e.select(col("vec_id"), col("embedding")).repartition(par),
+      "vec_id", "embedding")
     val cands = q.join(c, Seq("bi", "bk"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
@@ -89,7 +119,8 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     cands
       .select(col("q_id"), col("vec_id"),
-        VectorFns.cosine(col("q_emb"), col("embedding")).as("cos"))
+        (dotC(col("q_emb"), col("embedding"), Some(dim)) /
+          (normC(col("q_emb"), Some(dim)) * normC(col("embedding"), Some(dim)))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -109,21 +140,28 @@ object Similarity {
   /** IVF ANN: cells = the `label` column (stand-in for a k-means assignment);
     * a query probes its nProbe nearest centroids, scores only those cells.
     */
-  def ivfTopK(e: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
+  def ivfTopK(e: DataFrame, k: Int, nProbe: Int = 3, dim: Option[Int] = None): DataFrame = {
     val cent = broadcast(centroids(e, "label"))
     val q = querySet(e)
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cell"))
     val probed = q.join(cent)
       .select(col("q_id"), col("q_emb"), col("cell"),
-        VectorFns.cosine(col("q_emb"), col("centroid")).as("cdist"))
+        dotC(col("q_emb"), col("centroid"), dim)
+          .divide(normC(col("q_emb"), dim) * normC(col("centroid"), dim)).as("cdist"))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cell"))
+    val par = math.max(e.sparkSession.sparkContext.defaultParallelism * 2, 8)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    probed.join(e.select(col("vec_id"), col("embedding"), col("label").as("cell")), Seq("cell"))
+    // corpus streams (repartitioned), the tiny probed set broadcasts — a
+    // shuffle join on `cell` would cap parallelism at the number of cells
+    e.select(col("vec_id"), col("embedding"), col("label").as("cell"))
+      .repartition(par)
+      .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        VectorFns.cosine(col("q_emb"), col("embedding")).as("cos"))
+        (dotC(col("q_emb"), col("embedding"), dim) /
+          (normC(col("q_emb"), dim) * normC(col("embedding"), dim))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -131,11 +169,13 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-10 (oracle-gated; ranks only)
-    "ann_brute_topk" -> ((s, dir) => bruteForceTopK(emb(s, dir), k = 10)),
+    "ann_brute_topk" -> ((s, dir) =>
+      bruteForceTopK(emb(s, dir), k = 10, dim = Some(graft.Tables.EmbeddingDim))),
     // LSH-bucketed ANN (approximate — rows-only check)
     "ann_lsh_topk" -> ((s, dir) => lshTopK(emb(s, dir), k = 10)),
     // IVF ANN probing 3 cells (approximate — rows-only check)
-    "ann_ivf_topk" -> ((s, dir) => ivfTopK(emb(s, dir), k = 10))
+    "ann_ivf_topk" -> ((s, dir) =>
+      ivfTopK(emb(s, dir), k = 10, dim = Some(graft.Tables.EmbeddingDim)))
   )
 
   def oracles: Map[String, String] = Map(

@@ -71,7 +71,9 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("Dedup: minhash LSH finds the planted near-dup pair") {
-    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.7)
+    // high-recall banding (8 bands × 4 rows) — the bench default is 4×8,
+    // tuned for precision on a high-baseline-similarity corpus
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.7, numHashes = 32, bands = 8)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)), s"expected (0,1) in $pairs") // near-dup

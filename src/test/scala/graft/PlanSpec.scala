@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical/optimized plan assertions — the plan shapes the engine promises
+  * (SURVEY.md §4): predicate pushdown reaching the parquet scan, column
+  * pruning, broadcast joins for dims, EliminateOuterJoin, partial
+  * aggregation, whole-stage codegen. These guard against regressions that
+  * correctness tests can't see but that dominate at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+
+  test("constant filter is pushed into the parquet scan (PushedFilters)") {
+    val pushed = scans(q("p3_filter_pushdown")).map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(l_returnflag,R)"), pushed)
+  }
+
+  test("dynamic (UI-built) filters push down identically") {
+    val pushed = scans(q("p5_dynamic_filters")).map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(c_mktsegment,BUILDING)"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(c_acctbal,0.0)"), pushed)
+  }
+
+  test("projection prunes the scan to referenced columns (ReadSchema)") {
+    val read = scans(q("p1_project_rename")).map(_.metadata("ReadSchema")).mkString
+    assert(read.contains("c_custkey") && read.contains("c_name") && read.contains("c_acctbal"))
+    assert(!read.contains("c_mktsegment"), s"unpruned scan: $read")
+  }
+
+  test("small dimension joins broadcast (no shuffle of the fact side)") {
+    val plan = q("j4_broadcast_agg").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("left join + IS NOT NULL is rewritten to inner (EliminateOuterJoin)") {
+    val joins = q("j6_left_null_filter").queryExecution.optimizedPlan.collect {
+      case j: Join => j.joinType
+    }
+    assert(joins.nonEmpty && joins.forall(_ == Inner), joins.mkString(","))
+  }
+
+  test("grouped aggregation is partial+final (map-side combine)") {
+    val plan = q("q1_agg").queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(500))
+  }
+
+  test("hot relational path stays inside whole-stage codegen") {
+    for (name <- Seq("q1_agg", "p3_filter_pushdown", "j4_broadcast_agg")) {
+      val df = q(name)
+      df.collect() // AQE finalizes the physical plan only on execution
+      val plan = df.queryExecution.executedPlan.toString
+      // codegen stages print as "WholeStageCodegen (n)" or starred "*(n) Op"
+      assert(plan.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+        s"$name lost codegen:\n${plan.take(1200)}")
+    }
+  }
+
+  test("fact build broadcasts the submissions side (reference hint J4)") {
+    import graft.io.TsvReader
+    val raw = TsvReader.readAll(spark, TestSpark.edgarFixtures)
+    val models = graft.graph.ModelGraph.edgar(spark).run(raw)(spark)
+    val plan = models("fct_balanceSheet").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("pairwise similarity ops parallelize the streamed side") {
+    // the nested-loop pair joins must not run on one input split
+    val n = q("dedup_embedding_cosine").rdd.getNumPartitions
+    assert(n >= 8, s"pair join would serialize: $n partitions")
+  }
+}
