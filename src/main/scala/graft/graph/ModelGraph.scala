@@ -30,6 +30,12 @@ final case class Table(clusterBy: Seq[String] = Nil) extends Materialization
   * (reference: json_transform/macros/incremental_filter.sql:1-5).
   */
 final case class Incremental(watermarkColumn: String) extends Materialization
+/** Hash-bucketed + sorted catalog table: joins/aggregations on the bucket
+  * keys become shuffle-free (the Spark analog of co-located clustering —
+  * SURVEY.md §4 `cluster_by` taken to its scale conclusion).
+  */
+final case class Bucketed(bucketBy: Seq[String], numBuckets: Int = 32)
+  extends Materialization
 
 final class ModelGraph(models: Seq[Model]) {
   private val byName = models.map(m => m.name -> m).toMap

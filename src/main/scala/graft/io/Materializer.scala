@@ -3,7 +3,7 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.{Incremental, Materialization, Model, Table, View}
+import graft.graph.{Bucketed, Incremental, Materialization, Model, Table, View}
 
 /** Model materializer: dbt materializations → Spark write paths
   * (reference: masterfindata/dbt_project.yml:26-45, fct_balanceSheet.sql:1-6).
@@ -39,6 +39,13 @@ final class Materializer(spark: SparkSession, warehouseDir: String,
         val back = spark.read.parquet(path(name))
         back.createOrReplaceTempView(name)
         back
+      case Bucketed(bucketBy, numBuckets) =>
+        df.write.mode("overwrite")
+          .bucketBy(numBuckets, bucketBy.head, bucketBy.tail: _*)
+          .sortBy(bucketBy.head, bucketBy.tail: _*)
+          .format("parquet")
+          .saveAsTable(name)
+        spark.table(name)
       case Incremental(wmCol) =>
         val target = path(name)
         val exists = new java.io.File(target).exists() ||

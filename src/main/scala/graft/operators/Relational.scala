@@ -216,6 +216,61 @@ object Relational {
           col("DAY_OF_WEEK").as("day_of_week"), col("IS_WEEKEND").as("is_weekend"))
     }),
 
+    // ranking family: rank/dense_rank/ntile (beyond the reference's W1).
+    "w4_rank_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
+    // multi-dimensional aggregates (absent in the reference — exceed parity).
+    "a8_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+    "a9_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // exact distinct count (the approx variant is a separate rows-only query).
+    "a10_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_lines"))
+    }),
+    "a10b_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("n_parts_approx"))
+    }),
+
+    // exact interpolated percentiles (matches DuckDB quantile_cont).
+    "a11_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+    }),
+
+    // top-k by score — Catalyst plans TakeOrderedAndProject (no full sort).
+    "o4_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // O3: deterministic pagination — unique order key, then offset/limit.
     "o3_limit_offset" -> ((s, dir) => {
       t(s, dir, "orders").orderBy(col("o_orderkey"))
@@ -375,6 +430,32 @@ object Relational {
         |FROM (SELECT DATE '2000-01-01' + CAST(i AS INT) AS full_dt FROM range(11323) t(i))""".stripMargin,
     "o3_limit_offset" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 50",
+    "w4_rank_suite" ->
+      """SELECT c_custkey, c_nationkey,
+        |  RANK() OVER w AS rnk,
+        |  DENSE_RANK() OVER w AS drnk,
+        |  NTILE(4) OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+    "a8_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "a9_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "a10_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a11_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "o4_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "set_union" ->
       """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
         |UNION

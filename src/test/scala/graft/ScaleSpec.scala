@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.{Bucketed, Incremental}
+import graft.io.{CsvIo, Materializer}
+import graft.operators.SkewJoin
+
+/** Scale-technique specs: salted skew joins, bucketed (shuffle-free) joins,
+  * incremental materialization, and the CSV weather path.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join is row-identical to the plain join on skewed data") {
+    // 90% of rows share one hot key
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, s"row$i"))
+      .toDF("k", "payload")
+    val small = Seq((7L, "hot"), (10L, "ten"), (20L, "twenty")).toDF("k", "name")
+    val plain = big.join(small, "k")
+    val salted = SkewJoin.saltedInnerJoin(big, small, "k", buckets = 8)
+    assert(salted.count() === plain.count())
+    val a = plain.orderBy("k", "payload").collect().map(_.toString)
+    val b = salted.select("k", "payload", "name").orderBy("k", "payload").collect().map(_.toString)
+    assert(a === b)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val mat = new Materializer(spark,
+      java.nio.file.Files.createTempDirectory("bucket-wh").toString)
+    val left = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+    val right = (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+    val lb = mat.materialize("bucketed_l", left, Bucketed(Seq("k"), 8))
+    val rb = mat.materialize("bucketed_r", right, Bucketed(Seq("k"), 8))
+    val joined = lb.join(rb, "k")
+    assert(joined.count() === 1000)
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty,
+      s"bucketed join should be shuffle-free, found ${shuffles.size} exchanges")
+  }
+
+  test("incremental materialization appends only rows past the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("inc-wh").toString
+    val mat = new Materializer(spark, dir)
+    val day1 = Seq((1L, "2024-01-01"), (2L, "2024-01-02")).toDF("id", "d")
+      .withColumn("d", col("d").cast("date"))
+    mat.materialize("inc_t", day1, Incremental("d"))
+    assert(spark.read.parquet(s"$dir/inc_t").count() === 2)
+    // second batch: one stale row (before max watermark) + boundary + fresh.
+    // the reference's `>= max` re-processes the boundary value (SURVEY §7.4#7)
+    val day2 = Seq((1L, "2024-01-01"), (3L, "2024-01-02"), (4L, "2024-01-03"))
+      .toDF("id", "d").withColumn("d", col("d").cast("date"))
+    mat.materialize("inc_t", day2, Incremental("d"))
+    val rows = spark.read.parquet(s"$dir/inc_t")
+    assert(rows.count() === 4) // 2 + boundary(3) + fresh(4); stale 1 filtered
+    assert(rows.filter(col("id") === 1L).count() === 1)
+  }
+
+  test("CSV weather source/sink with Fahrenheit conversion (S9/F15)") {
+    val dir = java.nio.file.Files.createTempDirectory("weather").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/w.csv"),
+      "temperature,humidity,date\n212.0,10.5,2024-06-01\n32.0,80.0,2024-06-02\n")
+    val df = CsvIo.readWeather(spark, s"$dir/w.csv")
+    val rows = df.orderBy("date").collect()
+    assert(rows(0).getAs[Double]("temperature_celsius") === 100.0)
+    assert(rows(1).getAs[Double]("temperature_celsius") === 0.0)
+    CsvIo.writeWeather(df, s"$dir/out")
+    assert(CsvIo.readWeather(spark, s"$dir/out").count() === 2)
+  }
+}
