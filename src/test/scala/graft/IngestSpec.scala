@@ -1,0 +1,61 @@
+package graft
+
+import java.io.FileOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.app.Ingest
+import graft.io.TsvReader
+import graft.models.JsonModels
+
+/** Ingestion seams: quarter resolution (F14/F16), ZIP extract (S2), and the
+  * TSV→JSON document round trip (S7/S8).
+  */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("yearQuarter: reference API quarter resolution + validation") {
+    assert(Ingest.yearQuarter("2024-08-02") === "2024q3")
+    assert(Ingest.yearQuarter("2010-01-01") === "2010q1")
+    assert(Ingest.yearQuarter("2023-12-31") === "2023q4")
+    intercept[IllegalArgumentException](Ingest.yearQuarter("2024/08/02"))
+    intercept[IllegalArgumentException](Ingest.yearQuarter("2008-01-01")) // below range
+    intercept[IllegalArgumentException](Ingest.yearQuarter("2025-01-01")) // above range
+  }
+
+  test("ZIP extract → TsvReader → models (the S1→S2→S5 flow)") {
+    val dir = java.nio.file.Files.createTempDirectory("zip").toString
+    val zipPath = s"$dir/2024q3.zip"
+    val zos = new ZipOutputStream(new FileOutputStream(zipPath))
+    for (n <- Seq("sub", "tag", "num", "pre")) {
+      zos.putNextEntry(new ZipEntry(s"$n.txt"))
+      zos.write(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"${TestSpark.edgarFixtures}/$n.txt")))
+      zos.closeEntry()
+    }
+    zos.write(Array.emptyByteArray); zos.close()
+    val extracted = Ingest.extractTxt(zipPath, s"$dir/out")
+    assert(extracted.toSet === Set("sub.txt", "tag.txt", "num.txt", "pre.txt"))
+    val raw = TsvReader.readAll(spark, s"$dir/out",
+      landTo = Some(s"$dir/land"))
+    assert(raw("sub").count() === 3)
+    assert(raw("num").count() === 8)
+  }
+
+  test("S7/S8: all-tables JSON document writes and reads back (VARIANT path)") {
+    val raw = TsvReader.readAll(spark, TestSpark.edgarFixtures)
+    val doc = JsonModels.secJsonDocument(raw)
+    val dir = java.nio.file.Files.createTempDirectory("jsondoc").toString
+    doc.write.mode("overwrite").text(dir) // one JSON document per line
+    // schema-on-read load (S8): the document parses back with all 4 tables
+    val back = spark.read.json(dir)
+    assert(back.columns.sorted === Array("num", "pre", "sub", "tag"))
+    assert(back.select(size(col("sub"))).head.getInt(0) === 3)
+    assert(back.select(size(col("num"))).head.getInt(0) === 8)
+    // spot field fidelity through the JSON round trip
+    val firstSub = back.select(expr("filter(sub, x -> x.adsh = '0000320193-24-000123')[0].name"))
+    assert(firstSub.head.getString(0) === "APPLE INC")
+  }
+}
