@@ -40,6 +40,13 @@ final class Materializer(spark: SparkSession, warehouseDir: String,
         back.createOrReplaceTempView(name)
         back
       case Bucketed(bucketBy, numBuckets) =>
+        // a previous JVM may have left the managed location behind while the
+        // in-memory catalog forgot the table — clear both before writing
+        spark.sql(s"DROP TABLE IF EXISTS `$name`")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
         df.write.mode("overwrite")
           .bucketBy(numBuckets, bucketBy.head, bucketBy.tail: _*)
           .sortBy(bucketBy.head, bucketBy.tail: _*)

@@ -72,6 +72,16 @@ object Checks {
   /** Arbitrary predicate check: violating rows = rows where `valid` is false. */
   def expect(df: DataFrame, valid: Column): DataFrame = df.filter(!valid)
 
+  /** dbt-style source freshness (reference: the date-range test pattern at
+    * Notes.md:397-404): violation iff the newest `column` value is older than
+    * `maxAgeDays` from `current_date()`. One aggregate, no full scan beyond
+    * the max.
+    */
+  def freshness(df: DataFrame, column: String, maxAgeDays: Int): DataFrame =
+    df.agg(max(col(column)).as("latest"))
+      .withColumn("age_days", datediff(current_date(), col("latest")))
+      .filter(col("age_days") > maxAgeDays || col("latest").isNull)
+
   final case class CheckResult(name: String, violations: Long) {
     def passed: Boolean = violations == 0L
   }

@@ -133,5 +133,9 @@ class EdgarPipelineSpec extends AnyFunSuite {
     val designed = Set("num.value.between_0_1e9", "sub.fy.between_1900_2100")
     val unexpected = results.filter(!_.passed).filterNot(r => designed(r.name))
     assert(unexpected.isEmpty, s"unexpected violations: $unexpected")
+    // source freshness (F17/F18): 2024 filings are stale within a 100-day
+    // window and fresh within a 100k-day one
+    assert(Checks.freshness(raw("sub"), "filed", maxAgeDays = 100).count() === 1)
+    assert(Checks.freshness(raw("sub"), "filed", maxAgeDays = 100000).count() === 0)
   }
 }

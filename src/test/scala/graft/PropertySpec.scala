@@ -1,0 +1,68 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.app.Ingest
+import graft.fn.Keys
+
+/** Property-style tests over seeded random samples (SURVEY.md §5 plan):
+  * surrogate-key determinism and dbt_utils-formula equivalence, quarter
+  * mapping vs the reference API's arithmetic, and fingerprint normalization
+  * invariance. One Spark job per property (batched samples).
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("surrogate key == md5 of dash-joined coalesced casts, over 200 samples") {
+    val samples = Seq.fill(200)((rnd.nextLong(999999999L),
+      rnd.alphanumeric.take(rnd.nextInt(40)).mkString))
+    val got = samples.toDF("cik", "name")
+      .select(col("cik"), col("name"), Keys.surrogateKey(col("cik"), col("name")).as("sk"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(2) === md5hex(s"${r.getLong(0)}-${r.getString(1)}"))
+    }
+  }
+
+  test("surrogate key treats null components as empty string (dbt_utils exact)") {
+    val got = Seq((Some(42L), Option.empty[String]))
+      .toDF("a", "b").select(Keys.surrogateKey(col("a"), col("b"))).head.getString(0)
+    assert(got === md5hex("42-"))
+    // nulls do NOT collapse with missing separators: ('a', null) ≠ ('a')
+    val one = Seq(Tuple1("a")).toDF("a").select(Keys.surrogateKey(col("a"))).head.getString(0)
+    assert(got !== one)
+  }
+
+  test("yearQuarter matches (month-1)/3+1 arithmetic across the valid range") {
+    for (_ <- 1 to 300) {
+      val y = 2009 + rnd.nextInt(16)
+      val m = 1 + rnd.nextInt(12)
+      val d = 1 + rnd.nextInt(28)
+      assert(Ingest.yearQuarter(f"$y%04d-$m%02d-$d%02d") === s"${y}q${(m - 1) / 3 + 1}")
+    }
+  }
+
+  test("fingerprint is invariant under whitespace and case noise") {
+    val docs = Seq.fill(100) {
+      val words = Seq.fill(1 + rnd.nextInt(12))(
+        rnd.alphanumeric.filter(_.isLetter).take(1 + rnd.nextInt(8)).mkString.toLowerCase)
+      val base = words.mkString(" ")
+      val noisy = "  " + words.mkString("   ").toUpperCase + " "
+      (base, noisy)
+    }
+    val fps = docs.toDF("base", "noisy").select(
+      graft.operators.TextAnalysis.fingerprint(col("base")).as("a"),
+      graft.operators.TextAnalysis.fingerprint(col("noisy")).as("b")).collect()
+    fps.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+}
