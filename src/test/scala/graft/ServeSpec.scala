@@ -59,6 +59,14 @@ class ServeSpec extends AnyFunSuite {
     assert(cache.stats._3 === 0)
   }
 
+  test("native expressions are SQL-callable after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val n = spark.sql(
+      "SELECT sorted_intersect_size(array(1L,2L,5L,9L), array(2L,3L,5L,7L,9L)) AS n")
+      .head.getInt(0)
+    assert(n === 3)
+  }
+
   test("catalog introspection (S11)") {
     val e = freshEngine()
     assert(e.listDatabases().contains("default"))
