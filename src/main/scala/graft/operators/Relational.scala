@@ -162,11 +162,12 @@ object Relational {
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
 
-    // A5: global min/max (the UI slider-bounds query).
+    // A5: global min/max (the UI slider-bounds query). Dates emit as ISO
+    // strings — unambiguous across engines' dataframe date representations.
     "a5_minmax" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
-        min(col("l_shipdate").cast("date")).as("min_ship"),
-        max(col("l_shipdate").cast("date")).as("max_ship"),
+        min(col("l_shipdate").cast("date")).cast("string").as("min_ship"),
+        max(col("l_shipdate").cast("date")).cast("string").as("max_ship"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"))
     }),
@@ -210,7 +211,8 @@ object Relational {
     // single-partition ROW_NUMBER; embarrassingly parallel at any size.
     "w3_calendar_dim" -> ((s, dir) => {
       graft.models.Dims.dimDate(s)
-        .select(col("DATE_SK").as("date_sk"), col("FULL_DT").as("full_dt"),
+        .select(col("DATE_SK").as("date_sk"),
+          col("FULL_DT").cast("string").as("full_dt"),
           col("YEAR").as("year"), col("MONTH").as("month"),
           col("QUARTER").as("quarter"), col("DAY_OF_MONTH").as("day_of_month"),
           col("DAY_OF_WEEK").as("day_of_week"), col("IS_WEEKEND").as("is_weekend"))
@@ -399,7 +401,8 @@ object Relational {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice = (SELECT MAX(o_totalprice) FROM orders)""".stripMargin,
     "a5_minmax" ->
-      """SELECT MIN(CAST(l_shipdate AS DATE)) AS min_ship, MAX(CAST(l_shipdate AS DATE)) AS max_ship,
+      """SELECT CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR) AS min_ship,
+        |  CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR) AS max_ship,
         |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
         |FROM lineitem""".stripMargin,
     "a6_value_counts" ->
@@ -420,7 +423,7 @@ object Relational {
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "w3_calendar_dim" ->
       """SELECT CAST(STRFTIME(full_dt, '%Y%m%d') AS BIGINT) AS date_sk,
-        |  full_dt,
+        |  CAST(full_dt AS VARCHAR) AS full_dt,
         |  CAST(EXTRACT(YEAR FROM full_dt) AS INT) AS year,
         |  CAST(EXTRACT(MONTH FROM full_dt) AS INT) AS month,
         |  CAST(EXTRACT(QUARTER FROM full_dt) AS INT) AS quarter,

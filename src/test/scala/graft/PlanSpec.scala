@@ -74,6 +74,10 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("flagship entry query returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("pairwise similarity ops parallelize the streamed side") {
     // the nested-loop pair joins must not run on one input split
     val n = q("dedup_embedding_cosine").rdd.getNumPartitions
