@@ -218,6 +218,37 @@ object Relational {
           col("DAY_OF_WEEK").as("day_of_week"), col("IS_WEEKEND").as("is_weekend"))
     }),
 
+    // TPC-H Q3 shape: selective join chain → grouped revenue → top-k.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cutoff = lit("1995-03-15")
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate").cast("date") < cutoff)
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate").cast("date") > cutoff)
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").cast("string").as("o_orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+    }),
+
+    // TPC-H Q5 shape: 6-table star join with region filter → per-nation agg.
+    "q5_local_revenue" -> ((s, dir) => {
+      t(s, dir, "region").filter(col("r_name") === "EUROPE")
+        .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, dir, "supplier"), col("n_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
     // ranking family: rank/dense_rank/ntile (beyond the reference's W1).
     "w4_rank_suite" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -433,6 +464,29 @@ object Relational {
         |FROM (SELECT DATE '2000-01-01' + CAST(i AS INT) AS full_dt FROM range(11323) t(i))""".stripMargin,
     "o3_limit_offset" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 50",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, revenue, o_orderdate FROM (
+        |  SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |    AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |  GROUP BY l_orderkey, CAST(o_orderdate AS DATE))
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |JOIN supplier ON n_nationkey = s_nationkey
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY n_name""".stripMargin,
     "w4_rank_suite" ->
       """SELECT c_custkey, c_nationkey,
         |  RANK() OVER w AS rnk,
