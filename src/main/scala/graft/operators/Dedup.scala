@@ -212,6 +212,47 @@ object Dedup {
     }.toDF("id_a", "id_b", "cos")
   }
 
+  /** All-pairs n-gram Jaccard ≥ threshold — broadcast kernel twin of
+    * [[embeddingCosinePairs]]: sorted hashed-shingle sets are broadcast once
+    * and each partition runs the two-pointer intersect in tight Scala
+    * (a pair join would copy the ~kB shingle arrays into every joined row).
+    * Values identical to [[ngramJaccardPairs]] / the DuckDB oracle.
+    */
+  def ngramJaccardPairsKernel(d: DataFrame, threshold: Double): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val par = math.max(spark.sparkContext.defaultParallelism * 2, 8)
+    val sh = d.select(col("doc_id").cast("long"), hashedShingles(col("text")))
+      .as[(Long, Array[Long])]
+    val corpus = sh.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpus)
+    sh.repartition(par).mapPartitions { it =>
+      val cor = bc.value
+      it.flatMap { case (ida, ga) =>
+        var lo = 0; var hi = cor.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cor(mid)._1 <= ida) lo = mid + 1 else hi = mid
+        }
+        (lo until cor.length).iterator.flatMap { bi =>
+          val gb = cor(bi)._2
+          var i = 0; var j = 0; var n = 0
+          while (i < ga.length && j < gb.length) {
+            val x = ga(i); val y = gb(j)
+            if (x == y) { n += 1; i += 1; j += 1 }
+            else if (x < y) i += 1
+            else j += 1
+          }
+          val jac = java.math.BigDecimal
+            .valueOf(n.toDouble / (ga.length + gb.length - n))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (jac >= threshold) Iterator.single((ida, cor(bi)._1, jac))
+          else Iterator.empty
+        }
+      }
+    }.toDF("id_a", "id_b", "jac")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: duplicate-content groups with the survivor id
@@ -236,8 +277,7 @@ object Dedup {
 
     // brute-force n-gram Jaccard pairs (oracle baseline for the LSH path)
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      ngramJaccardPairs(docs(s, dir), threshold = 0.8)
-        .select(col("id_a"), col("id_b"), col("jac"))),
+      ngramJaccardPairsKernel(docs(s, dir), threshold = 0.8)),
 
     // MinHash+LSH near-dup pairs — the 100 TB path (no oracle: depends on
     // xxhash64; the rows are verified true-Jaccard ≥ 0.8 pairs)

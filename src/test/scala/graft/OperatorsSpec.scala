@@ -70,6 +70,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(both(0) === both(1))
   }
 
+  test("Dedup: broadcast jaccard kernel equals the declarative pair join") {
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jac"))).toSet
+    val declarative = norm(Dedup.ngramJaccardPairs(docs, threshold = 0.3))
+    val kernel = norm(Dedup.ngramJaccardPairsKernel(docs, threshold = 0.3))
+    assert(declarative === kernel)
+    assert(kernel.nonEmpty)
+  }
+
   test("Dedup: minhash LSH finds the planted near-dup pair") {
     // high-recall banding (8 bands × 4 rows) — the bench default is 4×8,
     // tuned for precision on a high-baseline-similarity corpus
