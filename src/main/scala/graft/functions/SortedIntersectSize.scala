@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** `|A ∩ B|` for two SORTED, DISTINCT `array<bigint>` columns — a native
   * Catalyst expression with whole-stage codegen.
@@ -25,6 +26,19 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_size"
+
+  // Registered as a SQL function (GraftFunctions) — the long-slot ArrayData
+  // reads below must be an analysis-time error for e.g. array<int> input,
+  // not a silent misread of 4-byte slots. (checkInputDataTypes rather than
+  // ExpectsInputTypes: AbstractDataType is private[sql].)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

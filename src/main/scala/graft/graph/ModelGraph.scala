@@ -41,11 +41,12 @@ final class ModelGraph(models: Seq[Model]) {
   private val byName = models.map(m => m.name -> m).toMap
   require(byName.size == models.size, "duplicate model names")
 
-  /** Kahn topological order; fails fast on unknown refs / cycles. */
+  /** Kahn topological order; fails fast on cycles. Deps that are not model
+    * names are external sources — they must be present in the registry passed
+    * to [[run]], which checks them up front (a typo'd `ref()` then fails with
+    * the model name instead of a bare NoSuchElementException inside a Future).
+    */
   val topoOrder: Seq[String] = {
-    models.foreach(m => m.deps.foreach(d =>
-      require(byName.contains(d) || !models.exists(_.name == d),
-        s"unknown dep $d of ${m.name}")))
     val internal = models.map(m => m.name -> m.deps.filter(byName.contains)).toMap
     var remaining = internal
     val order = Seq.newBuilder[String]
@@ -68,6 +69,10 @@ final class ModelGraph(models: Seq[Model]) {
   def run(sources: Map[String, DataFrame],
           materialize: (Model, DataFrame) => DataFrame = (_, df) => df,
           parallelism: Int = 8)(implicit spark: SparkSession): Map[String, DataFrame] = {
+    val external = models.flatMap(m => m.deps.filterNot(byName.contains)).distinct
+    val missing = external.filterNot(sources.contains)
+    require(missing.isEmpty,
+      s"deps not found among models or sources: ${missing.mkString(", ")}")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {

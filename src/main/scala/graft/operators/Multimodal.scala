@@ -54,11 +54,14 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         // STUB: ??? ← codec goes here. Deterministic fake below.
-        val n = if (payload == null) 0 else payload.length
+        val bytes = if (payload == null) Array.emptyByteArray else payload
+        val n = bytes.length
         val width = math.max(1, n % 64)
         val height = math.max(1, (n / 64) % 64 + 1)
-        val pixels = (0 until 8).map(i =>
-          Math.floorMod(payload.take(n).foldLeft(17L)((a, b) => a * 31 + b) + i, 256L).toDouble / 255.0)
+        // tight primitive loop — this stub is benched, so no boxed foldLeft
+        var h = 17L; var bi = 0
+        while (bi < n) { h = h * 31 + bytes(bi); bi += 1 }
+        val pixels = (0 until 8).map(i => Math.floorMod(h + i, 256L).toDouble / 255.0)
         Row.fromSeq(r.toSeq ++ Seq(width, height, pixels))
       }
     }(enc)
@@ -102,7 +105,8 @@ object Multimodal {
     "mm_decode_features" -> ((s, dir) => {
       extractFeatures(decodeStub(asMediaTable(graft.Tables(s, dir, "documents"))))
     }),
-    // resize planning on decoded dimensions (rows-only; dims come from stub)
+    // resize planning on decoded dimensions (oracle-gated: the stub's
+    // width/height are pure arithmetic over octet_length(text))
     "mm_resize_plan" -> ((s, dir) => {
       resizePlan(decodeStub(asMediaTable(graft.Tables(s, dir, "documents"))), maxSide = 32)
     }),
@@ -120,6 +124,17 @@ object Multimodal {
         |FROM documents""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx
-        |FROM documents, (SELECT unnest([0, 10, 20, 30]) AS f)""".stripMargin
+        |FROM documents, (SELECT unnest([0, 10, 20, 30]) AS f)""".stripMargin,
+    // replicates decodeStub's width/height arithmetic + resizePlan's scaling
+    "mm_resize_plan" ->
+      """WITH wh AS (
+        |  SELECT doc_id AS media_id,
+        |    GREATEST(1, octet_length(encode(text)) % 64) AS width,
+        |    GREATEST(1, (octet_length(encode(text)) // 64) % 64 + 1) AS height
+        |  FROM documents)
+        |SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        |  CAST(CEIL(width * LEAST(CAST(1.0 AS DOUBLE), CAST(32.0 AS DOUBLE) / GREATEST(width, height))) AS INT) AS out_width,
+        |  CAST(CEIL(height * LEAST(CAST(1.0 AS DOUBLE), CAST(32.0 AS DOUBLE) / GREATEST(width, height))) AS INT) AS out_height
+        |FROM wh""".stripMargin
   )
 }

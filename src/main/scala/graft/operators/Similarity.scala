@@ -64,32 +64,6 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1] — a pure
-    * arithmetic hash of (plane, dim), identical on every run and node.
-    */
-  private def planeComponent(plane: Int, d: Int): Double = {
-    var x = plane.toLong * 2654435761L + d.toLong * 40503L + 0x9E3779B97F4A7C15L
-    x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 33)
-    (x & 0xFFFFFFL).toDouble / 0x7FFFFFL - 1.0
-  }
-
-  /** Sign-bit LSH bucket of a vector for one band of hyperplanes.
-    *
-    * Deliberately the HOF (`zip_with`+`aggregate`) form, NOT unrolled:
-    * bands×bits×dim unrolled terms (e.g. 32×64 = 2048 adds) blow past the
-    * JIT/codegen method-size limits and the whole stage falls back to
-    * interpreted — measured 7× slower than the interpreted-lambda loop.
-    */
-  private def bandBucket(v: Column, band: Int, bitsPerBand: Int, dim: Int): Column =
-    (0 until bitsPerBand).map { bit =>
-      val plane = band * bitsPerBand + bit
-      val comps = (0 until dim).map(d => lit(planeComponent(plane, d)))
-      val dot = aggregate(
-        zip_with(v, array(comps: _*), (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, z) => acc + z)
-      when(dot >= 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-
   /** Random-hyperplane LSH ANN: bands × bitsPerBand sign bits; candidates
     * collide in ≥1 band; exact cosine ranks the candidates.
     *
@@ -97,30 +71,34 @@ object Similarity {
     * collision (1-θ/π)^bits ≈ 0.2, across 8 bands 1-(1-0.2)^8 ≈ 0.83. More
     * bits per band → fewer candidates but lower recall; tune per corpus
     * (clustered real embeddings do far better than this random-data floor).
+    *
+    * Plan shape: all band buckets come from ONE codegen'd pass over each
+    * vector ([[graft.functions.LshBandBuckets]] + `posexplode`) — per-band
+    * HOF projections are interpreted lambdas and made the "index" 4× slower
+    * than the brute-force baseline. L2 norms are computed once per vector
+    * (not once per candidate pair), and the exact cosine is scored BEFORE
+    * the candidate dedup so the dedup shuffle moves (q_id, vec_id, cos)
+    * triples instead of pairs of 64-float arrays.
     */
   def lshTopK(e: DataFrame, k: Int, bands: Int = 8, bitsPerBand: Int = 4,
               dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
     val par = math.max(e.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    def banded(df: DataFrame, idCol: String, embCol: String): DataFrame = {
-      val bandStructs = (0 until bands).map(b =>
-        struct(lit(b).as("bi"), bandBucket(col(embCol), b, bitsPerBand, dim).as("bk")))
-      df.select(col(idCol), col(embCol), explode(array(bandStructs: _*)).as("band"))
-        .select(col(idCol), col(embCol), col("band.bi").as("bi"), col("band.bk").as("bk"))
-    }
+    import graft.functions.LshBandBuckets
     // repartition before the hyperplane projections — the corpus is often one
-    // parquet split, and the 64-dim × bands×bits dot products are the hot loop
-    val q = banded(querySet(e), "q_id", "q_emb")
-    val c = banded(e.select(col("vec_id"), col("embedding")).repartition(par),
-      "vec_id", "embedding")
-    val cands = q.join(c, Seq("bi", "bk"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
-      .dropDuplicates("q_id", "vec_id")
+    // parquet split, and the bucket pass is the hot loop
+    val q = querySet(e)
+      .select(col("q_id"), col("q_emb"), normC(col("q_emb"), Some(dim)).as("qnrm"),
+        posexplode(LshBandBuckets(col("q_emb"), bands, bitsPerBand, dim)).as(Seq("bi", "bk")))
+    val c = e.select(col("vec_id"), col("embedding")).repartition(par)
+      .select(col("vec_id"), col("embedding"), normC(col("embedding"), Some(dim)).as("nrm"),
+        posexplode(LshBandBuckets(col("embedding"), bands, bitsPerBand, dim)).as(Seq("bi", "bk")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    cands
+    q.join(c, Seq("bi", "bk"))
+      .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dotC(col("q_emb"), col("embedding"), Some(dim)) /
-          (normC(col("q_emb"), Some(dim)) * normC(col("embedding"), Some(dim)))).as("cos"))
+          (col("qnrm") * col("nrm"))).as("cos"))
+      .dropDuplicates("q_id", "vec_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -141,27 +119,31 @@ object Similarity {
     * a query probes its nProbe nearest centroids, scores only those cells.
     */
   def ivfTopK(e: DataFrame, k: Int, nProbe: Int = 3, dim: Option[Int] = None): DataFrame = {
-    val cent = broadcast(centroids(e, "label"))
-    val q = querySet(e)
+    // centroid norms computed once per cell, query norms once per query —
+    // never inside the (query × cell) or (query × candidate) products
+    val cent = broadcast(centroids(e, "label")
+      .withColumn("cnrm", normC(col("centroid"), dim)))
+    val q = querySet(e).withColumn("qnrm", normC(col("q_emb"), dim))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cell"))
     val probed = q.join(cent)
-      .select(col("q_id"), col("q_emb"), col("cell"),
+      .select(col("q_id"), col("q_emb"), col("qnrm"), col("cell"),
         dotC(col("q_emb"), col("centroid"), dim)
-          .divide(normC(col("q_emb"), dim) * normC(col("centroid"), dim)).as("cdist"))
+          .divide(col("qnrm") * col("cnrm")).as("cdist"))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
-      .select(col("q_id"), col("q_emb"), col("cell"))
+      .select(col("q_id"), col("q_emb"), col("qnrm"), col("cell"))
     val par = math.max(e.sparkSession.sparkContext.defaultParallelism * 2, 8)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     // corpus streams (repartitioned), the tiny probed set broadcasts — a
     // shuffle join on `cell` would cap parallelism at the number of cells
     e.select(col("vec_id"), col("embedding"), col("label").as("cell"))
       .repartition(par)
+      .withColumn("nrm", normC(col("embedding"), dim))
       .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dotC(col("q_emb"), col("embedding"), dim) /
-          (normC(col("q_emb"), dim) * normC(col("embedding"), dim))).as("cos"))
+          (col("qnrm") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))

@@ -22,9 +22,13 @@ object EventStreams {
   final case class SessionSummary(user_id: Long, n_events: Long,
                                   start_ts: Long, end_ts: Long)
 
-  /** Nano-epoch long → TimestampType column (microsecond precision). */
+  /** Nano-epoch long → TimestampType column (microsecond precision).
+    * Integer floor division (`div`), not `/`: double division on ~2^60 longs
+    * (ulp 256 ns) can round the quotient up across the truncation boundary —
+    * a 1 µs error that flips an hour bucket for boundary-adjacent events.
+    */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling-window aggregation: counts + exact decimal sums per
     * (hour-window, event_type). Works identically on batch and stream; on a

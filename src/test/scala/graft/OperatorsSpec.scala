@@ -77,6 +77,55 @@ class OperatorsSpec extends AnyFunSuite {
     val kernel = norm(Dedup.ngramJaccardPairsKernel(docs, threshold = 0.3))
     assert(declarative === kernel)
     assert(kernel.nonEmpty)
+    // the corpus-blocked scale path (no collect, no corpus broadcast) is
+    // value-identical too — including with a block count that forces both
+    // same-block and cross-block pair tasks
+    val blocked = norm(Dedup.ngramJaccardPairsBlocked(docs, threshold = 0.3, blocks = 3))
+    assert(blocked === kernel)
+  }
+
+  test("Dedup: blocked cosine kernel equals the broadcast kernel (real corpus)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cos"))).toSet
+    val broadcastKernel = norm(Dedup.embeddingCosinePairs(e, 0.4, Tables.EmbeddingDim))
+    val blocked = norm(Dedup.embeddingCosinePairsBlocked(e, 0.4, Tables.EmbeddingDim, blocks = 5))
+    assert(blocked === broadcastKernel)
+    assert(blocked.nonEmpty)
+  }
+
+  test("Similarity: LSH and IVF ANN recall@10 vs brute force (real corpus)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(e, 10, dim = Some(Tables.EmbeddingDim)))
+    assert(brute.size === 50) // 5 queries × top-10
+    val lshRecall = (brute & pairs(Similarity.lshTopK(e, 10))).size.toDouble / brute.size
+    val ivfRecall = (brute & pairs(Similarity.ivfTopK(e, 10,
+      dim = Some(Tables.EmbeddingDim)))).size.toDouble / brute.size
+    // pinned floors: a refactor that silently degrades recall must fail here.
+    // IVF's floor is lower by design of the test corpus: cells are the
+    // `label` column (a stand-in for k-means), which is NOT cosine-tight on
+    // the synthetic embeddings, so probing 3/10 cells lands near its random
+    // baseline (~0.3). Measured: LSH ≈ 0.7+, IVF ≈ 0.38.
+    assert(lshRecall >= 0.6, s"LSH recall@10 regressed: $lshRecall")
+    assert(ivfRecall >= 0.3, s"IVF recall@10 regressed: $ivfRecall")
+  }
+
+  test("LshBandBuckets expression matches the reference Scala computation") {
+    import graft.functions.LshBandBuckets
+    val v = Array.tabulate(64)(i => (math.sin(i.toDouble) * 0.5).toFloat)
+    val got = Seq(Tuple1(v)).toDF("v")
+      .select(LshBandBuckets(col("v"), 8, 4, 64).as("b"))
+      .head.getSeq[Long](0)
+    val comps = LshBandBuckets.components(32, 64)
+    val exp = Array.fill(8)(0L)
+    for (plane <- 0 until 32) {
+      var dot = 0.0
+      for (d <- 0 until 64) dot += v(d).toDouble * comps(plane * 64 + d)
+      if (dot >= 0) exp(plane / 4) |= 1L << (plane % 4)
+    }
+    assert(got === exp.toSeq)
   }
 
   test("Dedup: minhash LSH finds the planted near-dup pair") {

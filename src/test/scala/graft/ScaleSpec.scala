@@ -61,6 +61,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows.filter(col("id") === 1L).count() === 1)
   }
 
+  test("minhash LSH plan carries no broadcast hints (shingle corpus must scale)") {
+    // the verification joins are doc_id equi-joins; a hard broadcast() hint
+    // on the shingle side re-imports the memory bound LSH exists to escape.
+    // AQE may still choose broadcast at runtime when sizes allow — that's
+    // size-based and correct; a plan-time hint is not.
+    val docs = (1 to 50).map(i => (i.toLong, s"document number $i with shared text"))
+      .toDF("doc_id", "text")
+    val hints = graft.operators.Dedup.minhashLshPairs(docs, threshold = 0.8)
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    assert(hints.isEmpty, s"expected no broadcast hints, found ${hints.size}")
+  }
+
   test("CSV weather source/sink with Fahrenheit conversion (S9/F15)") {
     val dir = java.nio.file.Files.createTempDirectory("weather").toString
     java.nio.file.Files.writeString(
