@@ -51,7 +51,8 @@ object SparkEntry {
     graft.operators.Dedup.queries ++
     graft.operators.Similarity.queries ++
     graft.operators.Multimodal.queries ++
-    graft.streaming.EventStreams.queries
+    graft.streaming.EventStreams.queries ++
+    graft.models.ComposedPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -68,5 +69,6 @@ object SparkEntry {
     graft.operators.Dedup.oracles ++
     graft.operators.Similarity.oracles ++
     graft.operators.Multimodal.oracles ++
-    graft.streaming.EventStreams.oracles
+    graft.streaming.EventStreams.oracles ++
+    graft.models.ComposedPipeline.oracles
 }

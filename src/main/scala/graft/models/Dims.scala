@@ -91,9 +91,10 @@ object Dims {
     * `false` gives the corrected Sat+Sun flag.
     */
   def dimDate(spark: SparkSession, rowCount: Int = 11323,
-              compatWeekendBug: Boolean = true): DataFrame = {
+              compatWeekendBug: Boolean = true,
+              start: String = "2000-01-01"): DataFrame = {
     val base = spark.range(rowCount)
-      .select(date_add(to_date(lit("2000-01-01")), col("id").cast("int")).as("FULL_DT"))
+      .select(date_add(to_date(lit(start)), col("id").cast("int")).as("FULL_DT"))
     val dow = dayofweek(col("FULL_DT")) - lit(1) // Snowflake DOW: 0=Sun..6=Sat
     val weekend =
       if (compatWeekendBug) when(dow.isin(6, 7), "Y").otherwise("N")

@@ -226,9 +226,15 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard ≥ threshold — broadcast kernel twin of
     * [[embeddingCosinePairs]]: sorted hashed-shingle sets are broadcast once
-    * and each partition runs the two-pointer intersect in tight Scala
-    * (a pair join would copy the ~kB shingle arrays into every joined row).
+    * and each task runs the two-pointer intersect in tight Scala (a pair
+    * join would copy the ~kB shingle arrays into every joined row).
     * Values identical to [[ngramJaccardPairs]] / the DuckDB oracle.
+    *
+    * The pair loop is driven by index STRIDES over the broadcast corpus, not
+    * by re-scanning the data: slot s owns rows s, s+par, … — one shingle
+    * scan total (driving it from the Dataset would compute the shingles a
+    * second time — measured ~2 s of the 6 s at sf0.1), and interleaving
+    * balances the triangular workload (row i pairs with n−i partners).
     */
   def ngramJaccardPairsKernel(d: DataFrame, threshold: Double): DataFrame = {
     val spark = d.sparkSession
@@ -238,28 +244,31 @@ object Dedup {
       .as[(Long, Array[Long])]
     val corpus = sh.collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(corpus)
-    sh.repartition(par).mapPartitions { it =>
+    val slots = math.max(1, math.min(par, corpus.length))
+    spark.range(0, slots, 1, slots).as[Long].mapPartitions { seeds =>
       val cor = bc.value
-      it.flatMap { case (ida, ga) =>
-        var lo = 0; var hi = cor.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (cor(mid)._1 <= ida) lo = mid + 1 else hi = mid
-        }
-        (lo until cor.length).iterator.flatMap { bi =>
-          val gb = cor(bi)._2
-          var i = 0; var j = 0; var n = 0
-          while (i < ga.length && j < gb.length) {
-            val x = ga(i); val y = gb(j)
-            if (x == y) { n += 1; i += 1; j += 1 }
-            else if (x < y) i += 1
-            else j += 1
+      seeds.flatMap { s =>
+        Iterator.range(s.toInt, cor.length, slots).flatMap { ai =>
+          val (ida, ga) = cor(ai)
+          Iterator.range(ai + 1, cor.length).flatMap { bi =>
+            val gb = cor(bi)._2
+            var i = 0; var j = 0; var n = 0
+            while (i < ga.length && j < gb.length) {
+              val x = ga(i); val y = gb(j)
+              if (x == y) { n += 1; i += 1; j += 1 }
+              else if (x < y) i += 1
+              else j += 1
+            }
+            val den = ga.length + gb.length - n
+            // two sub-n-length docs: 0/0 is NULL in the SQL form → excluded
+            if (den == 0) Iterator.empty
+            else {
+              val jac = java.math.BigDecimal.valueOf(n.toDouble / den)
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (jac >= threshold) Iterator.single((ida, cor(bi)._1, jac))
+              else Iterator.empty
+            }
           }
-          val jac = java.math.BigDecimal
-            .valueOf(n.toDouble / (ga.length + gb.length - n))
-            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (jac >= threshold) Iterator.single((ida, cor(bi)._1, jac))
-          else Iterator.empty
         }
       }
     }.toDF("id_a", "id_b", "jac")
@@ -301,8 +310,12 @@ object Dedup {
     val spark = data.sparkSession
     val numTasks = b * (b + 1) / 2
 
-    def round4(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    // NaN (e.g. Jaccard 0/0 on two empty shingle sets) is NULL in the SQL
+    // form and never passes the threshold — mirror that by skipping.
+    def round4(x: Double): Double =
+      if (x.isNaN) Double.NegativeInfinity
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
     val grouped = data.rdd.flatMap { case (id, p) =>
       val blk = math.floorMod(id, b).toInt

@@ -53,8 +53,14 @@ object EventStreams {
     * (flatMapGroupsWithState — the custom-state path, SURVEY steering).
     * Processing-time timeout flushes trailing sessions in a real stream; for
     * deterministic tests the spec drains with a final empty batch.
+    *
+    * State hygiene: the open tail is capped at `maxBuffer` events — an
+    * unbounded per-user buffer is a slow-motion OOM at 100 TB of events (one
+    * pathological bot user is enough). An oversized open session is force-
+    * flushed; events that would have extended it start a new session. That
+    * split is the documented tradeoff for bounded state.
     */
-  def sessionize(events: Dataset[Event], gap: Long)
+  def sessionize(events: Dataset[Event], gap: Long, maxBuffer: Int = 100000)
                 (implicit spark: SparkSession): Dataset[SessionSummary] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
@@ -71,8 +77,11 @@ object EventStreams {
             }
           }.reverse
           val (closed, open) = sessions.splitAt(math.max(0, sessions.size - 1))
-          state.update(open.headOption.getOrElse(Nil))
-          closed.iterator.map(s =>
+          val tail = open.headOption.getOrElse(Nil)
+          val (flushed, kept) =
+            if (tail.size > maxBuffer) (closed :+ tail, Nil) else (closed, tail)
+          state.update(kept)
+          flushed.iterator.map(s =>
             SessionSummary(userId, s.size.toLong, s.head.ts, s.last.ts))
       }
   }

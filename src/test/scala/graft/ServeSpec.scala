@@ -67,6 +67,29 @@ class ServeSpec extends AnyFunSuite {
     assert(n === 3)
   }
 
+  test("battery queries run through the SQL gateway (parse → gate → execute)") {
+    // the ANSI-compatible slice of the oracle battery, executed as SQL TEXT
+    // through Engine.sql (parse → Command gate → execute → cache seam) and
+    // checked row-for-row against the DataFrame battery — the gateway is
+    // load-bearing for real queries, not just smoke-tested.
+    val e = new Engine(spark)
+    val dir = "/root/testdata/sf0.001"
+    for (t <- Seq("region", "nation", "customer", "orders", "lineitem", "events"))
+      graft.Tables(spark, dir, t).createOrReplaceTempView(t)
+    val names = Seq("q1_agg", "j1_inner_equi", "j2_join_chain", "a4_scalar_max",
+      "a6_value_counts", "a7_dup_groups", "w1_topk_per_group", "o4_topk",
+      "set_union", "set_intersect", "set_except")
+    for (n <- names) {
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        val cols = df.columns.sorted.map(col)
+        df.select(cols: _*).collect().map(_.toString).sorted.toSeq
+      }
+      val viaSql = canon(e.sql(SparkEntry.oracleSql(n)))
+      val viaDf = canon(SparkEntry.queries(n)(spark, dir))
+      assert(viaSql === viaDf, s"gateway result diverges from the battery for $n")
+    }
+  }
+
   test("catalog introspection (S11)") {
     val e = freshEngine()
     assert(e.listDatabases().contains("default"))

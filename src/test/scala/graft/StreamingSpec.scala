@@ -77,4 +77,22 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.subsetOf(streamed))
     } finally q.stop()
   }
+
+  test("sessionizer force-flushes an open session past the state cap") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // giant gap: nothing would ever close without the cap
+    val q = EventStreams.sessionize(input.toDS(), gap = Long.MaxValue / 2, maxBuffer = 2)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("capped_sessions").start()
+    try {
+      input.addData(ev(1, 0, 1), ev(2, 10, 1), ev(3, 20, 1))
+      q.processAllAvailable()
+      val out = spark.table("capped_sessions").as[SessionSummary].collect()
+      assert(out.map(x => (x.user_id, x.n_events)).toSet === Set((1L, 3L)),
+        s"expected the 3-event open session flushed by the cap, got ${out.mkString(",")}")
+    } finally q.stop()
+  }
 }
