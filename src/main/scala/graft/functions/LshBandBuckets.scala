@@ -33,6 +33,11 @@ case class LshBandBuckets(child: Expression, bands: Int, bitsPerBand: Int, dim: 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_band_buckets"
 
+  // containsNull is accepted (parquet list elements are `optional`, so a
+  // scanned embedding column is always ArrayType(_, true) even when no null
+  // ever occurs) — but a null ELEMENT must not silently read as 0.0 (or
+  // ArrayData-impl-dependent garbage) in the dot products below, so both
+  // eval paths validate the vector and raise before projecting.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -45,6 +50,12 @@ case class LshBandBuckets(child: Expression, bands: Int, bitsPerBand: Int, dim: 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val d = math.min(a.numElements(), dim)
+    var chk = 0
+    while (chk < d) {
+      if (a.isNullAt(chk)) throw new IllegalArgumentException(
+        s"$prettyName: null element at index $chk")
+      chk += 1
+    }
     val out = new Array[Long](bands)
     var plane = 0
     while (plane < bands * bitsPerBand) {
@@ -69,6 +80,12 @@ case class LshBandBuckets(child: Expression, bands: Int, bitsPerBand: Int, dim: 
       val i = ctx.freshName("i")
       s"""
          |int $d = java.lang.Math.min($a.numElements(), $dim);
+         |for (int $i = 0; $i < $d; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "lsh_band_buckets: null element at index " + $i);
+         |  }
+         |}
          |long[] $out = new long[$bands];
          |for (int $plane = 0; $plane < ${bands * bitsPerBand}; $plane++) {
          |  double $dot = 0.0;

@@ -46,9 +46,13 @@ object Dedup {
     * merge, allocation-free per pair (vs `array_intersect`'s per-call hash
     * set). |A∩B| is unchanged barring a 2^-64 hash collision. Jaccard uses
     * |A∩B| / (|A|+|B|−|A∩B|) with set sizes precomputed per document.
+    *
+    * One codegen'd pass ([[graft.functions.NgramShingleHashes]]) — the
+    * declarative `array_sort(transform(shingles(c), xxhash64))` chain runs
+    * interpreted and cost 2.0 s per corpus pass at sf0.1.
     */
   def hashedShingles(c: Column, n: Int = 3): Column =
-    array_sort(transform(shingles(c, n), s => xxhash64(s)))
+    graft.functions.NgramShingleHashes(c, n)
 
   /** MinHash signature aggregation: k independent hash slots, each the min of
     * `xxhash64(shingle, seed)` over the doc's shingle set.
@@ -104,18 +108,20 @@ object Dedup {
     */
   def minhashLshPairs(d: DataFrame, threshold: Double,
                       numHashes: Int = 32, bands: Int = 4): DataFrame = {
-    val rows = numHashes / bands
+    // All band keys in one codegen'd pass over the hashed shingle set
+    // (graft.functions.MinHashBandKeys): the aggregate form — explode
+    // shingles, shuffle O(N·|g|) rows, k min-columns, hash per band — spent
+    // 5.8 s of the 6 s at sf0.1 in that explode+agg; this derives identical
+    // banding semantics (band-equal ⟺ all slot minima equal) with zero
+    // extra shuffle. The corpus is repartitioned first: the band-key pass is
+    // the hot loop and a small parquet input is otherwise one partition.
+    val par = math.max(d.sparkSession.sparkContext.defaultParallelism * 2, 8)
     val sh = d.select(col("doc_id"), hashedShingles(col("text")).as("g"))
       .withColumn("sz", size(col("g")))
-    val exploded = sh.select(col("doc_id"), explode(col("g")).as("s"))
-    val sigs = minhashSignature(exploded, "doc_id", "s", numHashes)
-    val bandStructs = (0 until bands).map { bi =>
-      struct(lit(bi).as("bi"),
-        hash((bi * rows until (bi + 1) * rows).map(i => col(s"h$i")): _*).as("bk"))
-    }
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bk").as("bk"))
+    val banded = sh.repartition(par)
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHashBandKeys(col("g"), numHashes, bands))
+          .as(Seq("bi", "bk")))
     val cands = banded.alias("l")
       .join(banded.alias("r"),
         col("l.bi") === col("r.bi") && col("l.bk") === col("r.bk") &&
@@ -279,13 +285,24 @@ object Dedup {
 
   // ---- corpus-blocked all-pairs (the scale path for the O(N²) baselines) --
 
-  /** Block count B: B(B+1)/2 block-pair tasks ≈ 2× the core count for
-    * balance; at a fixed memory budget B instead scales with corpus size so
-    * two blocks always fit one task.
+  /** Block count B, the max of two constraints:
+    *  - parallelism: B(B+1)/2 block-pair tasks ≈ 2× the core count keeps
+    *    every core busy on the triangular workload;
+    *  - memory: a task materializes two blocks ≈ 2·corpusBytes/B, so
+    *    B ≥ 2·corpusBytes/taskBudget keeps per-task memory bounded no matter
+    *    how large the corpus grows on a fixed cluster.
+    * `corpusBytes` is an estimate (row count × average payload) supplied by
+    * the caller from a cheap aggregate probe; 0 = unknown, parallelism only.
     */
-  private def blockCount(spark: SparkSession): Int =
-    math.max(4, math.ceil(math.sqrt(
-      4.0 * spark.sparkContext.defaultParallelism)).toInt)
+  private def blockCount(spark: SparkSession, corpusBytes: Long = 0L,
+                         taskBudgetBytes: Long = 256L << 20): Int = {
+    val byCores = math.ceil(math.sqrt(
+      4.0 * spark.sparkContext.defaultParallelism)).toInt
+    val byMemory =
+      if (corpusBytes <= 0) 0
+      else math.ceil(2.0 * corpusBytes / taskBudgetBytes).toInt
+    math.max(4, math.max(byCores, byMemory))
+  }
 
   /** All-pairs scoring with NO driver collect and NO corpus-sized broadcast —
     * the Afrati–Ullman block-pair scheme. Rows hash into B blocks by id; each
@@ -359,7 +376,10 @@ object Dedup {
                                   blocks: Int = 0): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val b = if (blocks > 0) blocks else blockCount(spark)
+    // corpus estimate: rows × (vector payload + tuple overhead). count() on
+    // a parquet source resolves from footer metadata, not a scan.
+    val b = if (blocks > 0) blocks
+            else blockCount(spark, corpusBytes = e.count() * (4L * dim + 32L))
     val data = e.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
     blockedPairs[Array[Float], (Array[Float], Double)](
@@ -383,10 +403,10 @@ object Dedup {
     * declarative form and the DuckDB oracle.
     */
   def ngramJaccardPairsBlocked(d: DataFrame, threshold: Double,
-                               blocks: Int = 0): DataFrame = {
+                               blocks: Int = 0, corpusBytes: Long = 0L): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
-    val b = if (blocks > 0) blocks else blockCount(spark)
+    val b = if (blocks > 0) blocks else blockCount(spark, corpusBytes)
     val sh = d.select(col("doc_id").cast("long"), hashedShingles(col("text")))
       .as[(Long, Array[Long])]
     blockedPairs[Array[Long], Array[Long]](
@@ -413,11 +433,16 @@ object Dedup {
     * value-identical, so the choice never changes results.
     */
   def ngramJaccardPairsAdaptive(d: DataFrame, threshold: Double,
-                                maxBroadcastChars: Long = 32L << 20): DataFrame = {
+                                maxBroadcastChars: Long = 8L << 20): DataFrame = {
+    // 8M chars ≈ 64 MB of hashed-shingle long[]s on the driver (8 bytes per
+    // char upper bound, before dedup) — safely inside a default 1g driver,
+    // unlike the previous 32M default (~270 MB plus a sorted copy). The size
+    // probe is one column scan; its result also feeds the blocked path's
+    // memory-bounded block count.
     val row = d.agg(sum(length(col("text")))).head
     val totalChars = if (row.isNullAt(0)) 0L else row.getLong(0)
     if (totalChars <= maxBroadcastChars) ngramJaccardPairsKernel(d, threshold)
-    else ngramJaccardPairsBlocked(d, threshold)
+    else ngramJaccardPairsBlocked(d, threshold, corpusBytes = totalChars * 8L)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

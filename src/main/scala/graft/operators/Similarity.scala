@@ -93,7 +93,10 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), normC(col("embedding"), Some(dim)).as("nrm"),
         posexplode(LshBandBuckets(col("embedding"), bands, bitsPerBand, dim)).as(Seq("bi", "bk")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    q.join(c, Seq("bi", "bk"))
+    // broadcast the tiny exploded query side: stats after posexplode are
+    // unknown, and a sort-merge join here would shuffle+sort the exploded
+    // corpus (bands× rows, each carrying the full embedding array)
+    broadcast(q).join(c, Seq("bi", "bk"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dotC(col("q_emb"), col("embedding"), Some(dim)) /

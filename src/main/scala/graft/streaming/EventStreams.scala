@@ -23,9 +23,12 @@ object EventStreams {
                                   start_ts: Long, end_ts: Long)
 
   /** Nano-epoch long → TimestampType column (microsecond precision).
-    * Integer floor division (`div`), not `/`: double division on ~2^60 longs
+    * Integer division (`div`), not `/`: double division on ~2^60 longs
     * (ulp 256 ns) can round the quotient up across the truncation boundary —
     * a 1 µs error that flips an hour bucket for boundary-adjacent events.
+    * `div` truncates toward zero, which equals floor only for ts >= 0 — the
+    * corpus contract here (TESTDATA events are positive nano-epochs); a
+    * pre-1970 timestamp would need explicit `floor(ts / 1000)` semantics.
     */
   def withEventTime(df: DataFrame): DataFrame =
     df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
