@@ -51,6 +51,9 @@ object SparkEntry {
     graft.operators.Dedup.queries ++
     graft.operators.Similarity.queries ++
     graft.operators.Multimodal.queries ++
+    graft.operators.Temporal.queries ++
+    graft.operators.Sampling.queries ++
+    graft.operators.Clustering.queries ++
     graft.streaming.EventStreams.queries ++
     graft.models.ComposedPipeline.queries
 
@@ -69,6 +72,9 @@ object SparkEntry {
     graft.operators.Dedup.oracles ++
     graft.operators.Similarity.oracles ++
     graft.operators.Multimodal.oracles ++
+    graft.operators.Temporal.oracles ++
+    graft.operators.Sampling.oracles ++
+    graft.operators.Clustering.oracles ++
     graft.streaming.EventStreams.oracles ++
     graft.models.ComposedPipeline.oracles
 }

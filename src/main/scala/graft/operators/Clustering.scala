@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: near-dup PAIRS (from any Dedup operator) →
+  * connected components → one cluster id (= min member id) per document.
+  * This is the step that turns pairwise similarity output into an actionable
+  * dedup decision — keep `cluster_id`, drop the rest — and the reference has
+  * nothing like it.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each round every node takes the min label over {itself} ∪ neighbors
+  * (one join + one aggregate = one shuffle each), then labels are compressed
+  * through themselves (`label := label(label)`) — the pointer-jumping step
+  * that collapses chains geometrically, giving O(log diameter) rounds
+  * instead of O(diameter). Each round is checkpointed (`localCheckpoint`) to
+  * truncate lineage, and convergence is detected by the monotone label sum
+  * (labels only ever decrease, so an unchanged sum IS the fixpoint —
+  * one cheap scalar action per round, no row-level diff join).
+  *
+  * Scale: the classic MapReduce CC formulation (cf. Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14 — label
+  * propagation + star contraction); every step is a key-hash shuffle with a
+  * partial aggregate, nothing is collected to the driver.
+  */
+object Clustering {
+
+  /** (doc_id, cluster_id) for every node in `pairs` (columns id_a, id_b);
+    * cluster_id = min doc_id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("label"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+
+    var prev = labelSum(labels)
+    var it = 0
+    var converged = prev == 0L // empty graph: nothing to do
+    while (!converged && it < maxIter) {
+      // min over self + neighbor labels (partial agg shuffles only minima;
+      // no self-union — join + least keeps the plan free of duplicate
+      // attribute lineage across union branches)
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nl"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // pointer jumping: follow the label one hop (label nodes are nodes too)
+      val jumped = stepped.as("a")
+        .join(stepped.select(col("id").as("lid"), col("label").as("llabel")).as("b"),
+          col("a.label") === col("b.lid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("b.llabel"), col("a.label")).as("label"))
+        .localCheckpoint()
+      val cur = labelSum(jumped)
+      converged = cur == prev
+      prev = cur
+      labels = jumped
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // near-dup pairs (true-Jaccard ≥ 0.8, the oracle-gated dedup output) →
+    // duplicate clusters; cluster_id doubles as the survivor id
+    "dedup_clusters" -> ((s, dir) =>
+      connectedComponents(
+        Dedup.ngramJaccardPairsAdaptive(
+          graft.Tables(s, dir, "documents"), threshold = 0.8)
+          .select(col("id_a"), col("id_b"))))
+  )
+
+  def oracles: Map[String, String] = Map(
+    // transitive closure via recursive CTE — min reachable id per node
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, length(text) - 1), i -> text[i:i+2])) AS g
+        |FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |        len(list_distinct(a.g || b.g)), 4) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+  )
+}

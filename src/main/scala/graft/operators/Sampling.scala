@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data pipelines.
+  *
+  * The split a document lands in must be a pure function of a STABLE key —
+  * never `rand()` — so that (a) the same corpus produces the same split on
+  * every run, cluster, and engine; (b) re-ingesting an updated corpus keeps
+  * unchanged documents in their split (no train/test leakage across
+  * versions); (c) downstream joins can re-derive membership instead of
+  * shipping an assignment table. This is the standard hash-split used by
+  * large-scale training pipelines.
+  *
+  * The hash is MD5 of the decimal string of the key — deliberately chosen
+  * over xxhash64/murmur because every engine computes the identical digest
+  * (the DuckDB oracle reproduces the assignment bit-for-bit, which is the
+  * point: the split IS portable). Cost is irrelevant here — one digest per
+  * row at ingest, not in a pairwise loop.
+  *
+  * Scale: embarrassingly parallel projection; no shuffle, no state.
+  */
+object Sampling {
+
+  /** Bucket in [0, buckets) from the MD5 of the key's decimal string. The
+    * first 8 hex chars (32 bits) are uniform and fit a long exactly.
+    */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Train/validation/test assignment with the given percentage cut points
+    * (defaults 80/10/10).
+    */
+  def hashSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(key)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Deterministic Bernoulli sample: keep rows whose bucket falls under
+    * `pct` — the hash-stable analog of `TABLESAMPLE (pct PERCENT)`.
+    */
+  def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame =
+    df.filter(hashBucket(key) < pct)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // per-document split assignment — fully deterministic, oracle-gated
+    "sample_hash_split" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        hashBucket(col("doc_id")).as("bucket"),
+        hashSplit(col("doc_id")).as("split"))),
+
+    // split-level integrity summary: sizes + char volume per (split, lang) —
+    // what a pipeline reports before training
+    "sample_split_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .select(hashSplit(col("doc_id")).as("split"), col("lang"), col("n_chars"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sample_hash_split" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS BIGINT) AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "sample_split_stats" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 80 THEN 'train'
+        |              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split, lang, n_chars
+        |  FROM documents)
+        |SELECT split, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM s GROUP BY split, lang""".stripMargin
+  )
+}

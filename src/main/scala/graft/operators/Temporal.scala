@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators the reference engine lacks (SURVEY.md §2 "beyond"
+  * tier): as-of join and interval (range) join — both expressed as shapes
+  * Catalyst can execute scalably, NOT as inequality nested-loop joins.
+  *
+  * Scale design:
+  *  - [[asOfJoin]] is the union + sorted-window formulation: tag both inputs,
+  *    union, one shuffle on the key, one per-partition sort on (time, side),
+  *    carry the right side forward with `last(_, ignoreNulls)`. That is one
+  *    exchange + one sort TOTAL — the naive `l.ts >= r.ts` join is a
+  *    BroadcastNestedLoop in Spark (quadratic per key) and even a point-in-
+  *    interval merge join re-sorts both sides. This is how a 100 TB event
+  *    stream attributes to its most recent preceding fact.
+  *  - [[rangeJoinBucketed]] maps intervals to fixed-width time buckets
+  *    (explode to covered buckets ⇒ equi-join on (key, bucket) ⇒ exact
+  *    range refilter). The equi-join shuffles hash-partitioned like any
+  *    other join; bucket width trades replication (interval_len/width + 1
+  *    copies) against per-bucket fan-in. With width = interval length at
+  *    most 2 copies per interval.
+  */
+object Temporal {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "events")
+
+  /** As-of join: for each left row, the single most recent right row with
+    * `right.time <= left.time` on the same key (ties: the right row wins —
+    * i.e. a right row AT the left timestamp matches, like DuckDB/kdb ASOF).
+    *
+    * `carry` = right columns to surface (values at the matched row); output
+    * = left columns + carried columns (null when no preceding right row).
+    *
+    * Implementation: right rows sort BEFORE left rows at equal time via the
+    * side tag (right=0, left=1), so `last(carry, ignoreNulls)` over
+    * (-∞, current] is exactly "latest right at-or-before me".
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               key: String, time: String,
+               carry: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val nullOf: String => Column = c => lit(null).cast(left.schema(c).dataType)
+    // union-aligned projections: left keeps its columns, right contributes
+    // only the carried sources (renamed), each side nulls the other's slots
+    val carrySrc = carry.keys.toSeq
+    val lTagged = left.select(
+      (leftCols.map(col) :+ lit(1).as("__side")) ++
+        carrySrc.map(c => lit(null).cast(right.schema(c).dataType).as(s"__c_$c")): _*)
+    val rTagged = right.select(
+      (leftCols.map(c =>
+        (if (c == key || c == time) col(c) else nullOf(c)).as(c)) :+
+        lit(0).as("__side")) ++
+        carrySrc.map(c => col(c).as(s"__c_$c")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .select(
+        (leftCols.map(col) :+ col("__side")) ++
+          carry.toSeq.map { case (src, out) =>
+            last(col(s"__c_$src"), ignoreNulls = true).over(w).as(out)
+          }: _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
+  /** Interval join via time bucketing: events ⋈ intervals on
+    * `event.time ∈ (start, end]` and a shared key, as an EQUI-join.
+    *
+    * Each interval explodes to the buckets it covers; each event has exactly
+    * one bucket, so a matching (interval, event) pair meets in exactly one
+    * bucket — no post-join dedup needed. The exact range predicate refilters
+    * after the equi-join.
+    */
+  def rangeJoinBucketed(intervals: DataFrame, points: DataFrame,
+                        key: String, startCol: String, endCol: String,
+                        timeCol: String, bucketWidth: Long): DataFrame = {
+    // integer `div`, NOT `/`: double division on nano-epoch longs (~2^60,
+    // beyond double's 53-bit mantissa) can misplace a boundary-adjacent row
+    // by one bucket. Truncation == floor for the positive-epoch corpus
+    // contract (same note as EventStreams.withEventTime).
+    val iv = intervals.withColumn("__b",
+      explode(sequence(expr(s"`$startCol` div $bucketWidth"),
+        expr(s"`$endCol` div $bucketWidth"))))
+    val pt = points.withColumn("__b", expr(s"`$timeCol` div $bucketWidth"))
+    iv.join(pt, Seq(key, "__b"))
+      .filter(col(timeCol) > col(startCol) && col(timeCol) <= col(endCol))
+      .drop("__b")
+  }
+
+  /** 30 minutes in nanoseconds (events.ts is a nano-epoch long). */
+  private val AttribWindowNs = 30L * 60 * 1000 * 1000 * 1000
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // as-of join: each click attributed to the user's most recent
+    // at-or-before purchase (null when none) — one shuffle + one sort.
+    // µs grain BEFORE the join: DuckDB reads parquet TIMESTAMP(NANOS) at µs
+    // precision, so the join itself must compare the truncated values or a
+    // sub-µs-apart (click, purchase) pair could order differently in the two
+    // engines (`div` truncation == floor for the positive-epoch corpus).
+    // -1 sentinel instead of NULL for "no preceding purchase": a nullable
+    // int64 round-trips through the compare as float64, which cannot
+    // represent a µs-epoch exactly.
+    "asof_last_purchase" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      asOfJoin(clicks, purchases, key = "user_id", time = "ts_us",
+          carry = Map("ts_us" -> "purchase_us"))
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("click_us"),
+          coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
+    }),
+
+    // range join: clicks landing in (purchase, purchase + 30min] per user,
+    // aggregated per purchase — bucketed equi-join, exact-decimal value sum.
+    // µs grain on both engines (same truncate-before-compare note as asof).
+    "range_join_attrib" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val windowUs = AttribWindowNs / 1000
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          expr("ts div 1000").as("start_us"),
+          (expr("ts div 1000") + windowUs).as("end_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+          col("value").cast("decimal(18,2)").as("v"))
+      val joined = rangeJoinBucketed(purchases, clicks, key = "user_id",
+        startCol = "start_us", endCol = "end_us", timeCol = "t_us",
+        bucketWidth = windowUs)
+      val agg = joined.groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("v")).cast("double").as("click_value"))
+      // left join back so zero-click purchases surface with (0, 0.0)
+      purchases.select(col("purchase_id"))
+        .join(agg, Seq("purchase_id"), "left")
+        .select(col("purchase_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("click_value"), lit(0.0)).as("click_value"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "asof_last_purchase" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us,
+        |       COALESCE(epoch_us(r.ts), -1) AS purchase_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "range_join_attrib" ->
+      """SELECT p.event_id AS purchase_id,
+        |  COUNT(c.user_id) AS n_clicks,
+        |  CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND epoch_us(c.ts) > epoch_us(p.ts)
+        | AND epoch_us(c.ts) <= epoch_us(p.ts) + 1800000000
+        |GROUP BY p.event_id""".stripMargin
+  )
+}

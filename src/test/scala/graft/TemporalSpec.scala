@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Clustering, Sampling, Temporal}
+
+/** Specs for the round-3 "beyond" operators: as-of join, bucketed range
+  * join, deterministic hash split, and connected-components dedup
+  * clustering — all over hand-computable fixtures.
+  */
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asOfJoin: latest at-or-before match, ties, and no-match null") {
+    val left = Seq( // (event_id, user, ts)
+      (1L, 10L, 100L), // after right@50 and right@100 → tie: right@100 wins
+      (2L, 10L, 60L),  // between 50 and 100 → right@50
+      (3L, 10L, 40L),  // before all → null
+      (4L, 20L, 500L)  // user with no right rows → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 50L, "a"), (10L, 100L, "b"), (30L, 10L, "z")
+    ).toDF("user_id", "ts", "tag")
+    val out = Temporal.asOfJoin(left, right, "user_id", "ts",
+        carry = Map("ts" -> "m_ts", "tag" -> "m_tag"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4))))
+    assert(out === Array(
+      (1L, Some(100L), Some("b")),
+      (2L, Some(50L), Some("a")),
+      (3L, None, None),
+      (4L, None, None)))
+  }
+
+  test("rangeJoinBucketed: (start, end] boundaries across bucket edges") {
+    val intervals = Seq( // (iv_id, key, start, end]; width 100
+      (1L, 7L, 100L, 200L),
+      (2L, 7L, 250L, 350L) // spans buckets 2..3
+    ).toDF("iv_id", "k", "s", "e")
+    val points = Seq( // (pt_id, key, t)
+      (10L, 7L, 100L), // == start → excluded
+      (11L, 7L, 101L), // in (100,200]
+      (12L, 7L, 200L), // == end → included
+      (13L, 7L, 300L), // inside interval 2, different bucket than its start
+      (14L, 7L, 351L), // just past end of 2
+      (15L, 8L, 150L)  // wrong key
+    ).toDF("pt_id", "k", "t")
+    val got = Temporal.rangeJoinBucketed(intervals, points,
+        key = "k", startCol = "s", endCol = "e", timeCol = "t",
+        bucketWidth = 100L)
+      .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 11L), (1L, 12L), (2L, 13L)))
+  }
+
+  test("hashSplit: deterministic, in-range, and md5-derived") {
+    val df = spark.range(1000)
+      .select(col("id"), Sampling.hashBucket(col("id")).as("b"),
+        Sampling.hashSplit(col("id")).as("split"))
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 100))
+    // pinned example: bucket of key 42 is the md5-derived value DuckDB
+    // computes (md5('42') = a1d0c6e8... → 0xa1d0c6e8 % 100 = 84 → val)
+    val r42 = rows.find(_.getLong(0) == 42L).get
+    assert(r42.getLong(1) === 84L)
+    assert(r42.getString(2) === "val")
+    // same input → same split on re-evaluation (pure function, no rand())
+    val again = df.collect()
+    assert(rows.map(_.getString(2)).toSeq === again.map(_.getString(2)).toSeq)
+    // rough proportions at n=1000 (uniform hash: ±5% slack)
+    val bySplit = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit("train") > 750 && bySplit("train") < 850)
+  }
+
+  test("connectedComponents: chain, triangle, and min-id labels") {
+    val pairs = Seq(
+      // chain 1-2-3-4 (tests multi-hop propagation)
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      // triangle 10-11-12
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      // isolated pair
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val got = Clustering.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: empty input converges immediately") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Clustering.connectedComponents(empty).count() === 0L)
+  }
+}
