@@ -93,9 +93,14 @@ object ComposedPipeline {
     */
   def composedFact(s: SparkSession, dir: String): DataFrame = {
     val raw = rawTables(s, dir)
-    val stgSub = Staging.stgSub(raw("sub"))
-    val stgNum = Staging.stgNum(raw("num"))
-    val stgPre = Staging.stgPre(raw("pre"))
+    // staging is localCheckpoint'ed (dbt materializes staging models too):
+    // each frame feeds 3-4 downstream consumers, and checkpointing replaces
+    // the repeated scan+join+cleansing subtree with a LogicalRDD leaf —
+    // both the recompute AND the per-consumer analysis/codegen of the
+    // subtree disappear (measured ~2 s at sf0.1)
+    val stgSub = Staging.stgSub(raw("sub")).localCheckpoint()
+    val stgNum = Staging.stgNum(raw("num")).localCheckpoint()
+    val stgPre = Staging.stgPre(raw("pre")).localCheckpoint()
     val stgTag = Staging.stgTag(raw("tag"))
     val dimAddress = Dims.dimAddress(stgSub)
     val dimCompany = Dims.dimCompany(dimAddress, stgSub).persist()

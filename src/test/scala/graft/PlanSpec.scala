@@ -83,4 +83,29 @@ class PlanSpec extends AnyFunSuite {
     val n = q("dedup_embedding_cosine").rdd.getNumPartitions
     assert(n >= 8, s"pair join would serialize: $n partitions")
   }
+
+  test("as-of join plans as shuffle+sort+window, never a nested loop") {
+    val df = q("asof_last_purchase")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(800))
+    assert(plan.contains("Window"), plan.take(800))
+  }
+
+  test("range join plans as an equi-join on (key, bucket), never a nested loop") {
+    val df = q("range_join_attrib")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(800))
+  }
+
+  test("fact dim fan-out chain does not inherit scan partitioning") {
+    // every dim join in buildFact is a broadcast join, so without an
+    // explicit repartition the whole many-to-many expansion would run on
+    // the source scan's 1-2 splits (measured 9.9 s -> 1.7 s at sf0.1)
+    val plan = q("edgar_fact_composed").queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(ADSH"), plan.take(1200))
+  }
 }
