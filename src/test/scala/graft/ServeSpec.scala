@@ -65,6 +65,19 @@ class ServeSpec extends AnyFunSuite {
       "SELECT sorted_intersect_size(array(1L,2L,5L,9L), array(2L,3L,5L,7L,9L)) AS n")
       .head.getInt(0)
     assert(n === 3)
+    // shingle kernel: "abcd" → trigrams {abc, bcd} → 2 sorted distinct hashes
+    val sh = spark.sql("SELECT ngram_shingle_hashes('abcd', 3) AS g")
+      .head.getSeq[Long](0)
+    assert(sh.length === 2 && sh === sh.sorted)
+    // band keys: 4 bands over 8 minhash slots from the shingle set
+    val bk = spark.sql(
+      "SELECT minhash_band_keys(ngram_shingle_hashes('abcdef', 3), 8, 4) AS b")
+      .head.getSeq[Long](0)
+    assert(bk.length === 4)
+    val lsh = spark.sql(
+      "SELECT lsh_band_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 4, 4, 2) AS b")
+      .head.getSeq[Long](0)
+    assert(lsh.length === 4 && lsh.forall(b => b >= 0 && b < 16))
   }
 
   test("battery queries run through the SQL gateway (parse → gate → execute)") {
