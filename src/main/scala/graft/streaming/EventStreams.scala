@@ -109,10 +109,39 @@ object EventStreams {
       .as[SessionSummary]
   }
 
+  /** Streaming ingest dedup — the exactly-once guard a training pipeline
+    * puts in front of its document store. On a stream:
+    * `dropDuplicatesWithinWatermark` keeps state only inside the watermark
+    * horizon (bounded state — a plain `dropDuplicates` on a stream grows
+    * state forever). The batch form below is the oracle-able equivalent:
+    * survivor = min event_id per key, deterministic regardless of arrival
+    * order (a stream keeps the FIRST arrival; in event-time-ordered replay
+    * the two coincide — pinned in StreamingSpec).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Batch-equivalent duplicate suppression: min-id survivor per key +
+    * duplicate count (shuffles once on the key hash, partial-agg combined).
+    */
+  def dedupBatch(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.groupBy(keys.map(col): _*)
+      .agg(min(col("event_id")).as("event_id"), count(lit(1)).as("n_copies"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // windowed aggregation (batch-equivalent of the streaming query)
     "stream_hourly_counts" -> ((s, dir) =>
       hourlyTypeCounts(graft.Tables(s, dir, "events"))),
+
+    // ingest dedup (batch form of dedupStream; same key set)
+    "stream_dedup" -> ((s, dir) =>
+      dedupBatch(graft.Tables(s, dir, "events"),
+          Seq("user_id", "event_type", "value"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("n_copies"))),
 
     // gap-based sessionization (batch window form; the streaming form is the
     // flatMapGroupsWithState path tested in StreamingSpec). Sessionizes on
@@ -132,6 +161,10 @@ object EventStreams {
   )
 
   def oracles: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT MIN(event_id) AS event_id, user_id, event_type, value,
+        |  COUNT(*) AS n_copies
+        |FROM events GROUP BY user_id, event_type, value""".stripMargin,
     "stream_hourly_counts" ->
       """SELECT CAST(FLOOR(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_idx,
         |  event_type, COUNT(*) AS n,

@@ -65,4 +65,34 @@ class PropertySpec extends AnyFunSuite {
       graft.operators.TextAnalysis.fingerprint(col("noisy")).as("b")).collect()
     fps.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
+
+  test("NgramShingleHashes ≡ declarative shingles: set size and pairwise intersections") {
+    // the codegen'd kernel replaced array_sort(transform(shingles, xxhash64));
+    // hash VALUES differ by design, but the SET semantics every consumer
+    // relies on (|A|, |A∩B|, hence Jaccard) must be identical — including
+    // multi-byte UTF-8, where n-grams are CHARACTER windows
+    val alphabet = "abcdeé中 ß"
+    val texts = Seq.fill(120)(
+      Seq.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    // reference computation in plain Scala: distinct char trigrams
+    def refShingles(s: String): Set[String] =
+      if (s.length < 3) Set.empty else s.sliding(3).toSet
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        graft.operators.Dedup.hashedShingles(col("text")).as("g"))
+      .collect()
+      .map(r => (r.getString(1), r.getSeq[Long](2)))
+    rows.foreach { case (t, g) =>
+      assert(g.length === refShingles(t).size, s"size mismatch for '$t'")
+      assert(g === g.sorted, "kernel output must be sorted")
+      assert(g.distinct.length === g.length, "kernel output must be distinct")
+    }
+    // pairwise |A∩B| must equal the string-set intersection size
+    for (Seq((ta, ga), (tb, gb)) <- rows.take(30).combinations(2).map(_.toSeq)) {
+      val want = refShingles(ta).intersect(refShingles(tb)).size
+      assert(ga.toSet.intersect(gb.toSet).size === want,
+        s"intersection mismatch for '$ta' × '$tb'")
+    }
+  }
 }
