@@ -294,8 +294,8 @@ object Dedup {
     * `corpusBytes` is an estimate (row count × average payload) supplied by
     * the caller from a cheap aggregate probe; 0 = unknown, parallelism only.
     */
-  private def blockCount(spark: SparkSession, corpusBytes: Long = 0L,
-                         taskBudgetBytes: Long = 256L << 20): Int = {
+  private[graft] def blockCount(spark: SparkSession, corpusBytes: Long = 0L,
+                                taskBudgetBytes: Long = 256L << 20): Int = {
     val byCores = math.ceil(math.sqrt(
       4.0 * spark.sparkContext.defaultParallelism)).toInt
     val byMemory =

