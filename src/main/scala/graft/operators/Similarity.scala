@@ -107,16 +107,16 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
-  /** Per-cell mean centroids: posexplode → (cell, dim) mean → re-assembled
-    * array (sorted by dim, so the array is deterministic).
+  /** Per-cell mean centroids via [[graft.functions.VectorMeanAgg]] — a
+    * custom Catalyst aggregate: ONE partial-aggregated shuffle moving a
+    * `double[dim]` buffer per (partition, cell), instead of the declarative
+    * posexplode → per-(cell,dim) avg → re-assemble shape (rows×dim exploded
+    * records through two shuffles).
     */
-  def centroids(e: DataFrame, cellCol: String): DataFrame =
-    e.select(col(cellCol).as("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .groupBy(col("cell"), col("d"))
-      .agg(avg(col("x")).as("m"))
-      .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-        s => s.getField("m")).as("centroid"))
+  def centroids(e: DataFrame, cellCol: String,
+                dim: Int = graft.Tables.EmbeddingDim): DataFrame =
+    e.groupBy(col(cellCol).as("cell"))
+      .agg(graft.functions.VectorMeanAgg(col("embedding"), dim).as("centroid"))
 
   /** IVF ANN: cells = the `label` column (stand-in for a k-means assignment);
     * a query probes its nProbe nearest centroids, scores only those cells.
@@ -124,7 +124,7 @@ object Similarity {
   def ivfTopK(e: DataFrame, k: Int, nProbe: Int = 3, dim: Option[Int] = None): DataFrame = {
     // centroid norms computed once per cell, query norms once per query —
     // never inside the (query × cell) or (query × candidate) products
-    val cent = broadcast(centroids(e, "label")
+    val cent = broadcast(centroids(e, "label", dim.getOrElse(graft.Tables.EmbeddingDim))
       .withColumn("cnrm", normC(col("centroid"), dim)))
     val q = querySet(e).withColumn("qnrm", normC(col("q_emb"), dim))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cell"))

@@ -167,7 +167,7 @@ class OperatorsSpec extends AnyFunSuite {
       (1, Array(3f, 5f), 0),
       (2, Array(10f, 20f), 1)
     ).toDF("vec_id", "embedding", "label")
-    val c = Similarity.centroids(e, "label").collect()
+    val c = Similarity.centroids(e, "label", dim = 2).collect()
       .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1)).toMap
     assert(c(0) === Seq(2.0, 4.0))
     assert(c(1) === Seq(10.0, 20.0))
