@@ -44,12 +44,14 @@ object GraftFunctions {
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
 
-  private[functions] def inject(e: SparkSessionExtensions): Unit =
+  private[functions] def inject(e: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, className, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(className, name),
         builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.IntersectSizeRewrite)
+  }
 }
 
 /** `spark.sql.extensions` entry point. */
