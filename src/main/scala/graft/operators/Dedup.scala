@@ -445,6 +445,47 @@ object Dedup {
     else ngramJaccardPairsBlocked(d, threshold, corpusBytes = totalChars * 8L)
   }
 
+  /** Incremental dedup: admit only the rows of a NEW batch that duplicate
+    * nothing in the existing corpus — the shape a 100 TB ingest actually
+    * runs (the corpus is already deduped; only batch×corpus comparisons
+    * happen, never corpus×corpus).
+    *
+    * Two tiers:
+    *  1. exact — anti-join on the normalized-content fingerprint: shuffles
+    *     only 128-bit hashes, never text;
+    *  2. near-dup — batch shingle sets are broadcast (the batch is the
+    *     small side by construction), the corpus streams once through the
+    *     codegen'd [[graft.functions.SortedIntersectSize]] merge; batch
+    *     docs with any corpus pair ≥ threshold are rejected.
+    * At corpus scales where even one streamed pass per batch is too hot,
+    * swap tier 2 for [[MinHashBandKeys]] banding on both sides (candidates
+    * only, hash-dependent) — this exact-scoring form is the deterministic,
+    * oracle-gated baseline.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+                       threshold: Double): DataFrame = {
+    val par = math.max(corpus.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    val fpC = corpus.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    val b1 = batch
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .join(fpC, Seq("fp"), "left_anti")
+    val shB = b1.select(col("doc_id").as("b_id"), hashedShingles(col("text")).as("gb"))
+      .withColumn("szb", size(col("gb")))
+    val shC = corpus.select(hashedShingles(col("text")).as("gc"))
+      .withColumn("szc", size(col("gc"))).repartition(par)
+    val nearDup = shC.join(broadcast(shB), lit(true))
+      .select(col("b_id"),
+        graft.functions.SortedIntersectSize(col("gb"), col("gc")).as("i"),
+        (col("szb") + col("szc")).as("ab"))
+      .select(col("b_id"),
+        round(col("i").cast("double") / (col("ab") - col("i")), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+      .select(col("b_id")).distinct()
+    b1.join(nearDup, b1("doc_id") === nearDup("b_id"), "left_anti")
+      .select(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: duplicate-content groups with the survivor id
@@ -487,7 +528,19 @@ object Dedup {
     // embedding-cosine near-dup pairs via the corpus-blocked numeric kernel.
     "dedup_embedding_cosine" -> ((s, dir) =>
       embeddingCosinePairsBlocked(emb(s, dir), threshold = 0.4,
-        dim = graft.Tables.EmbeddingDim))
+        dim = graft.Tables.EmbeddingDim)),
+
+    // incremental ingest dedup: hash-split 80/20 into corpus/new-batch
+    // (Sampling.hashBucket — the same split the oracle reproduces), admit
+    // only batch docs with no exact or near (jac ≥ 0.8) corpus duplicate
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bucket = Sampling.hashBucket(col("doc_id"))
+      incrementalDedup(
+        corpus = d.filter(bucket < 80),
+        batch = d.filter(bucket >= 80),
+        threshold = 0.8)
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -507,6 +560,22 @@ object Dedup {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
         |      len(list_distinct(a.g || b.g)), 4) >= 0.8""".stripMargin,
+    "dedup_incremental" ->
+      """WITH b AS (SELECT doc_id, text FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 >= 80),
+        |c AS (SELECT doc_id, text FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 80),
+        |bf AS (SELECT * FROM b
+        |  WHERE MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g'))) NOT IN
+        |    (SELECT MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g'))) FROM c)),
+        |shb AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, length(text) - 1), i -> text[i:i+2])) AS g FROM bf),
+        |shc AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, length(text) - 1), i -> text[i:i+2])) AS g FROM c),
+        |dup AS (SELECT DISTINCT shb.doc_id FROM shb JOIN shc
+        |  ON ROUND(CAST(len(list_intersect(shb.g, shc.g)) AS DOUBLE) /
+        |     len(list_distinct(shb.g || shc.g)), 4) >= 0.8)
+        |SELECT doc_id FROM bf WHERE doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH c AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -161,6 +161,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.contains((100, 0, 1))) // and vice versa
   }
 
+  test("Dedup: incremental batch-vs-corpus admits only novel documents") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+      (11L, "  THE QUICK   brown fox jumps over the lazy dog"), // fingerprint dup of 0
+      (12L, "the quick brown fox jumps over the lazy cat"),   // near dup of 0
+      (13L, "entirely novel text that matches nothing else here")
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.incrementalDedup(corpus, batch, threshold = 0.8)
+      .as[Long].collect().toSet
+    assert(survivors === Set(13L))
+  }
+
   test("Similarity: centroids are per-cell means in dim order") {
     val e = Seq(
       (0, Array(1f, 3f), 0),

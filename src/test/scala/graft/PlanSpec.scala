@@ -101,6 +101,18 @@ class PlanSpec extends AnyFunSuite {
       plan.take(800))
   }
 
+  test("top-k-per-group plans partial+final WindowGroupLimit (map-side pruning)") {
+    // rank-filter pushdown: each map task keeps only its local top-k before
+    // the shuffle — the reason a custom top-k physical operator is NOT
+    // needed (SURVEY §7.3: prefer composing built-ins; Catalyst already
+    // plans the optimal shape for W1)
+    val df = q("w1_topk_per_group")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      plan.take(1200))
+  }
+
   test("fact dim fan-out chain does not inherit scan partitioning") {
     // every dim join in buildFact is a broadcast join, so without an
     // explicit repartition the whole many-to-many expansion would run on
