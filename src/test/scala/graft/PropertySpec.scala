@@ -66,6 +66,52 @@ class PropertySpec extends AnyFunSuite {
     fps.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("MinHashBandKeys matches the reference Scala computation") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val numHashes = 16
+    val bands = 4
+    val rows = numHashes / bands
+    def refBandKeys(g: Array[Long]): Option[Array[Long]] =
+      if (g.isEmpty) None
+      else {
+        val mins = Array.fill(numHashes)(Long.MaxValue)
+        for (x <- g; i <- 0 until numHashes) {
+          val h = XXH64.hashLong(x, i)
+          if (h < mins(i)) mins(i) = h
+        }
+        Some(Array.tabulate(bands) { b =>
+          (0 until rows).foldLeft(42L)((acc, r) => XXH64.hashLong(mins(b * rows + r), acc))
+        })
+      }
+    val inputs = Seq.fill(60)(Array.fill(rnd.nextInt(30))(rnd.nextLong())) :+ Array.empty[Long]
+    val got = inputs.map(Tuple1(_)).toDF("g")
+      .select(graft.functions.MinHashBandKeys(col("g"), numHashes, bands).as("b"))
+      .collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getSeq[Long](0).toArray))
+    inputs.zip(got).foreach { case (in, out) =>
+      assert(out.map(_.toSeq) === refBandKeys(in).map(_.toSeq))
+    }
+  }
+
+  test("asOfJoin agrees with a per-row max-filter reference on random data") {
+    val lefts = Seq.tabulate(120)(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(1000).toLong))
+    val rights = Seq.tabulate(80)(i =>
+      ((rnd.nextInt(6) + 1).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val got = graft.operators.Temporal.asOfJoin(
+        lefts.toDF("event_id", "user_id", "ts"),
+        rights.toDF("user_id", "ts", "tag"),
+        key = "user_id", time = "ts", carry = Map("ts" -> "m_ts"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    lefts.foreach { case (id, u, t) =>
+      val want = rights.collect { case (ru, rt, _) if ru == u && rt <= t => rt }
+        .maxOption
+      assert(got(id) === want, s"event $id (user $u, ts $t)")
+    }
+  }
+
   test("NgramShingleHashes ≡ declarative shingles: set size and pairwise intersections") {
     // the codegen'd kernel replaced array_sort(transform(shingles, xxhash64));
     // hash VALUES differ by design, but the SET semantics every consumer
