@@ -58,6 +58,15 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (n == 0) return null
+    // null ELEMENTS fail loudly (same contract as LshBandBuckets): a null
+    // silently hashed as 0L would poison every slot minimum identically
+    // across documents, manufacturing band collisions
+    var chk = 0
+    while (chk < n) {
+      if (a.isNullAt(chk)) throw new IllegalArgumentException(
+        s"$prettyName: null element at index $chk")
+      chk += 1
+    }
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     while (j < n) {
@@ -100,6 +109,12 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
          |if ($n == 0) {
          |  ${ev.isNull} = true;
          |} else {
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    if ($a.isNullAt($j)) {
+         |      throw new IllegalArgumentException(
+         |        "minhash_band_keys: null element at index " + $j);
+         |    }
+         |  }
          |  long[] $mins = new long[$numHashes];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |  for (int $j = 0; $j < $n; $j++) {

@@ -53,8 +53,16 @@ case class VectorMeanAgg(child: Expression, dim: Int,
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
       if (a.numElements() >= dim) {
+        // null ELEMENTS fail loudly (same contract as LshBandBuckets):
+        // silently averaging 0.0 into a centroid is a wrong answer, and
+        // parquet-scanned arrays are always containsNull=true
         var i = 0
-        while (i < dim) { buf(i) += a.getFloat(i).toDouble; i += 1 }
+        while (i < dim) {
+          if (a.isNullAt(i)) throw new IllegalArgumentException(
+            s"$prettyName: null element at index $i")
+          buf(i) += a.getFloat(i).toDouble
+          i += 1
+        }
         buf(dim) += 1.0
       }
     }

@@ -82,14 +82,18 @@ object ComposedPipeline {
   /** staging → dims → buildFact("R"), FCT_VALUE emitted as double (the sum
     * itself is exact decimal; the cast is only for the hash compare).
     *
-    * The two dims are `persist()`ed: the fact consumes each dim TWICE (SK
-    * left-join, then the attribute join-back), and with no materialization
-    * the two uses are separate broadcast builds over separate recomputes of
-    * the full dim DAG — Catalyst cannot reuse a broadcast across different
-    * join keys. This mirrors the reference exactly: dbt materializes
-    * dimensions as TABLES and the fact models read the materialized
-    * relations (masterfindata/models/Dimensions/ *.sql + dbt_project.yml),
-    * so caching the dim here IS the reference dataflow, not a shortcut.
+    * The two dims are materialized (`localCheckpoint`): the fact consumes
+    * each dim TWICE (SK left-join, then the attribute join-back), and with
+    * no materialization the two uses are separate broadcast builds over
+    * separate recomputes of the full dim DAG — Catalyst cannot reuse a
+    * broadcast across different join keys. This mirrors the reference
+    * exactly: dbt materializes dimensions as TABLES and the fact models
+    * read the materialized relations (masterfindata/models/Dimensions/
+    * *.sql + dbt_project.yml). localCheckpoint rather than `persist()`:
+    * checkpoint blocks are RDD-scoped and reclaimed by the ContextCleaner
+    * once the query's plan is garbage-collected, whereas CacheManager
+    * entries from persist() are held for the session's lifetime — a
+    * per-request leak in a long-lived serve session.
     */
   def composedFact(s: SparkSession, dir: String): DataFrame = {
     val raw = rawTables(s, dir)
@@ -103,8 +107,8 @@ object ComposedPipeline {
     val stgPre = Staging.stgPre(raw("pre")).localCheckpoint()
     val stgTag = Staging.stgTag(raw("tag"))
     val dimAddress = Dims.dimAddress(stgSub)
-    val dimCompany = Dims.dimCompany(dimAddress, stgSub).persist()
-    val dimFilings = Dims.dimFilings(stgPre, stgTag, stgNum, stgSub).persist()
+    val dimCompany = Dims.dimCompany(dimAddress, stgSub).localCheckpoint()
+    val dimFilings = Dims.dimFilings(stgPre, stgTag, stgNum, stgSub).localCheckpoint()
     // start 1992: TPC-H order dates are 1992-1998; the default 2000 calendar
     // would left-join to nothing and leave the date branch dead
     val dimDate = Dims.dimDate(s, start = "1992-01-01")

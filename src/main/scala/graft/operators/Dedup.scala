@@ -299,9 +299,13 @@ object Dedup {
     val byCores = math.ceil(math.sqrt(
       4.0 * spark.sparkContext.defaultParallelism)).toInt
     val byMemory =
-      if (corpusBytes <= 0) 0
-      else math.ceil(2.0 * corpusBytes / taskBudgetBytes).toInt
-    math.max(4, math.max(byCores, byMemory))
+      if (corpusBytes <= 0) 0L
+      else math.ceil(2.0 * corpusBytes / taskBudgetBytes).toLong
+    // B(B+1)/2 tasks must stay an Int: cap B at 65535 (≈2.1e9 tasks). Past
+    // that — ≈8 TB of corpus at the default budget — the task COUNT, not
+    // task memory, is the binding constraint, and an O(N²) all-pairs scan
+    // is the wrong tool regardless (use the LSH/banded paths).
+    math.max(4L, math.max(byCores.toLong, byMemory)).min(65535L).toInt
   }
 
   /** All-pairs scoring with NO driver collect and NO corpus-sized broadcast —
@@ -445,6 +449,45 @@ object Dedup {
     else ngramJaccardPairsBlocked(d, threshold, corpusBytes = totalChars * 8L)
   }
 
+  /** Cross-set blocked all-pairs (batch × corpus analog of [[blockedPairs]]):
+    * left rows hash into bL blocks, right rows into bR; each (bl, br) pair
+    * is one task holding exactly one block of each side — no broadcast, no
+    * driver collect, per-task memory O(left/bL + right/bR). Output keeps
+    * the oracle contract: round4 HALF_UP, NaN (0/0) skipped.
+    */
+  private def blockedCrossPairs[P, Q](
+      left: Dataset[(Long, P)], right: Dataset[(Long, P)],
+      bLeft: Int, bRight: Int,
+      prep: P => Q, score: (Q, Q) => Double, threshold: Double)(
+      implicit outEnc: Encoder[(Long, Long, Double)]): Dataset[(Long, Long, Double)] = {
+    val spark = left.sparkSession
+    val numTasks = math.min(bLeft.toLong * bRight, Int.MaxValue.toLong).toInt
+    def round4(x: Double): Double =
+      if (x.isNaN) Double.NegativeInfinity
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val l = left.rdd.flatMap { case (id, p) =>
+      val bl = math.floorMod(id, bLeft).toInt
+      (0 until bRight).map(br => ((bl, br), (true, id, p)))
+    }
+    val r = right.rdd.flatMap { case (id, p) =>
+      val br = math.floorMod(id, bRight).toInt
+      (0 until bLeft).map(bl => ((bl, br), (false, id, p)))
+    }
+    val pairs = (l union r).groupByKey(numTasks).flatMap { case (_, group) =>
+      val (ls, rs) = group.partition(_._1)
+      val lp = ls.map { case (_, id, p) => (id, prep(p)) }.toArray
+      val rp = rs.map { case (_, id, p) => (id, prep(p)) }.toArray
+      for {
+        x <- lp.iterator
+        y <- rp.iterator
+        s = round4(score(x._2, y._2))
+        if s >= threshold
+      } yield (x._1, y._1, s)
+    }
+    spark.createDataset(pairs)
+  }
+
   /** Incremental dedup: admit only the rows of a NEW batch that duplicate
     * nothing in the existing corpus — the shape a 100 TB ingest actually
     * runs (the corpus is already deduped; only batch×corpus comparisons
@@ -453,35 +496,71 @@ object Dedup {
     * Two tiers:
     *  1. exact — anti-join on the normalized-content fingerprint: shuffles
     *     only 128-bit hashes, never text;
-    *  2. near-dup — batch shingle sets are broadcast (the batch is the
-    *     small side by construction), the corpus streams once through the
-    *     codegen'd [[graft.functions.SortedIntersectSize]] merge; batch
-    *     docs with any corpus pair ≥ threshold are rejected.
+    *  2. near-dup — exact Jaccard of every (batch, corpus) pair: under
+    *     `maxBroadcastChars` of batch text the batch shingle sets broadcast
+    *     and the corpus streams once through the codegen'd
+    *     [[graft.functions.SortedIntersectSize]] merge; above it the
+    *     blocked cross-set kernel runs instead (no broadcast, bounded task
+    *     memory) — both value-identical. Batch docs with any corpus pair
+    *     ≥ threshold are rejected.
     * At corpus scales where even one streamed pass per batch is too hot,
     * swap tier 2 for [[MinHashBandKeys]] banding on both sides (candidates
     * only, hash-dependent) — this exact-scoring form is the deterministic,
-    * oracle-gated baseline.
+    * oracle-gated baseline. The corpus is deliberately scanned per tier
+    * (fingerprints, then shingles) rather than materialized — the corpus is
+    * the big side; only the batch-sized survivor frame is checkpointed for
+    * its two consumers.
     */
-  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
-                       threshold: Double): DataFrame = {
-    val par = math.max(corpus.sparkSession.sparkContext.defaultParallelism * 2, 8)
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, threshold: Double,
+                       maxBroadcastChars: Long = 8L << 20): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val par = math.max(spark.sparkContext.defaultParallelism * 2, 8)
     val fpC = corpus.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
     val b1 = batch
       .select(col("doc_id"), col("text"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
       .join(fpC, Seq("fp"), "left_anti")
-    val shB = b1.select(col("doc_id").as("b_id"), hashedShingles(col("text")).as("gb"))
-      .withColumn("szb", size(col("gb")))
-    val shC = corpus.select(hashedShingles(col("text")).as("gc"))
-      .withColumn("szc", size(col("gc"))).repartition(par)
-    val nearDup = shC.join(broadcast(shB), lit(true))
-      .select(col("b_id"),
-        graft.functions.SortedIntersectSize(col("gb"), col("gc")).as("i"),
-        (col("szb") + col("szc")).as("ab"))
-      .select(col("b_id"),
-        round(col("i").cast("double") / (col("ab") - col("i")), 4).as("jac"))
-      .filter(col("jac") >= threshold)
-      .select(col("b_id")).distinct()
+      .localCheckpoint() // consumed twice (shingles + final anti-join)
+    val bRow = b1.agg(sum(length(col("text")))).head
+    val batchChars = if (bRow.isNullAt(0)) 0L else bRow.getLong(0)
+    val nearDup: DataFrame =
+      if (batchChars <= maxBroadcastChars) {
+        val shB = b1.select(col("doc_id").as("b_id"), hashedShingles(col("text")).as("gb"))
+          .withColumn("szb", size(col("gb")))
+        val shC = corpus.select(hashedShingles(col("text")).as("gc"))
+          .withColumn("szc", size(col("gc"))).repartition(par)
+        shC.join(broadcast(shB), lit(true))
+          .select(col("b_id"),
+            graft.functions.SortedIntersectSize(col("gb"), col("gc")).as("i"),
+            (col("szb") + col("szc")).as("ab"))
+          .select(col("b_id"),
+            round(col("i").cast("double") / (col("ab") - col("i")), 4).as("jac"))
+          .filter(col("jac") >= threshold)
+          .select(col("b_id")).distinct()
+      } else {
+        val shB = b1.select(col("doc_id").cast("long"), hashedShingles(col("text")))
+          .as[(Long, Array[Long])]
+        val shC = corpus.select(col("doc_id").cast("long"), hashedShingles(col("text")))
+          .as[(Long, Array[Long])]
+        val bL = blockCount(spark, batchChars * 8L)
+        val bR = blockCount(spark)
+        blockedCrossPairs[Array[Long], Array[Long]](shB, shC, bL, bR,
+          prep = identity,
+          score = { (ga, gb) =>
+            var i = 0; var j = 0; var n = 0
+            while (i < ga.length && j < gb.length) {
+              val x = ga(i); val y = gb(j)
+              if (x == y) { n += 1; i += 1; j += 1 }
+              else if (x < y) i += 1
+              else j += 1
+            }
+            n.toDouble / (ga.length + gb.length - n)
+          },
+          threshold)
+          .toDF("b_id", "c_id", "jac")
+          .select(col("b_id")).distinct()
+      }
     b1.join(nearDup, b1("doc_id") === nearDup("b_id"), "left_anti")
       .select(col("doc_id"))
   }

@@ -36,17 +36,25 @@ object Temporal {
     * = left columns + carried columns (null when no preceding right row).
     *
     * Implementation: right rows sort BEFORE left rows at equal time via the
-    * side tag (right=0, left=1), so `last(carry, ignoreNulls)` over
-    * (-∞, current] is exactly "latest right at-or-before me".
+    * side tag (right=0, left=1), and ALL carried columns travel in one
+    * struct that is non-null exactly on right rows — `last(struct,
+    * ignoreNulls)` then picks the latest right ROW atomically. (Carrying
+    * each column with its own `last(_, ignoreNulls)` would skip genuinely
+    * null values on the matched row and fill them from OLDER right rows —
+    * mixed-row output no ASOF semantics allows.)
     */
   def asOfJoin(left: DataFrame, right: DataFrame,
                key: String, time: String,
                carry: Map[String, String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val nullOf: String => Column = c => lit(null).cast(left.schema(c).dataType)
+    val carrySrc = carry.keys.toSeq
+    val rowStruct = struct(carrySrc.map(c => col(s"__c_$c").as(c)): _*)
+    val nullRow = lit(null).cast(
+      org.apache.spark.sql.types.StructType(carrySrc.map(c =>
+        org.apache.spark.sql.types.StructField(c, right.schema(c).dataType))))
     // union-aligned projections: left keeps its columns, right contributes
     // only the carried sources (renamed), each side nulls the other's slots
-    val carrySrc = carry.keys.toSeq
     val lTagged = left.select(
       (leftCols.map(col) :+ lit(1).as("__side")) ++
         carrySrc.map(c => lit(null).cast(right.schema(c).dataType).as(s"__c_$c")): _*)
@@ -60,12 +68,13 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
       .select(
-        (leftCols.map(col) :+ col("__side")) ++
-          carry.toSeq.map { case (src, out) =>
-            last(col(s"__c_$src"), ignoreNulls = true).over(w).as(out)
-          }: _*)
+        (leftCols.map(col) :+ col("__side")) :+
+          last(when(col("__side") === 0, rowStruct).otherwise(nullRow),
+            ignoreNulls = true).over(w).as("__carried"): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(leftCols.map(col) ++ carry.toSeq.map { case (src, out) =>
+        col(s"__carried.$src").as(out)
+      }: _*)
   }
 
   /** Interval join via time bucketing: events ⋈ intervals on

@@ -35,6 +35,38 @@ class TemporalSpec extends AnyFunSuite {
       (4L, None, None)))
   }
 
+  test("asOfJoin: a null carried value on the matched row stays null (atomic row carry)") {
+    // right@100 has tag=NULL; carrying columns independently would fill the
+    // tag from the OLDER right@50 row — all carried values must come from
+    // the same (latest) right row
+    val left = Seq((1L, 10L, 150L)).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 50L, Some("a")), (10L, 100L, Option.empty[String]))
+      .toDF("user_id", "ts", "tag")
+    val r = Temporal.asOfJoin(left, right, "user_id", "ts",
+        carry = Map("ts" -> "m_ts", "tag" -> "m_tag")).head
+    assert(r.getLong(3) === 100L)
+    assert(r.isNullAt(4), s"tag must be the matched row's NULL, got ${r.get(4)}")
+  }
+
+  test("incrementalDedup: blocked cross-set path is value-identical to broadcast") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "the quick brown fox jumps over the lazy cat"),
+      (13L, "entirely novel text that matches nothing else here")
+    ).toDF("doc_id", "text")
+    val broadcastPath = graft.operators.Dedup
+      .incrementalDedup(corpus, batch, 0.8).as[Long].collect().toSet
+    val blockedPath = graft.operators.Dedup
+      .incrementalDedup(corpus, batch, 0.8, maxBroadcastChars = 0L)
+      .as[Long].collect().toSet
+    assert(broadcastPath === Set(13L))
+    assert(blockedPath === broadcastPath)
+  }
+
   test("rangeJoinBucketed: (start, end] boundaries across bucket edges") {
     val intervals = Seq( // (iv_id, key, start, end]; width 100
       (1L, 7L, 100L, 200L),
