@@ -54,6 +54,7 @@ object SparkEntry {
     graft.operators.Temporal.queries ++
     graft.operators.Sampling.queries ++
     graft.operators.Clustering.queries ++
+    graft.operators.Packing.queries ++
     graft.streaming.EventStreams.queries ++
     graft.models.ComposedPipeline.queries
 
@@ -75,6 +76,7 @@ object SparkEntry {
     graft.operators.Temporal.oracles ++
     graft.operators.Sampling.oracles ++
     graft.operators.Clustering.oracles ++
+    graft.operators.Packing.oracles ++
     graft.streaming.EventStreams.oracles ++
     graft.models.ComposedPipeline.oracles
 }

@@ -127,4 +127,37 @@ class TemporalSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Clustering.connectedComponents(empty).count() === 0L)
   }
+
+  test("sequencePacking: concat-then-chunk spans with straddling documents") {
+    // budget 10; en docs of 4, 8, 3 tokens in doc_id order:
+    //   doc 0: tokens [0,4)  → pack 0, offset 0
+    //   doc 1: tokens [4,12) → packs 0-1 (straddles), offset 4
+    //   doc 2: tokens [12,15)→ pack 1, offset 2
+    val d = Seq(
+      (0L, "en", "a b c d"),
+      (1L, "en", "a b c d e f g h"),
+      (2L, "en", "a b c"),
+      (3L, "de", "x y")
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.operators.Packing.sequencePacking(d, budget = 10)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got(0L) === ((0L, 0L, 0L)))
+    assert(got(1L) === ((0L, 1L, 4L)))
+    assert(got(2L) === ((1L, 1L, 2L)))
+    assert(got(3L) === ((0L, 0L, 0L))) // de group packs independently
+  }
+
+  test("chunkSpans: overlap windows cover the document exactly") {
+    // 10 tokens, width 4, overlap 1 → stride 3 → spans [0,4) [3,7) [6,10)
+    val d = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, "short")).toDF("doc_id", "text")
+    val got = graft.operators.Packing.chunkSpans(d, width = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 7L), (1L, 2L, 6L, 10L),
+      (2L, 0L, 0L, 1L)))
+  }
 }
