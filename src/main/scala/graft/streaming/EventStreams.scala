@@ -131,6 +131,35 @@ object EventStreams {
     events.groupBy(keys.map(col): _*)
       .agg(min(col("event_id")).as("event_id"), count(lit(1)).as("n_copies"))
 
+  /** Stream-stream interval join: each click joins the purchases of the
+    * same user in the trailing `windowSpec` (e.g. "30 minutes") — the
+    * streaming twin of [[graft.operators.Temporal.rangeJoinBucketed]].
+    *
+    * Both inputs carry watermarks, and the join condition bounds click time
+    * AGAINST purchase time from both sides — that pair of constraints is
+    * what lets Structured Streaming expire buffered rows (an unbounded
+    * stream-stream join would hold both streams in state forever). On a
+    * batch frame the same code degenerates to a plain range join, which is
+    * how the spec cross-checks it.
+    */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+                      windowSpec: String = "30 minutes",
+                      watermark: String = "1 hour"): DataFrame = {
+    val p = withEventTime(purchases)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", watermark)
+    val c = withEventTime(clicks)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("event_time").as("c_time"))
+      .withWatermark("c_time", watermark)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_time") > col("p_time") &&
+        col("c_time") <= col("p_time") + expr(s"INTERVAL $windowSpec"))
+      .select(col("purchase_id"), col("click_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // windowed aggregation (batch-equivalent of the streaming query)
     "stream_hourly_counts" -> ((s, dir) =>

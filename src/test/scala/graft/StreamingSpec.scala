@@ -96,6 +96,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches its batch range-join form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    def nano(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", org.apache.spark.sql.functions.col("ts") * 1000)
+    val joined = EventStreams.attributionJoin(
+      nano(purchases.toDF()), nano(clicks.toDF()))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attrib_out").start()
+    try {
+      // purchase@1000min for user 1; clicks at +10min (in window), +40min
+      // (outside), same-user-other and other-user controls
+      purchases.addData(ev(100, 1000, 1, "purchase"), ev(101, 1500, 2, "purchase"))
+      clicks.addData(ev(200, 1010, 1, "click"), ev(201, 1040, 1, "click"),
+        ev(202, 1010, 3, "click"), ev(203, 1520, 2, "click"))
+      q.processAllAvailable()
+      val stream = spark.table("attrib_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stream === Set((100L, 200L), (101L, 203L)))
+      // batch form of the same inputs through the same code path
+      val batch = EventStreams.attributionJoin(
+          nano(Seq(ev(100, 1000, 1, "purchase"), ev(101, 1500, 2, "purchase")).toDF()),
+          nano(Seq(ev(200, 1010, 1, "click"), ev(201, 1040, 1, "click"),
+            ev(202, 1010, 3, "click"), ev(203, 1520, 2, "click")).toDF()))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === stream)
+    } finally q.stop()
+  }
+
   test("watermarked stream dedup keeps one row per key and agrees with batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
