@@ -449,6 +449,51 @@ object Dedup {
     else ngramJaccardPairsBlocked(d, threshold, corpusBytes = totalChars * 8L)
   }
 
+  /** Embedding near-dup pairs via random-hyperplane LSH — the production
+    * path that escapes the O(N²) of [[embeddingCosinePairsBlocked]]: each
+    * vector gets `bands` sign-bit bucket keys from ONE codegen'd pass
+    * ([[graft.functions.LshBandBuckets]]), candidate pairs collide in ≥ 1
+    * band, and only candidates are scored with the exact cosine (same
+    * sequential-double contract as the blocked kernel, so every emitted
+    * pair is a TRUE pair — banding only affects recall, never precision).
+    *
+    * Geometry: per-band collision p = (1 − θ/π)^bits. The defaults (8
+    * bands × 8 bits) target the near-dup regime: cos ≥ 0.9 (θ ≤ 26°) →
+    * 0.86^8 ≈ 0.29/band → 1−(1−0.29)^8 ≈ 94% recall, while random pairs
+    * (θ ≈ 90°) collide at ~0.4% per band. A LOW threshold (broad similarity
+    * mining) needs the blocked exact path instead — recall at cos 0.4 is
+    * only ~20%.
+    *
+    * Scale shape: banded self-join on small (band, bucket) keys; the
+    * verification joins fetch vectors by vec_id with NO broadcast hints —
+    * equi-joins AQE resolves per runtime size (same design as
+    * [[minhashLshPairs]] verification).
+    */
+  def embeddingCosinePairsLsh(e: DataFrame, threshold: Double, dim: Int,
+                              bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+    import graft.functions.LshBandBuckets
+    val par = math.max(e.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    val banded = e.select(col("vec_id"), col("embedding")).repartition(par)
+      .select(col("vec_id"),
+        posexplode(LshBandBuckets(col("embedding"), bands, bitsPerBand, dim))
+          .as(Seq("bi", "bk")))
+    val cands = banded.alias("l")
+      .join(banded.alias("r"),
+        col("l.bi") === col("r.bi") && col("l.bk") === col("r.bk") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
+      .distinct()
+    val va = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      VectorFns.l2normN(col("embedding"), dim).as("na"))
+    val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      VectorFns.l2normN(col("embedding"), dim).as("nb"))
+    cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFns.dotN(col("ea"), col("eb"), dim) /
+          (col("na") * col("nb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Cross-set blocked all-pairs (batch × corpus analog of [[blockedPairs]]):
     * left rows hash into bL blocks, right rows into bR; each (bl, br) pair
     * is one task holding exactly one block of each side — no broadcast, no
@@ -607,6 +652,13 @@ object Dedup {
     // embedding-cosine near-dup pairs via the corpus-blocked numeric kernel.
     "dedup_embedding_cosine" -> ((s, dir) =>
       embeddingCosinePairsBlocked(emb(s, dir), threshold = 0.4,
+        dim = graft.Tables.EmbeddingDim)),
+
+    // embedding near-dup via hyperplane-LSH banding (production path; no
+    // oracle: candidates depend on the hyperplane hash — every emitted
+    // pair is exact-cosine-verified, recall pinned in OperatorsSpec)
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      embeddingCosinePairsLsh(emb(s, dir), threshold = 0.4,
         dim = graft.Tables.EmbeddingDim)),
 
     // incremental ingest dedup: hash-split 80/20 into corpus/new-batch

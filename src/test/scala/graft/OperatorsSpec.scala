@@ -161,6 +161,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.contains((100, 0, 1))) // and vice versa
   }
 
+  test("Dedup: embedding LSH pairs ⊆ exact pairs, with pinned recall on planted near-dups") {
+    val rnd2 = new scala.util.Random(7)
+    val dim = 16
+    val base = Seq.tabulate(40)(i => (i.toLong, Array.fill(dim)(rnd2.nextGaussian().toFloat)))
+    // planted near-dups: jittered copies of the first 10 (cos ≈ 0.99)
+    val dups = base.take(10).map { case (id, v) =>
+      (id + 100L, v.map(x => x + 0.05f * rnd2.nextGaussian().toFloat))
+    }
+    val e = (base ++ dups).toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = pairSet(Dedup.embeddingCosinePairsBlocked(e, 0.9, dim))
+    val lsh = pairSet(Dedup.embeddingCosinePairsLsh(e, 0.9, dim))
+    assert(exact.size >= 10, s"fixture should plant ≥10 near-dup pairs, got ${exact.size}")
+    // every LSH pair is exact-verified → precision 1.0 by construction
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    // recall floor: a refactor that silently degrades banding must fail here
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"embedding-LSH recall regressed: $recall")
+  }
+
   test("Dedup: incremental batch-vs-corpus admits only novel documents") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
