@@ -457,12 +457,15 @@ object Dedup {
     * sequential-double contract as the blocked kernel, so every emitted
     * pair is a TRUE pair — banding only affects recall, never precision).
     *
-    * Geometry: per-band collision p = (1 − θ/π)^bits. The defaults (8
-    * bands × 8 bits) target the near-dup regime: cos ≥ 0.9 (θ ≤ 26°) →
-    * 0.86^8 ≈ 0.29/band → 1−(1−0.29)^8 ≈ 94% recall, while random pairs
-    * (θ ≈ 90°) collide at ~0.4% per band. A LOW threshold (broad similarity
-    * mining) needs the blocked exact path instead — recall at cos 0.4 is
-    * only ~20%.
+    * Geometry: per-band collision p = (1 − θ/π)^bits — TUNE (bands, bits)
+    * to the threshold. The defaults (8 bands × 8 bits) target the near-dup
+    * regime: cos ≥ 0.9 (θ ≤ 26°) → 0.86^8 ≈ 0.29/band → 1−(1−0.29)^8 ≈
+    * 94% recall, while random pairs (θ ≈ 90°) collide at ~0.4% per band.
+    * A LOWER threshold needs fewer bits and more bands (cos 0.4: 16×4 ≈
+    * 95% recall, at the cost of admitting ~60% of random pairs as
+    * candidates — the low-threshold regime is where the blocked exact path
+    * wins, because LSH selectivity and recall trade off against each
+    * other).
     *
     * Scale shape: banded self-join on small (band, bucket) keys; the
     * verification joins fetch vectors by vec_id with NO broadcast hints —
@@ -656,10 +659,14 @@ object Dedup {
 
     // embedding near-dup via hyperplane-LSH banding (production path; no
     // oracle: candidates depend on the hyperplane hash — every emitted
-    // pair is exact-cosine-verified, recall pinned in OperatorsSpec)
+    // pair is exact-cosine-verified, recall pinned in OperatorsSpec).
+    // Banding tuned to THIS threshold: at cos 0.4 (θ≈66°) 16 bands × 4
+    // bits give 0.65^4≈0.18/band → 1−(1−0.18)^16 ≈ 95% recall (measured
+    // 56/59 at sf0.01); the 8×8 defaults target the cos≥0.9 regime and
+    // would recall only ~20% here.
     "dedup_embedding_lsh" -> ((s, dir) =>
       embeddingCosinePairsLsh(emb(s, dir), threshold = 0.4,
-        dim = graft.Tables.EmbeddingDim)),
+        dim = graft.Tables.EmbeddingDim, bands = 16, bitsPerBand = 4)),
 
     // incremental ingest dedup: hash-split 80/20 into corpus/new-batch
     // (Sampling.hashBucket — the same split the oracle reproduces), admit

@@ -14,11 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes:
   *  - [[sequencePacking]] is the "concatenate then chunk every B tokens"
-    *  construction used for pretraining batches: a document's pack span is
-    *  a pure function of the running token total before it, i.e. ONE
-    *  windowed prefix sum per packing group. Groups (here: language) bound
-    *  the sort — a global total order would serialize; per-group order is
-    *  the standard compromise and each group sorts in parallel.
+  *    construction used for pretraining batches: a document's pack span is
+  *    a pure function of the running token total before it, i.e. ONE
+  *    windowed prefix sum per packing group. Groups (here: language) bound
+  *    the sort — a global total order would serialize; per-group order is
+  *    the standard compromise and each group sorts in parallel.
   *  - [[chunkSpans]] is embarrassingly parallel (per-row `sequence` +
   *    `explode`).
   */
@@ -32,6 +32,9 @@ object Packing {
   def sequencePacking(d: DataFrame, budget: Int,
                       groupCol: String = "lang",
                       orderCol: String = "doc_id"): DataFrame = {
+    // fail fast: `div 0` is NULL in non-ANSI Spark — a zero budget would
+    // "succeed" with all-NULL pack ids
+    require(budget > 0, s"token budget must be positive, got $budget")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // integer `div`, not `/`: the running token total of a 100 TB corpus

@@ -172,6 +172,15 @@ object EventStreams {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("n_copies"))),
 
+    // stream-stream interval join, batch form (same code path; the
+    // streaming execution with watermarked state is pinned in StreamingSpec)
+    "stream_attrib_join" -> ((s, dir) => {
+      val ev = graft.Tables(s, dir, "events")
+      attributionJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+    }),
+
     // gap-based sessionization (batch window form; the streaming form is the
     // flatMapGroupsWithState path tested in StreamingSpec). Sessionizes on
     // microseconds — DuckDB's epoch_ns truncates ns timestamps to µs, so the
@@ -190,6 +199,13 @@ object EventStreams {
   )
 
   def oracles: Map[String, String] = Map(
+    "stream_attrib_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND epoch_us(c.ts) > epoch_us(p.ts)
+        | AND epoch_us(c.ts) <= epoch_us(p.ts) + 1800000000""".stripMargin,
     "stream_dedup" ->
       """SELECT MIN(event_id) AS event_id, user_id, event_type, value,
         |  COUNT(*) AS n_copies
