@@ -78,6 +78,23 @@ class PlanSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("driver contract: every oracle key names a registered query, no duplicates") {
+    val qKeys = SparkEntry.queries.keySet
+    val oKeys = SparkEntry.oracleSql.keySet
+    assert(oKeys.subsetOf(qKeys), s"orphan oracles: ${oKeys.diff(qKeys)}")
+    // a module accidentally redefining a query name would silently drop one
+    val allNames = Seq(
+      graft.operators.Relational.queries, graft.operators.TextAnalysis.queries,
+      graft.operators.Dedup.queries, graft.operators.Similarity.queries,
+      graft.operators.Multimodal.queries, graft.operators.Temporal.queries,
+      graft.operators.Sampling.queries, graft.operators.Clustering.queries,
+      graft.operators.Packing.queries, graft.streaming.EventStreams.queries,
+      graft.models.ComposedPipeline.queries).flatMap(_.keys) :+ "q1_agg"
+    assert(allNames.size === allNames.distinct.size,
+      s"duplicate query names: ${allNames.diff(allNames.distinct)}")
+    assert(qKeys.size === allNames.size)
+  }
+
   test("pairwise similarity ops parallelize the streamed side") {
     // the nested-loop pair joins must not run on one input split
     val n = q("dedup_embedding_cosine").rdd.getNumPartitions
