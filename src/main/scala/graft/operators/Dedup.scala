@@ -657,16 +657,19 @@ object Dedup {
       embeddingCosinePairsBlocked(emb(s, dir), threshold = 0.4,
         dim = graft.Tables.EmbeddingDim)),
 
-    // embedding near-dup via hyperplane-LSH banding (production path; no
-    // oracle: candidates depend on the hyperplane hash — every emitted
-    // pair is exact-cosine-verified, recall pinned in OperatorsSpec).
-    // Banding tuned to THIS threshold: at cos 0.4 (θ≈66°) 16 bands × 4
-    // bits give 0.65^4≈0.18/band → 1−(1−0.18)^16 ≈ 95% recall (measured
-    // 56/59 at sf0.01); the 8×8 defaults target the cos≥0.9 regime and
-    // would recall only ~20% here.
+    // embedding near-dup via hyperplane-LSH banding, at its DESIGNED
+    // regime (cos ≥ 0.9, 8×8 banding → ~94% recall, ~6% of random pairs as
+    // candidates). This corpus has no true near-dups (max pairwise cos ≈
+    // 0.51 at sf0.01), so the detector correctly returns 0 rows — the
+    // planted-near-dup recall/precision pins live in OperatorsSpec. The
+    // BROAD-similarity regime (the 0.4-threshold miner) is deliberately
+    // served by the blocked exact kernel above: banding loose enough to
+    // recall cos-0.4 pairs admits ~60% of ALL pairs as candidates and then
+    // re-scores them through two vector-fetch joins — measured 10 s vs the
+    // exact kernel's 2 s, i.e. an "index" slower than brute force.
     "dedup_embedding_lsh" -> ((s, dir) =>
-      embeddingCosinePairsLsh(emb(s, dir), threshold = 0.4,
-        dim = graft.Tables.EmbeddingDim, bands = 16, bitsPerBand = 4)),
+      embeddingCosinePairsLsh(emb(s, dir), threshold = 0.9,
+        dim = graft.Tables.EmbeddingDim)),
 
     // incremental ingest dedup: hash-split 80/20 into corpus/new-batch
     // (Sampling.hashBucket — the same split the oracle reproduces), admit

