@@ -59,8 +59,7 @@ object Facts {
     // carrying a ~40×-row fan-out chain (measured 9.9 s → 1.7 s at sf0.1).
     // Explicit partition count: AQE would coalesce a small user shuffle
     // right back onto one core; this stage is fan-out-bound, not byte-bound.
-    val par = math.max(
-      stgNum.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    val par = graft.Tuning.fanout(stgNum.sparkSession)
     val sourceWithSub = rowCap.fold(joined)(joined.limit)
       .repartition(par, col("ADSH"))
 

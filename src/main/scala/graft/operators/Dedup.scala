@@ -54,16 +54,6 @@ object Dedup {
   def hashedShingles(c: Column, n: Int = 3): Column =
     graft.functions.NgramShingleHashes(c, n)
 
-  /** MinHash signature aggregation: k independent hash slots, each the min of
-    * `xxhash64(shingle, seed)` over the doc's shingle set.
-    */
-  def minhashSignature(exploded: DataFrame, idCol: String, shingleCol: String,
-                       numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col(shingleCol), lit(i))).as(s"h$i"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-  }
-
   /** 64-bit SimHash from a token column: per-bit signed vote of token hashes. */
   def simhashBits(tokenHash: Column): Seq[Column] =
     (0 until 64).map { b =>
@@ -83,7 +73,7 @@ object Dedup {
     * one core (measured: 16× slowdown at sf0.1).
     */
   def ngramJaccardPairs(d: DataFrame, threshold: Double): DataFrame = {
-    val par = math.max(d.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    val par = graft.Tuning.fanout(d.sparkSession)
     val sh = d.select(col("doc_id"), hashedShingles(col("text")).as("g"))
       .withColumn("sz", size(col("g")))
     sh.repartition(par).alias("a")
@@ -115,7 +105,7 @@ object Dedup {
     // banding semantics (band-equal ⟺ all slot minima equal) with zero
     // extra shuffle. The corpus is repartitioned first: the band-key pass is
     // the hot loop and a small parquet input is otherwise one partition.
-    val par = math.max(d.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    val par = graft.Tuning.fanout(d.sparkSession)
     val sh = d.select(col("doc_id"), hashedShingles(col("text")).as("g"))
       .withColumn("sz", size(col("g")))
     val banded = sh.repartition(par)
@@ -199,7 +189,7 @@ object Dedup {
   def embeddingCosinePairs(e: DataFrame, threshold: Double, dim: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val par = math.max(spark.sparkContext.defaultParallelism * 2, 8)
+    val par = graft.Tuning.fanout(spark)
     val data = e.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
     def norm(v: Array[Float]): Double = {
@@ -248,7 +238,7 @@ object Dedup {
   def ngramJaccardPairsKernel(d: DataFrame, threshold: Double): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
-    val par = math.max(spark.sparkContext.defaultParallelism * 2, 8)
+    val par = graft.Tuning.fanout(spark)
     val sh = d.select(col("doc_id").cast("long"), hashedShingles(col("text")))
       .as[(Long, Array[Long])]
     val corpus = sh.collect().sortBy(_._1)
@@ -326,6 +316,15 @@ object Dedup {
     * `round(score, 4) >= threshold`, id_a < id_b, HALF_UP — bit-identical to
     * the broadcast kernels and the DuckDB oracle.
     */
+  /** Oracle-contract rounding for the RDD pair kernels: HALF_UP to 4
+    * decimals, with NaN (e.g. Jaccard 0/0 on two empty shingle sets) mapped
+    * below any threshold — NULL in the SQL form never passes the filter.
+    */
+  private def round4(x: Double): Double =
+    if (x.isNaN) Double.NegativeInfinity
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
   private def blockedPairs[P, Q](data: Dataset[(Long, P)], b: Int,
                                  prep: P => Q, score: (Q, Q) => Double,
                                  threshold: Double)(
@@ -333,13 +332,6 @@ object Dedup {
 
     val spark = data.sparkSession
     val numTasks = b * (b + 1) / 2
-
-    // NaN (e.g. Jaccard 0/0 on two empty shingle sets) is NULL in the SQL
-    // form and never passes the threshold — mirror that by skipping.
-    def round4(x: Double): Double =
-      if (x.isNaN) Double.NegativeInfinity
-      else java.math.BigDecimal.valueOf(x)
-        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
     val grouped = data.rdd.flatMap { case (id, p) =>
       val blk = math.floorMod(id, b).toInt
@@ -475,7 +467,7 @@ object Dedup {
   def embeddingCosinePairsLsh(e: DataFrame, threshold: Double, dim: Int,
                               bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
     import graft.functions.LshBandBuckets
-    val par = math.max(e.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    val par = graft.Tuning.fanout(e.sparkSession)
     val banded = e.select(col("vec_id"), col("embedding")).repartition(par)
       .select(col("vec_id"),
         posexplode(LshBandBuckets(col("embedding"), bands, bitsPerBand, dim))
@@ -510,10 +502,6 @@ object Dedup {
       implicit outEnc: Encoder[(Long, Long, Double)]): Dataset[(Long, Long, Double)] = {
     val spark = left.sparkSession
     val numTasks = math.min(bLeft.toLong * bRight, Int.MaxValue.toLong).toInt
-    def round4(x: Double): Double =
-      if (x.isNaN) Double.NegativeInfinity
-      else java.math.BigDecimal.valueOf(x)
-        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
     val l = left.rdd.flatMap { case (id, p) =>
       val bl = math.floorMod(id, bLeft).toInt
       (0 until bRight).map(br => ((bl, br), (true, id, p)))
@@ -563,7 +551,7 @@ object Dedup {
                        maxBroadcastChars: Long = 8L << 20): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val par = math.max(spark.sparkContext.defaultParallelism * 2, 8)
+    val par = graft.Tuning.fanout(spark)
     val fpC = corpus.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
     val b1 = batch
       .select(col("doc_id"), col("text"),

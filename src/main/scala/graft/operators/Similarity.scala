@@ -49,7 +49,7 @@ object Similarity {
     * once per vector instead of once per (query, vector) pair.
     */
   def bruteForceTopK(e: DataFrame, k: Int, dim: Option[Int] = None): DataFrame = {
-    val par = math.max(e.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    val par = graft.Tuning.fanout(e.sparkSession)
     val corpus = e.select(col("vec_id"), col("embedding"),
       normC(col("embedding"), dim).as("nrm")).repartition(par)
     val q = querySet(e)
@@ -82,7 +82,7 @@ object Similarity {
     */
   def lshTopK(e: DataFrame, k: Int, bands: Int = 8, bitsPerBand: Int = 4,
               dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
-    val par = math.max(e.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    val par = graft.Tuning.fanout(e.sparkSession)
     import graft.functions.LshBandBuckets
     // repartition before the hyperplane projections — the corpus is often one
     // parquet split, and the bucket pass is the hot loop
@@ -135,7 +135,7 @@ object Similarity {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("qnrm"), col("cell"))
-    val par = math.max(e.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    val par = graft.Tuning.fanout(e.sparkSession)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     // corpus streams (repartitioned), the tiny probed set broadcasts — a
     // shuffle join on `cell` would cap parallelism at the number of cells
