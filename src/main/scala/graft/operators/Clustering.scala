@@ -30,10 +30,20 @@ object Clustering {
     * cluster_id = min doc_id of the component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").cast("long").as("src"),
+    val edges0 = pairs.select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
       .localCheckpoint()
+    // Size the loop's partitioning to the GRAPH, not to the pair-generation
+    // job that produced it: every round re-reads the checkpointed edges, so
+    // a small graph inheriting 64 upstream partitions pays 64 near-empty
+    // tasks per stage per round. ~500k edges per partition, floor 1.
+    val edgeCount = edges0.count()
+    val parts = math.max(1L, math.min(edges0.rdd.getNumPartitions.toLong,
+      edgeCount / 500000L + 1L)).toInt
+    val edges =
+      if (parts < edges0.rdd.getNumPartitions) edges0.coalesce(parts).localCheckpoint()
+      else edges0
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

@@ -433,9 +433,14 @@ object Dedup {
     // 8M chars ≈ 64 MB of hashed-shingle long[]s on the driver (8 bytes per
     // char upper bound, before dedup) — safely inside a default 1g driver,
     // unlike the previous 32M default (~270 MB plus a sorted copy). The size
-    // probe is one column scan; its result also feeds the blocked path's
-    // memory-bounded block count.
-    val row = d.agg(sum(length(col("text")))).head
+    // probe prefers a precomputed length column (documents.n_chars): column
+    // pruning then reads 8 bytes/row instead of the full text — at 100 TB
+    // the probe must not itself scan the corpus text. Its result also feeds
+    // the blocked path's memory-bounded block count.
+    val sizeCol =
+      if (d.columns.contains("n_chars")) sum(col("n_chars").cast("long"))
+      else sum(length(col("text")).cast("long"))
+    val row = d.agg(sizeCol).head
     val totalChars = if (row.isNullAt(0)) 0L else row.getLong(0)
     if (totalChars <= maxBroadcastChars) ngramJaccardPairsKernel(d, threshold)
     else ngramJaccardPairsBlocked(d, threshold, corpusBytes = totalChars * 8L)
