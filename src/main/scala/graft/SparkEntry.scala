@@ -55,6 +55,7 @@ object SparkEntry {
     graft.operators.Sampling.queries ++
     graft.operators.Clustering.queries ++
     graft.operators.Packing.queries ++
+    graft.operators.Curation.queries ++
     graft.streaming.EventStreams.queries ++
     graft.models.ComposedPipeline.queries
 
@@ -77,6 +78,7 @@ object SparkEntry {
     graft.operators.Sampling.oracles ++
     graft.operators.Clustering.oracles ++
     graft.operators.Packing.oracles ++
+    graft.operators.Curation.oracles ++
     graft.streaming.EventStreams.oracles ++
     graft.models.ComposedPipeline.oracles
 }

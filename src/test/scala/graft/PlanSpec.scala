@@ -88,7 +88,8 @@ class PlanSpec extends AnyFunSuite {
       graft.operators.Dedup.queries, graft.operators.Similarity.queries,
       graft.operators.Multimodal.queries, graft.operators.Temporal.queries,
       graft.operators.Sampling.queries, graft.operators.Clustering.queries,
-      graft.operators.Packing.queries, graft.streaming.EventStreams.queries,
+      graft.operators.Packing.queries, graft.operators.Curation.queries,
+      graft.streaming.EventStreams.queries,
       graft.models.ComposedPipeline.queries).flatMap(_.keys) :+ "q1_agg"
     assert(allNames.size === allNames.distinct.size,
       s"duplicate query names: ${allNames.diff(allNames.distinct)}")
