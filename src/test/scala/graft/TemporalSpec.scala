@@ -128,6 +128,42 @@ class TemporalSpec extends AnyFunSuite {
     assert(Clustering.connectedComponents(empty).count() === 0L)
   }
 
+  test("curateCorpus: dedups, filters quality and language, assigns splits") {
+    val d = Seq(
+      // long enough English text to clear the 0.5 quality floor
+      (1L, "spark engines process large volumes of data with distributed execution " +
+        "plans that scale across many machines " + ("more tokens here " * 10)),
+      (2L, "spark engines process large volumes of data with distributed execution " +
+        "plans that scale across many machines " + ("more tokens here " * 10)), // exact dup of 1
+      (3L, "short text"), // quality below floor
+      (4L, "der hund und die katze sind nicht das problem und nicht die antwort " +
+        ("der und das ist nicht " * 10)) // German
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curation.curateCorpus(d, minQuality = 0.5, lang = "en")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L)) // survivor of the dup pair, quality+lang pass
+  }
+
+  test("rangeJoinBucketed agrees with a naive filter join on random data") {
+    val rnd = new scala.util.Random(11)
+    val intervals = Seq.tabulate(60)(i =>
+      (i.toLong, (rnd.nextInt(4) + 1).toLong,
+        rnd.nextInt(5000).toLong, 0L)).map { case (id, k, s, _) =>
+      (id, k, s, s + 200L + rnd.nextInt(900)) } // width 200-1100, bucket 500
+    val points = Seq.tabulate(300)(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(7000).toLong))
+    val got = Temporal.rangeJoinBucketed(
+        intervals.toDF("iv_id", "k", "s", "e"), points.toDF("pt_id", "k", "t"),
+        key = "k", startCol = "s", endCol = "e", timeCol = "t", bucketWidth = 500L)
+      .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (iv, ik, s, e) <- intervals
+      (pt, pk, t) <- points
+      if ik == pk && t > s && t <= e
+    } yield (iv, pt)).toSet
+    assert(got === want)
+  }
+
   test("sequencePacking: concat-then-chunk spans with straddling documents") {
     // budget 10; en docs of 4, 8, 3 tokens in doc_id order:
     //   doc 0: tokens [0,4)  → pack 0, offset 0
