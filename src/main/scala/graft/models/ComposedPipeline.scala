@@ -96,19 +96,32 @@ object ComposedPipeline {
     * per-request leak in a long-lived serve session.
     */
   def composedFact(s: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // Materializations run as PARALLEL waves (dbt's executor does the same;
+    // cf. ModelGraph): each localCheckpoint is a blocking Spark job, and the
+    // three staging models — then the two dims — are mutually independent,
+    // so each wave submits its jobs concurrently and the Spark scheduler
+    // interleaves them across cores. The global EC's daemon threads need no
+    // shutdown (unlike a dedicated pool — see ModelGraph's hygiene note).
+    def parallel[A](fs: Seq[() => A]): Seq[A] =
+      Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
     val raw = rawTables(s, dir)
     // staging is localCheckpoint'ed (dbt materializes staging models too):
     // each frame feeds 3-4 downstream consumers, and checkpointing replaces
     // the repeated scan+join+cleansing subtree with a LogicalRDD leaf —
     // both the recompute AND the per-consumer analysis/codegen of the
     // subtree disappear (measured ~2 s at sf0.1)
-    val stgSub = Staging.stgSub(raw("sub")).localCheckpoint()
-    val stgNum = Staging.stgNum(raw("num")).localCheckpoint()
-    val stgPre = Staging.stgPre(raw("pre")).localCheckpoint()
+    val Seq(stgSub, stgNum, stgPre) = parallel(Seq(
+      () => Staging.stgSub(raw("sub")).localCheckpoint(),
+      () => Staging.stgNum(raw("num")).localCheckpoint(),
+      () => Staging.stgPre(raw("pre")).localCheckpoint()))
     val stgTag = Staging.stgTag(raw("tag"))
     val dimAddress = Dims.dimAddress(stgSub)
-    val dimCompany = Dims.dimCompany(dimAddress, stgSub).localCheckpoint()
-    val dimFilings = Dims.dimFilings(stgPre, stgTag, stgNum, stgSub).localCheckpoint()
+    val Seq(dimCompany, dimFilings) = parallel(Seq(
+      () => Dims.dimCompany(dimAddress, stgSub).localCheckpoint(),
+      () => Dims.dimFilings(stgPre, stgTag, stgNum, stgSub).localCheckpoint()))
     // start 1992: TPC-H order dates are 1992-1998; the default 2000 calendar
     // would left-join to nothing and leave the date branch dead
     val dimDate = Dims.dimDate(s, start = "1992-01-01")
