@@ -96,37 +96,40 @@ object ComposedPipeline {
     * per-request leak in a long-lived serve session.
     */
   def composedFact(s: SparkSession, dir: String): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    // Materializations run as PARALLEL waves (dbt's executor does the same;
-    // cf. ModelGraph): each localCheckpoint is a blocking Spark job, and the
-    // three staging models — then the two dims — are mutually independent,
-    // so each wave submits its jobs concurrently and the Spark scheduler
-    // interleaves them across cores. The global EC's daemon threads need no
-    // shutdown (unlike a dedicated pool — see ModelGraph's hygiene note).
-    def parallel[A](fs: Seq[() => A]): Seq[A] =
-      Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
-    val raw = rawTables(s, dir)
-    // staging is localCheckpoint'ed (dbt materializes staging models too):
-    // each frame feeds 3-4 downstream consumers, and checkpointing replaces
-    // the repeated scan+join+cleansing subtree with a LogicalRDD leaf —
-    // both the recompute AND the per-consumer analysis/codegen of the
-    // subtree disappear (measured ~2 s at sf0.1)
-    val Seq(stgSub, stgNum, stgPre) = parallel(Seq(
-      () => Staging.stgSub(raw("sub")).localCheckpoint(),
-      () => Staging.stgNum(raw("num")).localCheckpoint(),
-      () => Staging.stgPre(raw("pre")).localCheckpoint()))
-    val stgTag = Staging.stgTag(raw("tag"))
-    val dimAddress = Dims.dimAddress(stgSub)
-    val Seq(dimCompany, dimFilings) = parallel(Seq(
-      () => Dims.dimCompany(dimAddress, stgSub).localCheckpoint(),
-      () => Dims.dimFilings(stgPre, stgTag, stgNum, stgSub).localCheckpoint()))
-    // start 1992: TPC-H order dates are 1992-1998; the default 2000 calendar
-    // would left-join to nothing and leave the date branch dead
-    val dimDate = Dims.dimDate(s, start = "1992-01-01")
-    Facts.buildFact("R", stgNum, stgPre, stgSub,
-        dimCompany, dimFilings, dimDate, rowCap = None)
+    import graft.graph.{Model, ModelGraph, Table}
+    // The SAME wave-parallel runner the EDGAR pipeline uses (ModelGraph:
+    // topo order, independent models built concurrently on a managed pool),
+    // with materialization injected as `localCheckpoint` — the in-session
+    // analog of dbt's table materialization. Staging and dims are
+    // `Table`-marked: each feeds 2-4 downstream consumers, and the
+    // checkpoint replaces the repeated scan+join+cleansing subtree with a
+    // LogicalRDD leaf — the recompute AND the per-consumer analysis/codegen
+    // of the subtree both disappear (measured ~2 s at sf0.1; checkpoint
+    // blocks are ContextCleaner-reclaimed, unlike persist()'s CacheManager
+    // entries, so serve-session requests don't accumulate state).
+    // dim_date starts 1992: TPC-H order dates are 1992-1998; the default
+    // 2000 calendar would left-join to nothing and leave that branch dead.
+    val g = new ModelGraph(Seq(
+      Model("stg_sub", Seq("sub"), r => Staging.stgSub(r("sub")), Table()),
+      Model("stg_num", Seq("num"), r => Staging.stgNum(r("num")), Table()),
+      Model("stg_pre", Seq("pre"), r => Staging.stgPre(r("pre")), Table()),
+      Model("stg_tag", Seq("tag"), r => Staging.stgTag(r("tag"))),
+      Model("dim_address", Seq("stg_sub"), r => Dims.dimAddress(r("stg_sub"))),
+      Model("dim_company", Seq("dim_address", "stg_sub"),
+        r => Dims.dimCompany(r("dim_address"), r("stg_sub")), Table()),
+      Model("dim_filings", Seq("stg_pre", "stg_tag", "stg_num", "stg_sub"),
+        r => Dims.dimFilings(r("stg_pre"), r("stg_tag"), r("stg_num"), r("stg_sub")),
+        Table()),
+      Model("dim_date", Nil, _ => Dims.dimDate(s, start = "1992-01-01")),
+      Model("fct", Seq("stg_num", "stg_pre", "stg_sub",
+          "dim_company", "dim_filings", "dim_date"),
+        r => Facts.buildFact("R", r("stg_num"), r("stg_pre"), r("stg_sub"),
+          r("dim_company"), r("dim_filings"), r("dim_date"), rowCap = None))))
+    val registry = g.run(rawTables(s, dir), materialize = {
+      case (m, df) if m.materialization.isInstanceOf[Table] => df.localCheckpoint()
+      case (_, df) => df
+    })(s)
+    registry("fct")
       .select(col("FCT_VALUE").cast("double").as("FCT_VALUE"),
         col("COMPANY_NAME"), col("FILEDDATE"), col("STATEMENTTYPE"),
         col("TAG"), col("UNITOFMEASURE"), col("VERSION"))

@@ -41,8 +41,11 @@ object Clustering {
     val edgeCount = edges0.count()
     val parts = math.max(1L, math.min(edges0.rdd.getNumPartitions.toLong,
       edgeCount / 500000L + 1L)).toInt
+    // coalesce is narrow — each round reads the cached checkpoint blocks
+    // through it, so no second materialization (and no duplicate copy of
+    // the edge set in storage memory)
     val edges =
-      if (parts < edges0.rdd.getNumPartitions) edges0.coalesce(parts).localCheckpoint()
+      if (parts < edges0.rdd.getNumPartitions) edges0.coalesce(parts)
       else edges0
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

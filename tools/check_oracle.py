@@ -17,6 +17,14 @@ TABLES = ["lineitem", "orders", "customer", "part", "supplier", "nation",
           "region", "events", "documents", "embeddings"]
 
 
+def connect(sfdir: str):
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sfdir}/{tbl}.parquet')")
+    return con
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     # stringify for dtype-insensitive compare (float64 reprs must match)
@@ -25,41 +33,41 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sfdir: str, outdir: str) -> int:
-    con = duckdb.connect()
-    for tbl in TABLES:
-        con.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sfdir}/{tbl}.parquet')")
-    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    failed = []
-    for name, sql in sorted(oracle.items()):
-        try:
-            expected = norm(con.execute(sql).df())
-        except Exception as e:
-            print(f"{name}: ORACLE ERROR {e}")
-            failed.append(name)
-            continue
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
-        if not files:
-            print(f"{name}: NO SPARK OUTPUT")
-            failed.append(name)
-            continue
-        got = norm(pd.concat([pd.read_parquet(p) for p in files]))
-        if list(got.columns) != list(expected.columns):
-            print(f"{name}: SCHEMA MISMATCH spark={list(got.columns)} duck={list(expected.columns)}")
-            failed.append(name)
-        elif not got.equals(expected):
-            print(f"{name}: VALUE MISMATCH rows spark={len(got)} duck={len(expected)}")
-            merged = got.compare(expected) if len(got) == len(expected) else None
-            if merged is not None and not merged.empty:
-                print(merged.head(5))
-            else:
-                print(" spark:\n", got.head(5), "\n duck:\n", expected.head(5))
-            failed.append(name)
+def compare_one(con, name: str, sql: str, outdir: str) -> bool:
+    """Compare one query's Spark dump against its DuckDB oracle; prints a
+    status line (plus mismatch diagnostics) and returns True on match."""
+    try:
+        expected = norm(con.execute(sql).df())
+    except Exception as e:
+        print(f"{name}: ORACLE ERROR {e}")
+        return False
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"{name}: NO SPARK OUTPUT")
+        return False
+    got = norm(pd.concat([pd.read_parquet(p) for p in files]))
+    if list(got.columns) != list(expected.columns):
+        print(f"{name}: SCHEMA MISMATCH spark={list(got.columns)} duck={list(expected.columns)}")
+        return False
+    if not got.equals(expected):
+        print(f"{name}: VALUE MISMATCH rows spark={len(got)} duck={len(expected)}")
+        merged = got.compare(expected) if len(got) == len(expected) else None
+        if merged is not None and not merged.empty:
+            print(merged.head(5))
         else:
-            print(f"{name}: MATCH rows={len(got)}")
-    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} match")
-    return 1 if failed else 0
+            print(" spark:\n", got.head(5), "\n duck:\n", expected.head(5))
+        return False
+    print(f"{name}: MATCH rows={len(got)}")
+    return True
+
+
+def main(sfdir: str, outdir: str) -> int:
+    con = connect(sfdir)
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    ok = sum(compare_one(con, name, sql, outdir)
+             for name, sql in sorted(oracle.items()))
+    print(f"\n{ok}/{len(oracle)} match")
+    return 0 if ok == len(oracle) else 1
 
 
 if __name__ == "__main__":
