@@ -24,8 +24,19 @@ final case class Model(
 sealed trait Materialization
 /** dbt `materialized='view'` → lazy DataFrame (plan only, recomputed per use). */
 case object View extends Materialization
-/** dbt `materialized='table'` → persisted parquet, optionally cluster-sorted. */
-final case class Table(clusterBy: Seq[String] = Nil) extends Materialization
+/** dbt `materialized='table'` → persisted columnar table, optionally
+  * cluster-sorted; `format` ∈ {parquet, orc} (both native columnar sources
+  * with pushdown + vectorized read).
+  */
+final case class Table(clusterBy: Seq[String] = Nil,
+                       format: String = "parquet") extends Materialization
+/** Hive-style directory partitioning (`partitionBy` write): equality/IN
+  * filters on the partition columns prune entire directories at PLANNING
+  * time — the coarse pruning tier above file-level min/max clustering, and
+  * the standard warehouse layout for date-partitioned facts.
+  */
+final case class Partitioned(partitionBy: Seq[String],
+                             format: String = "parquet") extends Materialization
 /** dbt incremental: append rows where `column >= max(column)` in the sink
   * (reference: json_transform/macros/incremental_filter.sql:1-5).
   */

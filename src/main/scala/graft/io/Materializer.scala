@@ -3,7 +3,7 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.{Bucketed, Incremental, Materialization, Model, Table, View}
+import graft.graph.{Bucketed, Incremental, Materialization, Model, Partitioned, Table, View}
 
 /** Model materializer: dbt materializations → Spark write paths
   * (reference: masterfindata/dbt_project.yml:26-45, fct_balanceSheet.sql:1-6).
@@ -30,13 +30,21 @@ final class Materializer(spark: SparkSession, warehouseDir: String,
       case View =>
         df.createOrReplaceTempView(name)
         df
-      case Table(clusterBy) =>
+      case Table(clusterBy, format) =>
         val out =
           if (clusterBy.isEmpty) df
           else df.repartition(clusterPartitions, clusterBy.map(col): _*)
             .sortWithinPartitions(clusterBy.map(col): _*)
-        out.write.mode("overwrite").parquet(path(name))
-        val back = spark.read.parquet(path(name))
+        out.write.mode("overwrite").format(format).save(path(name))
+        val back = spark.read.format(format).load(path(name))
+        back.createOrReplaceTempView(name)
+        back
+      case Partitioned(partitionBy, format) =>
+        // one directory per partition value; a filter on the partition
+        // column prunes directories before any file is opened
+        df.write.mode("overwrite").partitionBy(partitionBy: _*)
+          .format(format).save(path(name))
+        val back = spark.read.format(format).load(path(name))
         back.createOrReplaceTempView(name)
         back
       case Bucketed(bucketBy, numBuckets) =>

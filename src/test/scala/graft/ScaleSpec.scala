@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.graph.{Bucketed, Incremental}
+import graft.graph.{Bucketed, Incremental, Partitioned, Table}
 import graft.io.{CsvIo, Materializer}
 import graft.operators.SkewJoin
 
@@ -86,6 +86,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows(1).getAs[Double]("temperature_celsius") === 0.0)
     CsvIo.writeWeather(df, s"$dir/out")
     assert(CsvIo.readWeather(spark, s"$dir/out").count() === 2)
+  }
+
+  test("partitioned materialization prunes directories at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("part-wh").toString
+    val m = new Materializer(spark, dir)
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val back = m.materialize("ev_by_type", ev, Partitioned(Seq("event_type")))
+    val filtered = back.filter(col("event_type") === "click")
+    // the scan must carry a PARTITION filter (directory pruning), leaving
+    // no data filter to evaluate per row
+    val scan = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "no partition filters")
+    assert(filtered.count() ===
+      ev.filter(col("event_type") === "click").count())
+    // and only the matching directory's files are read
+    assert(scan.metadata("Location").contains("ev_by_type"))
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files).forall(_.getPath.toString.contains("event_type=click")))
+  }
+
+  test("ORC table materialization round-trips with clustering") {
+    val dir = java.nio.file.Files.createTempDirectory("orc-wh").toString
+    val m = new Materializer(spark, dir)
+    val n = graft.Tables(spark, "/root/testdata/sf0.001", "nation")
+    val back = m.materialize("nation_orc", n,
+      Table(clusterBy = Seq("n_regionkey"), format = "orc"))
+    assert(back.count() === n.count())
+    assert(back.schema === n.schema)
+    // the files on disk are ORC, not parquet
+    val files = new java.io.File(s"$dir/nation_orc").listFiles()
+    assert(files.exists(_.getName.endsWith(".orc")), files.mkString(","))
   }
 
   test("blocked-pairs block count grows with the corpus under a fixed memory budget") {
