@@ -104,6 +104,15 @@ class TemporalSpec extends AnyFunSuite {
     // rough proportions at n=1000 (uniform hash: ±5% slack)
     val bySplit = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
     assert(bySplit("train") > 750 && bySplit("train") < 850)
+    // hashSample: deterministic Bernoulli — exactly the rows whose bucket
+    // falls under pct, so sample(20) ⊇ sample(10) and both re-derive
+    val s10 = Sampling.hashSample(spark.range(1000).toDF("id"), col("id"), 10)
+      .as[Long].collect().toSet
+    val s20 = Sampling.hashSample(spark.range(1000).toDF("id"), col("id"), 20)
+      .as[Long].collect().toSet
+    assert(s10.subsetOf(s20), "sample nesting broken")
+    assert(s10.size > 50 && s10.size < 150, s"sample size off: ${s10.size}")
+    assert(s10 === rows.filter(_.getLong(1) < 10).map(_.getLong(0)).toSet)
   }
 
   test("connectedComponents: chain, triangle, and min-id labels") {
