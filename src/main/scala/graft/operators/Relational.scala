@@ -355,6 +355,12 @@ object Relational {
           concat(year(col("d")), lit("q"), quarter(col("d"))).as("year_quarter"))
     }),
 
+    // column-level data profile (the dbt-docs/warehouse-stats analog): one
+    // scan produces every column's row/null/distinct counts and min/max.
+    "t0_profile" -> ((s, dir) =>
+      graft.quality.Checks.profile(
+        t(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars"))),
+
     // T4: accepted_values violations (reporting rows, as in quality.Checks).
     "t4_accepted_values" -> ((s, dir) => {
       t(s, dir, "events")
@@ -543,6 +549,17 @@ object Relational {
         |FROM orders
         |WHERE REGEXP_MATCHES(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '^\d{4}-\d{2}-\d{2}$')
         |  AND EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) BETWEEN 1992 AND 1998""".stripMargin,
+    "t0_profile" ->
+      """SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(doc_id) AS n_nulls, COUNT(DISTINCT doc_id) AS n_distinct,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS min_value, CAST(MAX(doc_id) AS VARCHAR) AS max_value
+        |FROM documents
+        |UNION ALL SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+        |  MIN(lang), MAX(lang) FROM documents
+        |UNION ALL SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+        |  MIN(source), MAX(source) FROM documents
+        |UNION ALL SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+        |  CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents""".stripMargin,
     "t4_accepted_values" ->
       """SELECT event_id, event_type FROM events
         |WHERE event_type NOT IN ('view', 'click', 'signup', 'purchase')""".stripMargin,

@@ -82,6 +82,30 @@ object Checks {
       .withColumn("age_days", datediff(current_date(), col("latest")))
       .filter(col("age_days") > maxAgeDays || col("latest").isNull)
 
+  /** Column-level profile — the dbt-docs / warehouse-stats analog: one row
+    * per column with row/null/distinct counts and min/max (stringified so
+    * every type fits one schema). ONE aggregation job for all columns (each
+    * stat is a column expression, so a 100-column table still scans once);
+    * the per-column rows are unpivoted from that single row.
+    */
+  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__dst_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"), col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__dst_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
+    }
+    stats.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+
   final case class CheckResult(name: String, violations: Long) {
     def passed: Boolean = violations == 0L
   }
