@@ -15,8 +15,8 @@ import graft.functions.VectorFns
   *    on the hash, never on the text.
   *  - The brute-force pairwise Jaccard exists as the *oracle baseline*; its
   *    O(N²) self-join is only run at verification scale. The production path
-  *    is MinHash banding: explode→min-hash→band→bucket self-join touches
-  *    O(N·k) rows and only pairs colliding in a band are verified — the
+  *    is MinHash banding: one codegen'd band-key pass per document, a bucket
+  *    self-join on the band keys, and only colliding pairs verified — the
   *    standard way this stays tractable at billions of documents.
   *  - SimHash reduces each doc to 64 bits; candidate pairs come from exact
   *    16-bit band matches (hamming ≤ 3 guarantees ≥ one exact band by

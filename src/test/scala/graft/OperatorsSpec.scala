@@ -139,6 +139,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated doc stays out
   }
 
+  test("Dedup: minhash LSH recall vs the exact jaccard baseline (real corpus)") {
+    val docs01 = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = pairs(Dedup.ngramJaccardPairsAdaptive(docs01, 0.8))
+    val mh = pairs(Dedup.minhashLshPairs(docs01, 0.8))
+    // every banded pair is true-jaccard-verified → precision 1.0
+    assert(mh.subsetOf(exact), s"false positives: ${mh.diff(exact)}")
+    // recall floor (measured 25/25 with the band-key kernel; floor leaves
+    // slack for band-geometry tuning but fails on real degradation)
+    assert(mh.size.toDouble / exact.size >= 0.8,
+      s"minhash recall regressed: ${mh.size}/${exact.size}")
+  }
+
   test("Dedup: simhash of exact duplicates has hamming 0") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
