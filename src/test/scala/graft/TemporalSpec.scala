@@ -137,6 +137,40 @@ class TemporalSpec extends AnyFunSuite {
     assert(Clustering.connectedComponents(empty).count() === 0L)
   }
 
+  test("connectedComponents matches union-find on a random 2000-node graph") {
+    val rnd = new scala.util.Random(23)
+    val n = 2000
+    // sparse random graph: ~1.2 edges/node → many components, some chains
+    val pairs = Seq.fill((n * 1.2).toInt) {
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    // reference: plain union-find with path compression
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val touched = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    // union-find roots are not necessarily the min member — canonicalize to
+    // min id per component for the compare
+    val byRoot = touched.groupBy(id => find(id.toInt))
+    val want = byRoot.values.flatMap { members =>
+      val m = members.min
+      members.map(_ -> m)
+    }.toMap
+    val got = Clustering.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("curateCorpus: dedups, filters quality and language, assigns splits") {
     val d = Seq(
       // long enough English text to clear the 0.5 quality floor
