@@ -84,15 +84,24 @@ object Checks {
 
   /** Column-level profile — the dbt-docs / warehouse-stats analog: one row
     * per column with row/null/distinct counts and min/max (stringified so
-    * every type fits one schema). ONE aggregation job for all columns (each
-    * stat is a column expression, so a 100-column table still scans once);
-    * the per-column rows are unpivoted from that single row.
+    * every type fits one schema). ONE scan for all columns; the per-column
+    * rows are unpivoted from the single aggregated row.
+    *
+    * Distinct counts: `exact = true` uses `countDistinct`, which Catalyst
+    * plans as an Expand — the scan's rows are REPLICATED once per distinct
+    * aggregate, so profiling k columns exactly multiplies aggregation input
+    * k-fold. For wide tables at scale pass `exact = false`:
+    * `approx_count_distinct` (HLL) keeps the single-pass shape with no
+    * expansion, at ~2% error — the standard warehouse-stats tradeoff.
     */
-  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+  def profile(df: DataFrame, columns: Seq[String] = Nil,
+              exact: Boolean = true): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val distinctOf: String => org.apache.spark.sql.Column =
+      if (exact) c => countDistinct(col(c)) else c => approx_count_distinct(col(c))
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__cnt_$c"),
-        countDistinct(col(c)).as(s"__dst_$c"),
+        distinctOf(c).as(s"__dst_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     } :+ count(lit(1)).as("__rows")
