@@ -529,12 +529,82 @@ object Dedup {
     spark.createDataset(pairs)
   }
 
+  /** Tier 1 of the incremental-dedup tiers: drop batch rows whose normalized
+    * content fingerprint already exists in the corpus. Shuffles only 128-bit
+    * hashes, never text; the batch-sized survivor frame is checkpointed for
+    * its downstream consumers (shingles + final anti-join) — the corpus is
+    * the big side and is deliberately re-scanned per tier instead.
+    */
+  private def exactSurvivorBatch(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val fpC = corpus.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    batch
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .join(fpC, Seq("fp"), "left_anti")
+      .localCheckpoint()
+  }
+
+  /** Sum of text chars — prefers a precomputed length column so the probe
+    * reads 8 bytes/row (column pruning) instead of scanning the text.
+    */
+  private def totalChars(d: DataFrame): Long = {
+    val sizeCol =
+      if (d.columns.contains("n_chars")) sum(col("n_chars").cast("long"))
+      else sum(length(col("text")).cast("long"))
+    val row = d.agg(sizeCol).head
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** Banded near-dup rejection (tier 2b of [[incrementalDedup]]): batch ids
+    * with a verified (jac ≥ threshold) corpus near-dup, found via
+    * [[graft.functions.MinHashBandKeys]] banding on BOTH sides instead of
+    * exhaustive batch×corpus scoring. Candidates collide on (band, key) —
+    * an equi-join on small keys, never an all-pairs loop — and only
+    * candidates are merged through the codegen'd SortedIntersectSize
+    * verifier, so every rejection is a TRUE near-dup (banding affects
+    * recall only, never precision). This is the shape a 100 TB ingest runs:
+    * per-batch cost is O(batch + corpus) band passes plus O(candidates)
+    * merges, vs the exact tier's O(batch_rows × corpus_rows) merges.
+    *
+    * The verification joins carry NO broadcast hints — the corpus shingle
+    * side is the memory bound banding exists to escape; AQE picks the join
+    * strategy from runtime sizes (same design as [[minhashLshPairs]]).
+    */
+  private def bandedNearDupIds(b1: DataFrame, corpus: DataFrame, threshold: Double,
+                               numHashes: Int, bands: Int): DataFrame = {
+    val par = graft.Tuning.fanout(b1.sparkSession)
+    val shB = b1.select(col("doc_id").as("b_id"), hashedShingles(col("text")).as("gb"))
+      .withColumn("szb", size(col("gb")))
+    // the corpus band-key pass is the hot loop; a small parquet input is
+    // otherwise one split = one core (same trap as minhashLshPairs)
+    val shC = corpus.select(col("doc_id").as("c_id"), hashedShingles(col("text")).as("gc"))
+      .withColumn("szc", size(col("gc"))).repartition(par)
+    val bandedB = shB.select(col("b_id"),
+      posexplode(graft.functions.MinHashBandKeys(col("gb"), numHashes, bands))
+        .as(Seq("bi", "bk")))
+    val bandedC = shC.select(col("c_id"),
+      posexplode(graft.functions.MinHashBandKeys(col("gc"), numHashes, bands))
+        .as(Seq("bi", "bk")))
+    val cands = bandedB.join(bandedC, Seq("bi", "bk"))
+      .select(col("b_id"), col("c_id")).distinct()
+    cands
+      .join(shB, Seq("b_id"))
+      .join(shC, Seq("c_id"))
+      .select(col("b_id"),
+        graft.functions.SortedIntersectSize(col("gb"), col("gc")).as("i"),
+        (col("szb") + col("szc")).as("ab"))
+      .select(col("b_id"),
+        round(col("i").cast("double") / (col("ab") - col("i")), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+      .select(col("b_id")).distinct()
+  }
+
   /** Incremental dedup: admit only the rows of a NEW batch that duplicate
     * nothing in the existing corpus — the shape a 100 TB ingest actually
     * runs (the corpus is already deduped; only batch×corpus comparisons
     * happen, never corpus×corpus).
     *
-    * Two tiers:
+    * Tiers:
     *  1. exact — anti-join on the normalized-content fingerprint: shuffles
     *     only 128-bit hashes, never text;
     *  2. near-dup — exact Jaccard of every (batch, corpus) pair: under
@@ -544,27 +614,29 @@ object Dedup {
     *     blocked cross-set kernel runs instead (no broadcast, bounded task
     *     memory) — both value-identical. Batch docs with any corpus pair
     *     ≥ threshold are rejected.
-    * At corpus scales where even one streamed pass per batch is too hot,
-    * swap tier 2 for [[MinHashBandKeys]] banding on both sides (candidates
-    * only, hash-dependent) — this exact-scoring form is the deterministic,
-    * oracle-gated baseline. The corpus is deliberately scanned per tier
-    * (fingerprints, then shingles) rather than materialized — the corpus is
-    * the big side; only the batch-sized survivor frame is checkpointed for
-    * its two consumers.
+    *  2b. banded — past `maxExactCorpusChars` of corpus text, exhaustive
+    *     scoring (even memory-bounded) is the wrong asymptotic shape: the
+    *     near-dup stage switches to [[bandedNearDupIds]] (MinHash banding
+    *     on both sides, candidates only, exact-verified). Hash-dependent,
+    *     so the auto-switch threshold is sized so the deterministic,
+    *     oracle-gated exact form covers every gate-scale corpus; the
+    *     banded tier is separately recall-pinned vs the exact output
+    *     (OperatorsSpec) and registered as `dedup_incremental_banded`.
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, threshold: Double,
-                       maxBroadcastChars: Long = 8L << 20): DataFrame = {
+                       maxBroadcastChars: Long = 8L << 20,
+                       maxExactCorpusChars: Long = 1L << 30,
+                       numHashes: Int = 32, bands: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val par = graft.Tuning.fanout(spark)
-    val fpC = corpus.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
-    val b1 = batch
-      .select(col("doc_id"), col("text"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
-      .join(fpC, Seq("fp"), "left_anti")
-      .localCheckpoint() // consumed twice (shingles + final anti-join)
-    val bRow = b1.agg(sum(length(col("text")))).head
-    val batchChars = if (bRow.isNullAt(0)) 0L else bRow.getLong(0)
+    val b1 = exactSurvivorBatch(corpus, batch)
+    if (totalChars(corpus) > maxExactCorpusChars) {
+      val nearDup = bandedNearDupIds(b1, corpus, threshold, numHashes, bands)
+      return b1.join(nearDup, b1("doc_id") === nearDup("b_id"), "left_anti")
+        .select(col("doc_id"))
+    }
+    val batchChars = totalChars(b1)
     val nearDup: DataFrame =
       if (batchChars <= maxBroadcastChars) {
         val shB = b1.select(col("doc_id").as("b_id"), hashedShingles(col("text")).as("gb"))
@@ -602,6 +674,21 @@ object Dedup {
           .toDF("b_id", "c_id", "jac")
           .select(col("b_id")).distinct()
       }
+    b1.join(nearDup, b1("doc_id") === nearDup("b_id"), "left_anti")
+      .select(col("doc_id"))
+  }
+
+  /** [[incrementalDedup]] with the banded near-dup tier FORCED — the
+    * production composition exercised at any scale (the auto-select in
+    * incrementalDedup only reaches it past `maxExactCorpusChars`). Every
+    * rejection is exact-verified, so the admitted set is a superset of the
+    * exact tier's (banding can only miss candidates, never invent them);
+    * the rejection recall vs the exact output is spec-pinned.
+    */
+  def incrementalDedupBanded(corpus: DataFrame, batch: DataFrame, threshold: Double,
+                             numHashes: Int = 32, bands: Int = 4): DataFrame = {
+    val b1 = exactSurvivorBatch(corpus, batch)
+    val nearDup = bandedNearDupIds(b1, corpus, threshold, numHashes, bands)
     b1.join(nearDup, b1("doc_id") === nearDup("b_id"), "left_anti")
       .select(col("doc_id"))
   }
@@ -671,6 +758,18 @@ object Dedup {
       val d = docs(s, dir)
       val bucket = Sampling.hashBucket(col("doc_id"))
       incrementalDedup(
+        corpus = d.filter(bucket < 80),
+        batch = d.filter(bucket >= 80),
+        threshold = 0.8)
+    }),
+
+    // the banded production tier on the same 80/20 split (no oracle:
+    // MinHash banding is xxhash64-dependent; admitted ⊇ exact-admitted and
+    // rejection recall are spec-pinned vs dedup_incremental's oracle form)
+    "dedup_incremental_banded" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bucket = Sampling.hashBucket(col("doc_id"))
+      incrementalDedupBanded(
         corpus = d.filter(bucket < 80),
         batch = d.filter(bucket >= 80),
         threshold = 0.8)

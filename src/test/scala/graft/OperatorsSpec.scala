@@ -217,6 +217,34 @@ class OperatorsSpec extends AnyFunSuite {
     val survivors = Dedup.incrementalDedup(corpus, batch, threshold = 0.8)
       .as[Long].collect().toSet
     assert(survivors === Set(13L))
+    // the banded tier on the same fixture, with high-recall banding (8
+    // bands × 4 rows): tier 1 still drops 10/11; banding must catch the
+    // near-dup 12 (jac(dog→cat 3-gram sets) ≈ 0.85 → ≥ 99% collision odds,
+    // and xxhash64 is deterministic so the outcome is fixed, not flaky)
+    val banded = Dedup.incrementalDedupBanded(corpus, batch, threshold = 0.8,
+      numHashes = 32, bands = 8).as[Long].collect().toSet
+    assert(banded === Set(13L))
+  }
+
+  test("Dedup: banded incremental tier is precision-1, recall-pinned vs exact (real corpus)") {
+    val docs01 = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val bucket = graft.operators.Sampling.hashBucket(col("doc_id"))
+    val corpus = docs01.filter(bucket < 80)
+    val batch = docs01.filter(bucket >= 80)
+    val exact = Dedup.incrementalDedup(corpus, batch, threshold = 0.8)
+      .as[Long].collect().toSet
+    val banded = Dedup.incrementalDedupBanded(corpus, batch, threshold = 0.8)
+      .as[Long].collect().toSet
+    // every banded rejection is exact-verified → banded can only admit MORE
+    assert(exact.subsetOf(banded),
+      s"banded rejected non-near-dups: ${exact.diff(banded)}")
+    // rejection recall floor vs the exact tier on the same split
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val exactRej = batchIds.diff(exact)
+    val bandedRej = batchIds.diff(banded)
+    assert(exactRej.nonEmpty, "split fixture lost its planted duplicates")
+    assert(bandedRej.size.toDouble / exactRej.size >= 0.6,
+      s"banded rejection recall regressed: ${bandedRej.size}/${exactRej.size}")
   }
 
   test("Similarity: centroids are per-cell means in dim order") {
