@@ -91,6 +91,17 @@ object Clustering {
       connectedComponents(
         Dedup.ngramJaccardPairsAdaptive(
           graft.Tables(s, dir, "documents"), threshold = 0.8)
+          .select(col("id_a"), col("id_b")))),
+
+    // the production composition at 100 TB: pairs from MinHash-LSH banding
+    // (candidates only, each exact-verified → precision 1.0) instead of the
+    // O(N²) exact kernel. No oracle (xxhash64-dependent recall); spec-pinned:
+    // every LSH cluster refines one exact cluster, with a coverage floor
+    // (OperatorsSpec "LSH clusters refine the exact clusters").
+    "dedup_clusters_lsh" -> ((s, dir) =>
+      connectedComponents(
+        Dedup.minhashLshPairs(
+          graft.Tables(s, dir, "documents"), threshold = 0.8)
           .select(col("id_a"), col("id_b"))))
   )
 

@@ -494,6 +494,28 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Corpus with deterministic planted near-dups: every `everyN`-th vector
+    * gains a copy at `vec_id + idOffset` with alternating ±`eps` element
+    * perturbation — cosine ≈ 0.999 to its original (the perturbation is
+    * orthogonal-ish noise ≪ the vector norm), well inside the cos ≥ 0.9
+    * near-dup regime, while planted↔unrelated similarities stay at the
+    * corpus baseline. Pure column arithmetic, so the plant is identical on
+    * every run/node and scales with the corpus (no driver data). Used by
+    * the `dedup_embedding_lsh` battery entry so the detector demonstrably
+    * emits verified pairs at gate scale (the raw corpus has no true
+    * near-dups — max pairwise cos ≈ 0.51), and by the recall spec.
+    */
+  def plantEmbeddingNearDups(e: DataFrame, everyN: Int = 50,
+                             idOffset: Long = 1L << 40,
+                             eps: Float = 0.02f): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") % everyN === 0)
+      .select((col("vec_id") + idOffset).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + when(i % 2 === 0, lit(eps)).otherwise(lit(-eps))).as("embedding"))
+    base.unionByName(planted)
+  }
+
   /** Cross-set blocked all-pairs (batch × corpus analog of [[blockedPairs]]):
     * left rows hash into bL blocks, right rows into bR; each (bl, br) pair
     * is one task holding exactly one block of each side — no broadcast, no
@@ -739,17 +761,20 @@ object Dedup {
 
     // embedding near-dup via hyperplane-LSH banding, at its DESIGNED
     // regime (cos ≥ 0.9, 8×8 banding → ~94% recall, ~6% of random pairs as
-    // candidates). This corpus has no true near-dups (max pairwise cos ≈
-    // 0.51 at sf0.01), so the detector correctly returns 0 rows — the
-    // planted-near-dup recall/precision pins live in OperatorsSpec. The
-    // BROAD-similarity regime (the 0.4-threshold miner) is deliberately
-    // served by the blocked exact kernel above: banding loose enough to
-    // recall cos-0.4 pairs admits ~60% of ALL pairs as candidates and then
-    // re-scores them through two vector-fetch joins — measured 10 s vs the
-    // exact kernel's 2 s, i.e. an "index" slower than brute force.
+    // candidates). The raw corpus has no true near-dups (max pairwise cos ≈
+    // 0.51 at sf0.01) and would exercise zero collisions, so the entry
+    // plants deterministic near-dups (every 50th vector, perturbed copy —
+    // column arithmetic, no driver data) and must emit one verified pair
+    // per plant; every emitted row carries its exact cosine ≥ 0.9, and the
+    // full-recovery pin lives in OperatorsSpec. The BROAD-similarity regime
+    // (the 0.4-threshold miner) is deliberately served by the blocked exact
+    // kernel above: banding loose enough to recall cos-0.4 pairs admits
+    // ~60% of ALL pairs as candidates and then re-scores them through two
+    // vector-fetch joins — measured 10 s vs the exact kernel's 2 s, i.e. an
+    // "index" slower than brute force.
     "dedup_embedding_lsh" -> ((s, dir) =>
-      embeddingCosinePairsLsh(emb(s, dir), threshold = 0.9,
-        dim = graft.Tables.EmbeddingDim)),
+      embeddingCosinePairsLsh(plantEmbeddingNearDups(emb(s, dir)),
+        threshold = 0.9, dim = graft.Tables.EmbeddingDim)),
 
     // incremental ingest dedup: hash-split 80/20 into corpus/new-batch
     // (Sampling.hashBucket — the same split the oracle reproduces), admit

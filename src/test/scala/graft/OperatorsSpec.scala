@@ -101,15 +101,49 @@ class OperatorsSpec extends AnyFunSuite {
     val brute = pairs(Similarity.bruteForceTopK(e, 10, dim = Some(Tables.EmbeddingDim)))
     assert(brute.size === 50) // 5 queries × top-10
     val lshRecall = (brute & pairs(Similarity.lshTopK(e, 10))).size.toDouble / brute.size
-    val ivfRecall = (brute & pairs(Similarity.ivfTopK(e, 10,
+    // pre-partitioned IVF: cells are the `label` column, which is NOT
+    // cosine-tight on the synthetic embeddings, so probing 3/10 cells lands
+    // near its random baseline (~0.3). Measured ≈ 0.38.
+    val ivfLabelRecall = (brute & pairs(Similarity.ivfTopK(e, 10,
       dim = Some(Tables.EmbeddingDim)))).size.toDouble / brute.size
+    // k-means IVF: trained cells ARE cosine-tight, so the same 3/10 probe
+    // budget must beat the label baseline on the same corpus.
+    val ivfKmRecall = (brute & pairs(Similarity.ivfTopKKMeans(e, 10,
+      cells = 10, nProbe = 3, iters = 3))).size.toDouble / brute.size
     // pinned floors: a refactor that silently degrades recall must fail here.
-    // IVF's floor is lower by design of the test corpus: cells are the
-    // `label` column (a stand-in for k-means), which is NOT cosine-tight on
-    // the synthetic embeddings, so probing 3/10 cells lands near its random
-    // baseline (~0.3). Measured: LSH ≈ 0.7+, IVF ≈ 0.38.
+    // Measured: LSH ≈ 0.7+, label-IVF ≈ 0.38, kmeans-IVF ≈ see floor.
     assert(lshRecall >= 0.6, s"LSH recall@10 regressed: $lshRecall")
-    assert(ivfRecall >= 0.3, s"IVF recall@10 regressed: $ivfRecall")
+    assert(ivfLabelRecall >= 0.3, s"label-IVF recall@10 regressed: $ivfLabelRecall")
+    assert(ivfKmRecall >= 0.5, s"kmeans-IVF recall@10 regressed: $ivfKmRecall")
+    assert(ivfKmRecall >= ivfLabelRecall,
+      s"training lost to the label stand-in: $ivfKmRecall < $ivfLabelRecall")
+  }
+
+  test("Similarity: k-means IVF scores ~nProbe/cells of the corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cells = 10; val nProbe = 3
+    val cents = Similarity.kMeansCentroids(e, cells, iters = 3)
+    assert(cents.length === cells)
+    // a trained partition is non-degenerate: the assignment uses >1 cell and
+    // no cell holds the whole corpus
+    val sizes = Similarity.kMeansAssign(e, cents)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = sizes.values.sum
+    assert(sizes.size > 1, s"degenerate k-means: one cell took all $n rows")
+    // scored-candidate fraction: per query, the probed cells' total size over
+    // the corpus — the quantity IVF exists to shrink. With balanced cells it
+    // is ~nProbe/cells; allow 2× for imbalance on the tiny corpus, and it
+    // must genuinely shrink the search (≤ 60% = strictly better than half).
+    val probed = Similarity.probeCells(e,
+      Similarity.centroidFrame(spark, cents), nProbe, Some(Tables.EmbeddingDim))
+      .select("q_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1))
+    val nQueries = probed.map(_._1).distinct.length
+    val scored = probed.map { case (_, c) => sizes.getOrElse(c, 0L) }.sum
+    val fraction = scored.toDouble / (nQueries.toLong * n)
+    assert(fraction <= 2.0 * nProbe.toDouble / cells,
+      s"candidate fraction $fraction far above nProbe/cells=${nProbe.toDouble / cells}")
+    assert(fraction < 0.6, s"IVF scored $fraction of the corpus per query")
   }
 
   test("LshBandBuckets expression matches the reference Scala computation") {
@@ -201,6 +235,20 @@ class OperatorsSpec extends AnyFunSuite {
     val e01 = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
     assert(pairSet(Dedup.embeddingCosinePairsBlocked(e01, 0.9, 64)).isEmpty)
     assert(pairSet(Dedup.embeddingCosinePairsLsh(e01, 0.9, 64)).isEmpty)
+    // the battery entry's plant (dedup_embedding_lsh): every planted copy
+    // must come back as exactly its (original, original+offset) pair — at
+    // cos ≈ 0.999 the 8×8 banding's per-pair miss odds are ~0, and xxhash64
+    // hyperplanes are deterministic, so full recovery is a stable pin, not
+    // a flaky expectation
+    val e001 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = Dedup.plantEmbeddingNearDups(e001)
+    val offset = 1L << 40
+    val want = e001.filter(col("vec_id") % 50 === 0)
+      .select("vec_id").as[Long].collect()
+      .map(id => (id, id + offset)).toSet
+    assert(want.nonEmpty, "fixture corpus lost its every-50th plant sites")
+    val got = pairSet(Dedup.embeddingCosinePairsLsh(planted, 0.9, 64))
+    assert(got === want, s"planted-pair recovery broke: missing ${want.diff(got)}, extra ${got.diff(want)}")
   }
 
   test("Dedup: incremental batch-vs-corpus admits only novel documents") {

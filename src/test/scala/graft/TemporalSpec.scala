@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Clustering, Sampling, Temporal}
+import graft.operators.{Clustering, Dedup, Sampling, Temporal}
 
 /** Specs for the round-3 "beyond" operators: as-of join, bucketed range
   * join, deterministic hash split, and connected-components dedup
@@ -169,6 +169,35 @@ class TemporalSpec extends AnyFunSuite {
     val got = Clustering.connectedComponents(pairs.toDF("id_a", "id_b"))
       .as[(Long, Long)].collect().toMap
     assert(got === want)
+  }
+
+  test("LSH clusters refine the exact clusters (real corpus)") {
+    // the production composition (dedup_clusters_lsh): CC over MinHash-LSH
+    // pairs. LSH pairs are a precision-1 subset of the exact pairs, so every
+    // LSH cluster must sit INSIDE one exact cluster (dropping an edge can
+    // split a component, never merge two), and the recall floor pinned on
+    // minhashLshPairs bounds how much splitting is possible.
+    val docs01 = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val exactCc = Clustering.connectedComponents(
+      Dedup.ngramJaccardPairsAdaptive(docs01, 0.8).select(col("id_a"), col("id_b")))
+      .as[(Long, Long)].collect().toMap
+    val lshCc = Clustering.connectedComponents(
+      Dedup.minhashLshPairs(docs01, 0.8).select(col("id_a"), col("id_b")))
+      .as[(Long, Long)].collect().toMap
+    assert(lshCc.nonEmpty, "LSH pair graph lost its clusters")
+    // every LSH-clustered node is exact-clustered too (precision 1)
+    assert(lshCc.keySet.subsetOf(exactCc.keySet),
+      s"LSH invented nodes: ${lshCc.keySet.diff(exactCc.keySet)}")
+    // refinement: an LSH cluster never spans two exact clusters
+    lshCc.groupBy(_._2).foreach { case (lshCluster, members) =>
+      val exactIds = members.keySet.map(exactCc)
+      assert(exactIds.size === 1,
+        s"LSH cluster $lshCluster spans exact clusters $exactIds")
+    }
+    // coverage floor: the LSH graph keeps ≥80% of the exact-clustered nodes
+    // (follows from the ≥0.8 pair recall pinned in OperatorsSpec)
+    assert(lshCc.size.toDouble / exactCc.size >= 0.8,
+      s"LSH cluster coverage regressed: ${lshCc.size}/${exactCc.size}")
   }
 
   test("curateCorpus: dedups, filters quality and language, assigns splits") {
