@@ -59,6 +59,28 @@ class ServeSpec extends AnyFunSuite {
     assert(cache.stats._3 === 0)
   }
 
+  test("result cache: underlying-data change invalidates within TTL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rc").toFile.getAbsolutePath
+    Seq((1L, "x")).toDF("id", "s").write.mode("overwrite").parquet(dir)
+    var now = 0L
+    val cache = new ResultCache(ttlSeconds = 1000, clock = () => now)
+    def q = spark.read.parquet(dir).groupBy("s").count()
+    assert(cache.through(q).collect().head.getLong(1) === 1L)
+    assert(cache.stats === ((0L, 1L, 1)))
+    // same plan, unchanged files → hit (the data version is stable)
+    cache.through(q).collect()
+    assert(cache.stats._1 === 1L)
+    // rewrite the table WELL inside TTL: the file-status fold changes the
+    // fingerprint, so the stale entry can never be hit again — the incoming
+    // query misses and reads the new data (the reference's SQL-text-keyed
+    // Redis cache would have served the stale rows for the rest of the TTL)
+    Seq((1L, "x"), (2L, "x")).toDF("id", "s").write.mode("overwrite").parquet(dir)
+    val fresh = cache.through(q).collect()
+    assert(cache.stats._2 === 2L)
+    assert(fresh.head.getLong(1) === 2L, "served stale cached data")
+    cache.clear()
+  }
+
   test("native expressions are SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val n = spark.sql(
