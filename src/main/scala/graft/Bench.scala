@@ -28,7 +28,12 @@ object Bench {
     // Warm the JVM/codegen/FS once so q1 doesn't absorb session startup.
     SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional isolation filter (comma-separated names) for root-causing a
+    // single entry without the rest of the suite's JVM interference.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }

@@ -85,12 +85,19 @@ final class ResultCache(ttlSeconds: Long = 3600, maxEntries: Int = 64,
 
   /** Version hash of the data behind a plan: folds (path, mtime, length) of
     * every input file (dir-level past [[ResultCache.MaxStatFiles]]).
-    * `inputFiles` is Spark's public best-effort listing; plans with no file
-    * source (temp views over local data, pure ranges) version as 0 and rely
-    * on the plan hash alone, exactly the previous behavior.
+    *
+    * The file list is collected from the ANALYZED logical plan's file-source
+    * relations, NOT `Dataset.inputFiles`: `inputFiles` reflects the optimized
+    * plan, where Spark's CacheManager substitutes a persisted InMemoryRelation
+    * (which has no files) for any plan this cache already persisted — so after
+    * the first `through()`, an identical incoming query would report zero
+    * files, flip the version, and never hit again. The analyzed plan is
+    * pre-substitution and stable across persist. Plans with no file source
+    * (temp views over local data, pure ranges) version as 0 and rely on the
+    * plan hash alone.
     */
   def dataVersion(df: DataFrame): Long = {
-    val files = df.inputFiles
+    val files = ResultCache.planInputFiles(df)
     if (files.isEmpty) 0L
     else {
       val conf = df.sparkSession.sessionState.newHadoopConf()
@@ -156,4 +163,24 @@ object ResultCache {
   /** 64-bit hash combine (boost-style with the splitmix64 constant). */
   private[serve] def mix(a: Long, b: Long): Long =
     a ^ (b + 0x9E3779B97F4A7C15L + (a << 6) + (a >>> 2))
+
+  /** Input files of the ANALYZED plan's file-source relations (v1
+    * HadoopFsRelation and v2 FileTable). Unlike `Dataset.inputFiles` this is
+    * immune to CacheManager's InMemoryRelation substitution, which happens
+    * downstream of analysis — see [[ResultCache.dataVersion]].
+    */
+  private[serve] def planInputFiles(df: DataFrame): Array[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.inputFiles
+        case _                    => Array.empty[String]
+      }
+      case r: DataSourceV2Relation => r.table match {
+        case ft: FileTable => ft.fileIndex.inputFiles
+        case _             => Array.empty[String]
+      }
+    }.flatten.distinct.toArray
+  }
 }

@@ -70,6 +70,13 @@ class ServeSpec extends AnyFunSuite {
     // same plan, unchanged files → hit (the data version is stable)
     cache.through(q).collect()
     assert(cache.stats._1 === 1L)
+    // regression (r4): a THIRD call after the result has been persisted AND
+    // collected must still hit. Dataset.inputFiles is empty here (CacheManager
+    // substitutes the InMemoryRelation), so a version derived from it would
+    // flip and miss forever; the analyzed-plan file list is substitution-proof.
+    assert(q.inputFiles.isEmpty, "precondition: cache substitution hides inputFiles")
+    cache.through(q).collect()
+    assert(cache.stats._1 === 2L, "cache stopped hitting after persist")
     // rewrite the table WELL inside TTL: the file-status fold changes the
     // fingerprint, so the stale entry can never be hit again — the incoming
     // query misses and reads the new data (the reference's SQL-text-keyed
