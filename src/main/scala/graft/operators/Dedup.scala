@@ -772,8 +772,15 @@ object Dedup {
     // ~60% of ALL pairs as candidates and then re-scores them through two
     // vector-fetch joins — measured 10 s vs the exact kernel's 2 s, i.e. an
     // "index" slower than brute force.
+    // The planted frame is localCheckpoint'd: its perturbation `transform`
+    // lambda is interpreted (outside whole-stage codegen), and the LSH pairer
+    // scans its input three times (band pass + two vector-fetch joins) — one
+    // eager materialization beats three interpreted re-evaluations (measured
+    // 3.9 → 2.4 s warm at sf0.1; the rest of the r4 in-suite 14.2 s was JVM
+    // interference from neighboring entries, and the entry's cold time is
+    // plan-compile-bound — the corpus is only 2 000 rows at sf0.1).
     "dedup_embedding_lsh" -> ((s, dir) =>
-      embeddingCosinePairsLsh(plantEmbeddingNearDups(emb(s, dir)),
+      embeddingCosinePairsLsh(plantEmbeddingNearDups(emb(s, dir)).localCheckpoint(),
         threshold = 0.9, dim = graft.Tables.EmbeddingDim)),
 
     // incremental ingest dedup: hash-split 80/20 into corpus/new-batch
