@@ -23,9 +23,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * Ties (equal dot) keep the LOWEST cell index — deterministic on every
   * node. A zero-norm centroid row normalizes to all-zeros (dot 0), so it can
   * only win cells no real centroid wants. Null vectors return null; null
-  * ELEMENTS fail loudly (contract shared with [[LshBandBuckets]] /
-  * [[VectorMeanAgg]] — parquet arrays are containsNull=true even when no
-  * null occurs, and a silent 0.0 would mis-assign the row).
+  * ELEMENTS and wrong-length vectors fail loudly (contract shared with
+  * [[LshBandBuckets]] / [[VectorMeanAgg]] — parquet arrays are
+  * containsNull=true even when no null occurs, and a silent 0.0 or a
+  * truncated dot would mis-assign the row instead of surfacing the bug).
   */
 case class NearestCentroid(child: Expression, cents: Seq[Double], dim: Int)
     extends UnaryExpression {
@@ -50,7 +51,11 @@ case class NearestCentroid(child: Expression, cents: Seq[Double], dim: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
-    val d = math.min(a.numElements(), dim)
+    // same loud-fail contract as null elements: a truncated/padded dot would
+    // silently assign the row to a wrong cell, hiding an upstream dim bug
+    if (a.numElements() != dim) throw new IllegalArgumentException(
+      s"$prettyName: vector has ${a.numElements()} elements, expected $dim")
+    val d = dim
     var chk = 0
     while (chk < d) {
       if (a.isNullAt(chk)) throw new IllegalArgumentException(
@@ -81,7 +86,12 @@ case class NearestCentroid(child: Expression, cents: Seq[Double], dim: Int)
       val off = ctx.freshName("off")
       val i = ctx.freshName("i")
       s"""
-         |int $d = java.lang.Math.min($a.numElements(), $dim);
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_centroid: vector has " + $a.numElements() +
+         |    " elements, expected " + $dim);
+         |}
+         |int $d = $dim;
          |for (int $i = 0; $i < $d; $i++) {
          |  if ($a.isNullAt($i)) {
          |    throw new IllegalArgumentException(

@@ -644,16 +644,23 @@ object Dedup {
     *     oracle-gated exact form covers every gate-scale corpus; the
     *     banded tier is separately recall-pinned vs the exact output
     *     (OperatorsSpec) and registered as `dedup_incremental_banded`.
+    *
+    * `knownCorpusChars` lets a steady-state ingest skip the tier-switch
+    * probe: the caller admits every surviving row, so it can maintain the
+    * corpus size as a counter instead of paying a per-batch aggregation
+    * action (8 bytes/row when an `n_chars` column exists, a full text scan
+    * otherwise). The probe runs only when the size is genuinely unknown.
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, threshold: Double,
                        maxBroadcastChars: Long = 8L << 20,
                        maxExactCorpusChars: Long = 1L << 30,
-                       numHashes: Int = 32, bands: Int = 4): DataFrame = {
+                       numHashes: Int = 32, bands: Int = 4,
+                       knownCorpusChars: Option[Long] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val par = graft.Tuning.fanout(spark)
     val b1 = exactSurvivorBatch(corpus, batch)
-    if (totalChars(corpus) > maxExactCorpusChars) {
+    if (knownCorpusChars.getOrElse(totalChars(corpus)) > maxExactCorpusChars) {
       val nearDup = bandedNearDupIds(b1, corpus, threshold, numHashes, bands)
       return b1.join(nearDup, b1("doc_id") === nearDup("b_id"), "left_anti")
         .select(col("doc_id"))

@@ -162,6 +162,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === exp.toSeq)
   }
 
+  test("NearestCentroid fails loudly on a wrong-dimension vector") {
+    import graft.functions.NearestCentroid
+    val cents = Array(Array.fill(4)(1.0), Array.fill(4)(-1.0))
+    // 3 elements into a dim=4 expression: must throw, not truncate the dot
+    val bad = Seq(Tuple1(Array(1f, 2f, 3f))).toDF("v")
+      .select(NearestCentroid(col("v"), cents, dim = 4).as("c"))
+    val err = intercept[Exception] { bad.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("expected 4")), s"got: $err")
+    // the happy path on the same expression still assigns
+    val ok = Seq(Tuple1(Array(1f, 1f, 1f, 1f))).toDF("v")
+      .select(NearestCentroid(col("v"), cents, dim = 4).as("c"))
+      .head.getInt(0)
+    assert(ok === 0)
+  }
+
   test("Dedup: minhash LSH finds the planted near-dup pair") {
     // high-recall banding (8 bands × 4 rows) — the bench default is 4×8,
     // tuned for precision on a high-baseline-similarity corpus
@@ -272,6 +289,16 @@ class OperatorsSpec extends AnyFunSuite {
     val banded = Dedup.incrementalDedupBanded(corpus, batch, threshold = 0.8,
       numHashes = 32, bands = 8).as[Long].collect().toSet
     assert(banded === Set(13L))
+    // a caller-supplied corpus size drives the tier switch without the
+    // per-batch probe: a huge claimed size forces the banded tier (same
+    // result as the forced form above), a tiny one keeps the exact tier
+    val viaKnown = Dedup.incrementalDedup(corpus, batch, threshold = 0.8,
+      numHashes = 32, bands = 8, knownCorpusChars = Some(Long.MaxValue))
+      .as[Long].collect().toSet
+    assert(viaKnown === banded)
+    val viaSmall = Dedup.incrementalDedup(corpus, batch, threshold = 0.8,
+      knownCorpusChars = Some(1L)).as[Long].collect().toSet
+    assert(viaSmall === Set(13L))
   }
 
   test("Dedup: banded incremental tier is precision-1, recall-pinned vs exact (real corpus)") {
