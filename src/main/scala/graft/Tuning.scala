@@ -15,4 +15,25 @@ object Tuning {
     */
   def fanout(spark: SparkSession): Int =
     math.max(spark.sparkContext.defaultParallelism * 2, 8)
+
+  /** Memory-aware fan-out for ARRAY-HEAVY rows (shingle-hash sets, exploded
+    * band keys, embeddings): the cores-only count above keeps every core
+    * busy but says nothing about per-partition bytes — at 2×cores a 1 TB
+    * shingle pass would hand each task tens of GB. Given the stage's
+    * estimated materialized payload (same caller-supplied estimate style as
+    * [[graft.operators.Dedup.blockCount]]: row count × average payload, from
+    * a cheap probe or a maintained counter; 0 = unknown), the count is
+    * raised until each partition stays under `taskBudgetBytes`. Never
+    * returns less than the cores-only fan-out, so small inputs keep the
+    * exact previous behavior.
+    */
+  def fanout(spark: SparkSession, stageBytes: Long,
+             taskBudgetBytes: Long = 256L << 20): Int = {
+    val byMemory =
+      if (stageBytes <= 0) 0L
+      else math.ceil(stageBytes.toDouble / taskBudgetBytes).toLong
+    // backstop: 2^20 partitions ≈ 256 TB of stage payload at the default
+    // budget — past that the caller should be blocking/banding, not fanning
+    math.max(fanout(spark).toLong, byMemory).min(1L << 20).toInt
+  }
 }

@@ -591,10 +591,16 @@ object Dedup {
     * The verification joins carry NO broadcast hints — the corpus shingle
     * side is the memory bound banding exists to escape; AQE picks the join
     * strategy from runtime sizes (same design as [[minhashLshPairs]]).
+    *
+    * `corpusBytes` (estimated shingle payload ≈ 8 × corpus chars — one
+    * 64-bit hash per shingle position; 0 = unknown) feeds the memory-aware
+    * fan-out so the corpus band-key pass also bounds per-partition BYTES,
+    * not just keeps cores busy.
     */
   private def bandedNearDupIds(b1: DataFrame, corpus: DataFrame, threshold: Double,
-                               numHashes: Int, bands: Int): DataFrame = {
-    val par = graft.Tuning.fanout(b1.sparkSession)
+                               numHashes: Int, bands: Int,
+                               corpusBytes: Long = 0L): DataFrame = {
+    val par = graft.Tuning.fanout(b1.sparkSession, corpusBytes)
     val shB = b1.select(col("doc_id").as("b_id"), hashedShingles(col("text")).as("gb"))
       .withColumn("szb", size(col("gb")))
     // the corpus band-key pass is the hot loop; a small parquet input is
@@ -660,8 +666,10 @@ object Dedup {
     import spark.implicits._
     val par = graft.Tuning.fanout(spark)
     val b1 = exactSurvivorBatch(corpus, batch)
-    if (knownCorpusChars.getOrElse(totalChars(corpus)) > maxExactCorpusChars) {
-      val nearDup = bandedNearDupIds(b1, corpus, threshold, numHashes, bands)
+    val corpusChars = knownCorpusChars.getOrElse(totalChars(corpus))
+    if (corpusChars > maxExactCorpusChars) {
+      val nearDup = bandedNearDupIds(b1, corpus, threshold, numHashes, bands,
+        corpusBytes = corpusChars * 8L)
       return b1.join(nearDup, b1("doc_id") === nearDup("b_id"), "left_anti")
         .select(col("doc_id"))
     }
@@ -715,9 +723,11 @@ object Dedup {
     * the rejection recall vs the exact output is spec-pinned.
     */
   def incrementalDedupBanded(corpus: DataFrame, batch: DataFrame, threshold: Double,
-                             numHashes: Int = 32, bands: Int = 4): DataFrame = {
+                             numHashes: Int = 32, bands: Int = 4,
+                             knownCorpusChars: Option[Long] = None): DataFrame = {
     val b1 = exactSurvivorBatch(corpus, batch)
-    val nearDup = bandedNearDupIds(b1, corpus, threshold, numHashes, bands)
+    val nearDup = bandedNearDupIds(b1, corpus, threshold, numHashes, bands,
+      corpusBytes = knownCorpusChars.map(_ * 8L).getOrElse(0L))
     b1.join(nearDup, b1("doc_id") === nearDup("b_id"), "left_anti")
       .select(col("doc_id"))
   }

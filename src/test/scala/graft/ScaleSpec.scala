@@ -132,4 +132,19 @@ class ScaleSpec extends AnyFunSuite {
     // and a small corpus stays at the parallelism-balanced floor
     assert(Dedup.blockCount(spark, corpusBytes = 1L << 20) === byCores)
   }
+
+  test("memory-aware fanout bounds per-partition bytes for array-heavy stages") {
+    val byCores = graft.Tuning.fanout(spark)
+    // unknown / small payloads keep the cores-only count exactly
+    assert(graft.Tuning.fanout(spark, 0L) === byCores)
+    assert(graft.Tuning.fanout(spark, 1L << 20) === byCores)
+    // 1 TB of shingle payload at the 256 MB default budget: ≥ 4096
+    // partitions, NOT 2×cores — each task materializes a bounded slice
+    val big = graft.Tuning.fanout(spark, 1L << 40)
+    assert(big >= 4096, s"memory bound ignored: $big")
+    assert(big > byCores)
+    // monotone in the payload, and the task-count backstop holds
+    assert(graft.Tuning.fanout(spark, 2L << 40) >= big)
+    assert(graft.Tuning.fanout(spark, Long.MaxValue) === (1 << 20))
+  }
 }
