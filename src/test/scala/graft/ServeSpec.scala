@@ -88,6 +88,38 @@ class ServeSpec extends AnyFunSuite {
     cache.clear()
   }
 
+  test("file-backed store: a second cache instance hits the first's entry") {
+    import graft.serve.FileCacheStore
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-fcs-t").toFile.getAbsolutePath
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-fcs-s").toFile.getAbsolutePath
+    Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "s").write.mode("overwrite").parquet(tableDir)
+    def q = spark.read.parquet(tableDir).groupBy("s").count()
+
+    // driver 1 computes and materializes
+    val c1 = new ResultCache(ttlSeconds = 1000, store = new FileCacheStore(spark, storeDir))
+    val first = c1.through(q).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(first === Set(("x", 2L), ("y", 1L)))
+    assert(c1.stats === ((0L, 1L, 1)))
+    assert(c1.through(q).count() === 2L) // local tier still hits
+    assert(c1.stats._1 === 1L)
+
+    // driver 2 (fresh cache + fresh store instance, same shared dir): the
+    // SAME semantic plan over the SAME files fingerprints identically and
+    // rehydrates driver 1's materialized result instead of recomputing
+    val c2 = new ResultCache(ttlSeconds = 1000, store = new FileCacheStore(spark, storeDir))
+    val viaShared = c2.through(q).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaShared === first)
+    assert(c2.stats === ((1L, 0L, 1)), "second driver missed the shared entry")
+
+    // invalidation through either instance clears the shared files
+    c2.invalidate(q)
+    assert(c2.stats._3 === 0)
+    val c3 = new ResultCache(ttlSeconds = 1000, store = new FileCacheStore(spark, storeDir))
+    c3.through(q).collect()
+    assert(c3.stats === ((0L, 1L, 1)), "stale shared entry survived invalidation")
+    c1.clear(); c3.clear()
+  }
+
   test("native expressions are SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val n = spark.sql(
