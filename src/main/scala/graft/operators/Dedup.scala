@@ -732,6 +732,108 @@ object Dedup {
       .select(col("doc_id"))
   }
 
+  /** 64-bit exact-dedup key: xxhash64 of the normalized content. The Bloom
+    * tier keys on a LONG — one `mightContainLong` per row inside whole-stage
+    * codegen — instead of the 128-bit md5 string fingerprint; both are pure
+    * functions of [[TextAnalysis.normalizedText]], so they induce the same
+    * duplicate relation (modulo 2⁻⁶⁴ collisions, the budget every
+    * hash-dedup layer here already accepts).
+    */
+  private def fingerprint64(c: Column): Column =
+    xxhash64(TextAnalysis.normalizedText(c))
+
+  /** Serialized Bloom filter over the corpus's 64-bit fingerprints: one
+    * columnar scan of the fingerprint projection, per-partition partial
+    * filters OR-merged on the driver (`stat.bloomFilter` tree-aggregates) —
+    * no shuffle. Driver/broadcast cost is the filter itself, ~1.2 bytes per
+    * corpus document at fpp=1% (≈12 GB at 10B docs — past that, shard the
+    * filter by fingerprint prefix and route each batch row to its shard's
+    * bitmap; the tier's contract doesn't change).
+    */
+  private def corpusFingerprintBloom(corpus: DataFrame, expectedItems: Long,
+                                     fpp: Double): Array[Byte] = {
+    val bf = corpus.select(fingerprint64(col("text")).as("fp64"))
+      .stat.bloomFilter("fp64", math.max(expectedItems, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** `mightContainLong(value)` against a serialized filter, as a codegen'd
+    * predicate — Spark's own runtime-filter expression with the filter bytes
+    * inlined as a foldable literal (deserialized once per task, not per row).
+    */
+  private def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      GraftColumnBridge.expression(value)))
+  }
+
+  /** Corpus fingerprints that actually occur in the (small) maybe set — the
+    * Bloom tier's verification probe. The maybe set broadcasts into a
+    * LeftSemi against the corpus fingerprint projection, so the corpus is
+    * SCANNED once but never shuffled; the surviving hit set is at most
+    * maybe-sized and broadcasts back out.
+    */
+  private[graft] def bloomVerifiedHits(corpusFps: DataFrame, maybeFps: DataFrame): DataFrame =
+    corpusFps.join(broadcast(maybeFps.select(col("fp64")).distinct()),
+      Seq("fp64"), "left_semi").distinct()
+
+  /** Exact incremental dedup, Bloom-prefilter tier: admit the batch rows
+    * whose normalized content does not already exist in the corpus, WITHOUT
+    * ever shuffling the corpus.
+    *
+    * The plain exact tier anti-joins batch fingerprints against corpus
+    * fingerprints — correct, but it shuffles the full corpus fingerprint set
+    * every batch, which at a 100 TB corpus is the dominant per-ingest cost.
+    * This tier routes instead of shuffling:
+    *
+    *  1. build a Bloom filter over corpus fingerprints (one corpus scan, no
+    *     shuffle — [[corpusFingerprintBloom]]);
+    *  2. batch rows the filter REJECTS are definitely new (a Bloom filter
+    *     has no false negatives) — admitted with zero corpus work;
+    *  3. the remaining "maybe" rows (true duplicates + ~fpp·batch false
+    *     positives) are exact-verified through [[bloomVerifiedHits]]: one
+    *     more corpus scan under a broadcast semi-join, still no corpus
+    *     shuffle. A degenerate maybe set (> `maxBroadcastFps`, e.g. a batch
+    *     that is mostly duplicates) falls back to the classic shuffle
+    *     anti-join rather than broadcasting something huge.
+    *
+    * The result is IDENTICAL to the exact anti-join — the filter only routes
+    * rows, never decides them — so the entry keeps the full DuckDB oracle.
+    *
+    * `knownCorpusRows` mirrors `knownCorpusChars` on [[incrementalDedup]]:
+    * a steady-state ingest maintains the corpus cardinality as a counter and
+    * skips the sizing probe (the filter itself it must rebuild only when the
+    * corpus grows past the expected-items headroom it was sized for).
+    */
+  def incrementalDedupBloom(corpus: DataFrame, batch: DataFrame,
+                            fpp: Double = 0.01,
+                            knownCorpusRows: Option[Long] = None,
+                            maxBroadcastFps: Long = 4L << 20): DataFrame = {
+    val expected = knownCorpusRows.getOrElse(corpus.count())
+    val bloom = corpusFingerprintBloom(corpus, expected, fpp)
+    // one batch scan total: fingerprint + route flag, materialized batch-
+    // sized (two longs + bool per row) for its three consumers below
+    val flagged = batch
+      .select(col("doc_id"), fingerprint64(col("text")).as("fp64"))
+      .withColumn("maybe", bloomMightContain(bloom, col("fp64")))
+      .localCheckpoint()
+    val definite = flagged.filter(!col("maybe"))
+    val maybe = flagged.filter(col("maybe"))
+    val corpusFps = corpus.select(fingerprint64(col("text")).as("fp64"))
+    val survivors =
+      if (maybe.count() <= maxBroadcastFps) {
+        maybe.join(broadcast(bloomVerifiedHits(corpusFps, maybe)),
+          Seq("fp64"), "left_anti")
+      } else {
+        maybe.join(corpusFps, Seq("fp64"), "left_anti")
+      }
+    definite.select(col("doc_id")).union(survivors.select(col("doc_id")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: duplicate-content groups with the survivor id
@@ -812,6 +914,18 @@ object Dedup {
         threshold = 0.8)
     }),
 
+    // the Bloom-prefilter exact tier on the same 80/20 split — identical
+    // admitted set to the fingerprint anti-join (the filter only routes),
+    // but the corpus is never shuffled: scanned once into partial Bloom
+    // filters, once more under a broadcast semi for the maybe remainder
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bucket = Sampling.hashBucket(col("doc_id"))
+      incrementalDedupBloom(
+        corpus = d.filter(bucket < 80),
+        batch = d.filter(bucket >= 80))
+    }),
+
     // the banded production tier on the same 80/20 split (no oracle:
     // MinHash banding is xxhash64-dependent; admitted ⊇ exact-admitted and
     // rejection recall are spec-pinned vs dedup_incremental's oracle form)
@@ -842,6 +956,14 @@ object Dedup {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
         |      len(list_distinct(a.g || b.g)), 4) >= 0.8""".stripMargin,
+    "dedup_incremental_bloom" ->
+      """WITH b AS (SELECT doc_id, text FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 >= 80),
+        |c AS (SELECT text FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 80)
+        |SELECT doc_id FROM b
+        |WHERE MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g'))) NOT IN
+        |  (SELECT MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g'))) FROM c)""".stripMargin,
     "dedup_incremental" ->
       """WITH b AS (SELECT doc_id, text FROM documents
         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 >= 80),

@@ -46,6 +46,25 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame =
     df.filter(hashBucket(key) < pct)
 
+  /** Stratified deterministic sample: a per-stratum keep percentage (the
+    * standard corpus-rebalance move — down-sample the dominant language,
+    * keep all of the rare ones), with `defaultPct` for strata not in the
+    * map. Same determinism contract as [[hashSample]]: membership is a pure
+    * function of (key, stratum, pct map) — NOT `df.stat.sampleBy`, whose
+    * Bernoulli draw depends on seed + partition iteration order and so
+    * changes under repartitioning, engine version, or re-ingest.
+    *
+    * Scale: the pct map folds into one codegen'd CASE expression — a pure
+    * projection+filter, no shuffle, no join, pushdown-friendly.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       pcts: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    val pctCol = pcts.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(stratum === lit(k), lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(key) < pctCol)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "documents")
 
@@ -56,6 +75,14 @@ object Sampling {
       docs(s, dir).select(col("doc_id"),
         hashBucket(col("doc_id")).as("bucket"),
         hashSplit(col("doc_id")).as("split"))),
+
+    // stratified rebalance: down-sample dominant English to 30%, German to
+    // 60%, keep other languages whole — row-level output so the oracle
+    // checks every membership decision, not just the counts
+    "sample_stratified" -> ((s, dir) =>
+      stratifiedSample(docs(s, dir), col("doc_id"), col("lang"),
+        pcts = Map("en" -> 30, "de" -> 60))
+        .select(col("doc_id"), col("lang"))),
 
     // split-level integrity summary: sizes + char volume per (split, lang) —
     // what a pipeline reports before training
@@ -75,6 +102,10 @@ object Sampling {
         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 <
+        |  CASE WHEN lang = 'en' THEN 30 WHEN lang = 'de' THEN 60 ELSE 100 END""".stripMargin,
     "sample_split_stats" ->
       """WITH s AS (
         |  SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 80 THEN 'train'

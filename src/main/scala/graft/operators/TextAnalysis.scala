@@ -16,11 +16,18 @@ object TextAnalysis {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Lowercased, whitespace-collapsed text — the canonical content on which
+    * exact-dedup equality is defined. Every exact-dedup key (the md5
+    * [[fingerprint]], the Bloom tier's xxhash64 key) hashes THIS, so they
+    * all agree on which documents are duplicates.
+    */
+  def normalizedText(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
   /** Normalized-content fingerprint: MD5 over lowercased, space-collapsed
     * text. Equal fingerprints ⇔ equal normalized content — the exact-dedup key.
     */
-  def fingerprint(c: Column): Column =
-    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+  def fingerprint(c: Column): Column = md5(normalizedText(c))
 
   /** Count of tokens drawn from a fixed marker list (codegen'd In predicate). */
   def markerCount(c: Column, markers: Seq[String]): Column =

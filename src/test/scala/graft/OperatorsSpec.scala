@@ -322,6 +322,60 @@ class OperatorsSpec extends AnyFunSuite {
       s"banded rejection recall regressed: ${bandedRej.size}/${exactRej.size}")
   }
 
+  test("Dedup: bloom tier equals the exact fingerprint anti-join, both routes") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 0
+      (11L, "  THE QUICK   brown fox jumps over the lazy dog"), // fingerprint dup of 0
+      (12L, "the quick brown fox jumps over the lazy cat"),     // near dup — exact tier admits
+      (13L, "entirely novel text that matches nothing else here")
+    ).toDF("doc_id", "text")
+    // exact-content dedup only: the near-dup 12 survives (unlike the jaccard tiers)
+    val bloom = Dedup.incrementalDedupBloom(corpus, batch)
+      .as[Long].collect().toSet
+    assert(bloom === Set(12L, 13L))
+    // a zero broadcast cap forces the shuffle-verification fallback — the
+    // routing changes, the admitted set must not
+    val shuffled = Dedup.incrementalDedupBloom(corpus, batch, maxBroadcastFps = 0L)
+      .as[Long].collect().toSet
+    assert(shuffled === bloom)
+    // batch ⊆ corpus → everything is a verified true positive, nothing admitted
+    val selfDup = Dedup.incrementalDedupBloom(corpus, corpus.limit(1))
+      .as[Long].collect().toSet
+    assert(selfDup === Set.empty[Long])
+  }
+
+  test("Dedup: bloom tier matches the anti-join baseline on the real corpus split") {
+    val docs01 = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val bucket = graft.operators.Sampling.hashBucket(col("doc_id"))
+    val corpus = docs01.filter(bucket < 80)
+    // the real batch side, plus re-keyed corpus rows as planted exact dups
+    // (no exact-duplicate pair happens to cross the hash split at sf0.01)
+    val batch = docs01.filter(bucket >= 80)
+      .unionByName(docs01.filter(bucket < 80).limit(7)
+        .withColumn("doc_id", col("doc_id") + (1L << 40)))
+    val fp = TextAnalysis.fingerprint(col("text"))
+    val baseline = batch.select(col("doc_id"), fp.as("fp"))
+      .join(corpus.select(fp.as("fp")).distinct(), Seq("fp"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.incrementalDedupBloom(corpus, batch)
+      .as[Long].collect().toSet
+    assert(bloom === baseline)
+    assert(bloom.size <= batch.count() - 7, "planted exact dups were admitted")
+    // verification probe never shuffles the corpus: the maybe set broadcasts
+    // into a LeftSemi and the corpus side streams
+    val corpusFps = corpus.select(xxhash64(TextAnalysis.normalizedText(col("text"))).as("fp64"))
+    val maybeFps = batch.limit(10)
+      .select(xxhash64(TextAnalysis.normalizedText(col("text"))).as("fp64"))
+    val plan = Dedup.bloomVerifiedHits(corpusFps, maybeFps)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"bloom verification lost its broadcast-semi shape:\n$plan")
+  }
+
   test("Similarity: centroids are per-cell means in dim order") {
     val e = Seq(
       (0, Array(1f, 3f), 0),

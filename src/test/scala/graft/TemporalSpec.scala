@@ -115,6 +115,27 @@ class TemporalSpec extends AnyFunSuite {
     assert(s10 === rows.filter(_.getLong(1) < 10).map(_.getLong(0)).toSet)
   }
 
+  test("stratifiedSample: per-stratum rates, default pass-through, hash-consistency") {
+    val d = spark.range(1000)
+      .select(col("id"),
+        when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "de")
+          .otherwise("fr").as("lang"))
+    val kept = Sampling.stratifiedSample(d, col("id"), col("lang"),
+      pcts = Map("en" -> 10, "de" -> 50))
+      .as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // ~334 per stratum before sampling; uniform hash → rate ± slack
+    assert(byLang("en") > 15 && byLang("en") < 55, s"en rate off: ${byLang("en")}")
+    assert(byLang("de") > 130 && byLang("de") < 210, s"de rate off: ${byLang("de")}")
+    // absent stratum keeps defaultPct=100: every fr row survives
+    assert(byLang("fr") === 333)
+    // membership is the same hash decision hashSample makes at that pct —
+    // the strata compose, they don't re-randomize
+    val en10 = Sampling.hashSample(d.filter(col("lang") === "en"), col("id"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept.filter(_._2 == "en").map(_._1).toSet === en10)
+  }
+
   test("connectedComponents: chain, triangle, and min-id labels") {
     val pairs = Seq(
       // chain 1-2-3-4 (tests multi-hop propagation)
