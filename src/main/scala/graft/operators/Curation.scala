@@ -34,10 +34,55 @@ object Curation {
       .select(col("doc_id"), col("quality"), col("split"))
   }
 
+  /** PII surface patterns, applied in this order (email first so an
+    * address is one `<EMAIL>`, not an email husk plus an `<IP>` hit on its
+    * host part). Deliberately restricted to regex features with identical
+    * semantics in Java regex (Spark) and RE2 (the DuckDB oracle): character
+    * classes, bounded repetition, no lookaround, no backreferences.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "IP" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    "SSN" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "PHONE" -> "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}")
+
+  /** Scrub PII from `textCol` in place and attach `n_pii`, the number of
+    * redactions. Counting is STAGED — each pattern counts on the text as
+    * the previous stage left it — so a span never double-counts (an email's
+    * digits don't also count as an IP once the email is gone).
+    *
+    * Scale: pure per-row column expressions (regexp_replace/regexp_count
+    * chains inside whole-stage codegen) — no shuffle, no UDF, no state;
+    * exactly as parallel as the scan that feeds it.
+    */
+  def redactPii(d: DataFrame, textCol: String = "text"): DataFrame = {
+    val (red, n) = PiiPatterns.foldLeft((col(textCol), lit(0L))) {
+      case ((t, acc), (marker, p)) =>
+        (regexp_replace(t, p, s"<$marker>"), acc + regexp_count(t, lit(p)))
+    }
+    d.withColumn("n_pii", n).withColumn(textCol, red)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_corpus" -> ((s, dir) =>
       curateCorpus(graft.Tables(s, dir, "documents"),
-        minQuality = 0.5, lang = "en"))
+        minQuality = 0.5, lang = "en")),
+
+    // PII scrub over the corpus with deterministic planted PII (every 10th
+    // doc gains an email + ip + ssn + phone suffix, derived from doc_id in
+    // both engines) so the oracle exercises real redactions, not just the
+    // no-match identity path
+    "curate_redact" -> ((s, dir) => {
+      val d = graft.Tables(s, dir, "documents")
+      val planted = d.withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com ip 10.0."), col("doc_id") % 256,
+            lit(".7 ssn 123-45-6789 tel 555-123-4567")))
+          .otherwise(col("text")))
+      redactPii(planted)
+        .select(col("doc_id"), col("text").as("red_text"), col("n_pii"))
+    })
   )
 
   /** DuckDB transliteration — each sub-formula is the one already validated
@@ -77,6 +122,32 @@ object Curation {
         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM q
-        |WHERE quality >= 0.5 AND lang_guess = 'en'""".stripMargin
+        |WHERE quality >= 0.5 AND lang_guess = 'en'""".stripMargin,
+    "curate_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@mail.example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |      '.7 ssn 123-45-6789 tel 555-123-4567'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n1,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+        |  FROM planted),
+        |s2 AS (SELECT doc_id, n1,
+        |  len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n2,
+        |  regexp_replace(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, n1, n2,
+        |  len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n3,
+        |  regexp_replace(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS t
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, n1, n2, n3,
+        |  len(regexp_extract_all(t, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS n4,
+        |  regexp_replace(t, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS t
+        |  FROM s3)
+        |SELECT doc_id, t AS red_text, CAST(n1 + n2 + n3 + n4 AS BIGINT) AS n_pii
+        |FROM s4""".stripMargin
   )
 }

@@ -99,6 +99,39 @@ object TextAnalysis {
         round(col("score"), 4).as("score"), col("rnk"))
   }
 
+  /** Exact global token heavy-hitters: explode → one hash aggregation
+    * (map-side partial combine bounds the shuffle at distinct-terms per
+    * partition) → TakeOrderedAndProject (per-partition top-k, k rows to the
+    * driver — never a global sort). Tie-break (count desc, term asc) is
+    * total, so the k-th boundary is deterministic and oracle-gateable.
+    */
+  def tokenTopK(d: DataFrame, k: Int = 20): DataFrame =
+    d.select(explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(k)
+
+  /** Sketch-based heavy hitters for vocabularies too large to hash-aggregate:
+    * Spark's `approx_top_k` (a frequent-items sketch) keeps a bounded
+    * `maxItemsTracked`-entry summary per partition and merges summaries, so
+    * the shuffle carries sketch bytes instead of the full term dictionary —
+    * the right shape when tokenizing 100 TB yields billions of distinct
+    * (typo/BPE-fragment) terms that all survive an exact groupBy's shuffle
+    * only to be discarded by the top-k. Counts are exact whenever no
+    * per-partition map evicts (maxItemsTracked ≥ distinct terms per
+    * partition); under eviction they are estimates with the sketch's
+    * documented error bound. Spec-pinned against [[tokenTopK]]; no DuckDB
+    * oracle (sketch merge order is engine-internal).
+    */
+  def tokenTopKApprox(d: DataFrame, k: Int = 20,
+                      maxItemsTracked: Int = 100000): DataFrame =
+    d.select(explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .agg(expr(s"approx_top_k(term, $k, $maxItemsTracked)").as("topk"))
+      .select(explode(col("topk")).as("e"))
+      .select(col("e.item").as("term"), col("e.count").as("n"))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "documents")
 
@@ -137,7 +170,12 @@ object TextAnalysis {
     }),
 
     // top-3 TF-IDF terms per document (ratio idf — see tfidfTopTerms)
-    "text_tfidf_topk" -> ((s, dir) => tfidfTopTerms(docs(s, dir), k = 3))
+    "text_tfidf_topk" -> ((s, dir) => tfidfTopTerms(docs(s, dir), k = 3)),
+
+    // corpus-level token heavy-hitters, exact (oracle) and sketch-based
+    // (rows-only; equality-to-exact is spec-pinned at no-eviction scale)
+    "text_token_topk" -> ((s, dir) => tokenTopK(docs(s, dir), k = 20)),
+    "text_token_topk_approx" -> ((s, dir) => tokenTopKApprox(docs(s, dir), k = 20))
   )
 
   private val markerListSql: Map[String, String] =
@@ -181,6 +219,12 @@ object TextAnalysis {
       """SELECT doc_id,
         |  MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "text_token_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, COUNT(*) AS n FROM toks WHERE term <> ''
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
     "text_tfidf_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -376,6 +376,26 @@ class OperatorsSpec extends AnyFunSuite {
       s"bloom verification lost its broadcast-semi shape:\n$plan")
   }
 
+  test("TextAnalysis: approx token top-k is exact when no sketch map evicts") {
+    val docs01 = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val exact = TextAnalysis.tokenTopK(docs01, k = 20)
+      .as[(String, Long)].collect()
+    val approx = TextAnalysis.tokenTopKApprox(docs01, k = 20)
+      .as[(String, Long)].collect()
+    assert(approx.length === 20)
+    // true frequency of every token, for cross-checking the sketch output
+    val full = docs01
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").count().as[(String, Long)].collect().toMap
+    // at this scale maxItemsTracked ≫ vocabulary → every count is exact
+    approx.foreach { case (t, n) =>
+      assert(full(t) === n, s"sketch miscounted '$t'") }
+    // and the selected terms form a true top-k (tie-robust: compare the
+    // count multiset, not the term identities at the tie boundary)
+    assert(approx.map(_._2).sorted.toSeq === exact.map(_._2).sorted.toSeq)
+  }
+
   test("Similarity: centroids are per-cell means in dim order") {
     val e = Seq(
       (0, Array(1f, 3f), 0),

@@ -237,6 +237,24 @@ class TemporalSpec extends AnyFunSuite {
     assert(out === Set(1L)) // survivor of the dup pair, quality+lang pass
   }
 
+  test("redactPii: staged redaction, no double counting, identity on clean text") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or call 555-123-4567 now"),
+      (2L, "server 192.168.1.200 leaked ssn 123-45-6789 twice: 987-65-4321"),
+      // the @-host is digits-with-dots: NOT an email (no alpha TLD), so the
+      // IP stage catches it — and must count it exactly once
+      (3L, "ftp creds at bob@10.22.33.44 please rotate"),
+      (4L, "perfectly clean prose with a version number 1.2 inside")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curation.redactPii(d)
+      .select("doc_id", "text", "n_pii")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === (("mail <EMAIL> or call <PHONE> now", 2L)))
+    assert(out(2L) === (("server <IP> leaked ssn <SSN> twice: <SSN>", 3L)))
+    assert(out(3L) === (("ftp creds at bob@<IP> please rotate", 1L)))
+    assert(out(4L) === (("perfectly clean prose with a version number 1.2 inside", 0L)))
+  }
+
   test("rangeJoinBucketed agrees with a naive filter join on random data") {
     val rnd = new scala.util.Random(11)
     val intervals = Seq.tabulate(60)(i =>
