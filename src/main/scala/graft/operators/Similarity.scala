@@ -246,6 +246,84 @@ object Similarity {
       e, k, nProbe, Some(dim))
   }
 
+  /** Per-vector symmetric int8 quantization: `scale = max|x| / 127`,
+    * `q_i = round(x_i / scale)` as a tinyint array. Both stages are
+    * unrolled GetArrayItem chains (same trick as [[VectorFns.dotN]]), so
+    * quantization runs inside whole-stage codegen — no HOF lambdas. The
+    * scale is materialized as its own column FIRST so the 64-term max-abs
+    * chain is computed once per vector, not once per element.
+    */
+  private def quantizeInt8(d: DataFrame, vecCol: String, dim: Int,
+                           qCol: String, qnCol: String): DataFrame = {
+    val v = col(vecCol)
+    val maxAbs = (0 until dim).map(i => abs(v.getItem(i).cast("double")))
+      .reduceLeft(greatest(_, _))
+    val withScale = d.withColumn("_qs", greatest(maxAbs / 127.0, lit(1e-30)))
+    val qElems = (0 until dim).map(i =>
+      round(v.getItem(i).cast("double") / col("_qs")).cast("byte"))
+    val q = col(qCol)
+    val qNormSq = (0 until dim).map(i =>
+      q.getItem(i).cast("int") * q.getItem(i).cast("int")).reduceLeft(_ + _)
+    withScale.withColumn(qCol, array(qElems: _*))
+      .withColumn(qnCol, sqrt(qNormSq.cast("double")))
+      .drop("_qs")
+  }
+
+  /** Integer dot product of two quantized vectors (unrolled, codegen'd). */
+  private def qdotN(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map(i => a.getItem(i).cast("int") * b.getItem(i).cast("int"))
+      .reduceLeft(_ + _)
+
+  /** ANN over int8-quantized vectors with exact re-rank — the memory-
+    * bandwidth tier: at 100 TB of float32 embeddings the quantized corpus
+    * is 4× smaller (25 TB), so the scoring scan reads a quarter of the
+    * bytes and the hot loop is int multiplies. Ranking by
+    * `qdot / (|q_a| · |q_b|)` needs NO scales — the per-vector scale
+    * factors cancel in the cosine ratio — so the scoring projection
+    * carries only the byte arrays and one precomputed norm.
+    *
+    * Quantized ranks are approximate; the top `rerankFactor × k`
+    * candidates per query are re-scored with the exact float cosine
+    * ([[VectorFns]] contract) and only then cut to k. Recall@k vs
+    * [[bruteForceTopK]] is spec-pinned; no DuckDB oracle — `round()`
+    * half-up vs half-even differs between engines at exact .5 scale
+    * boundaries, which a hash gate cannot tolerate.
+    */
+  def quantizedTopK(e: DataFrame, k: Int, rerankFactor: Int = 4,
+                    dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val par = graft.Tuning.fanout(e.sparkSession)
+    val corpus = quantizeInt8(
+      e.select(col("vec_id"), col("embedding")).repartition(par),
+      "embedding", dim, qCol = "qv", qnCol = "qn")
+      .select(col("vec_id"), col("qv"), col("qn"))
+    val q = quantizeInt8(
+      querySet(e).withColumnRenamed("q_emb", "qe"), "qe", dim,
+      qCol = "qqv", qnCol = "qqn")
+      .select(col("q_id"), col("qqv"), col("qqn"))
+    val wQ = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("vec_id"))
+    val cand = corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (qdotN(col("qqv"), col("qv"), dim) / (col("qqn") * col("qn"))).as("qcos"))
+      .withColumn("qrank", row_number().over(wQ))
+      .filter(col("qrank") <= k * rerankFactor)
+      .select(col("q_id"), col("vec_id"))
+    // exact re-rank of the small candidate set: float vectors are fetched
+    // for candidates only — at scale this is the only stage touching the
+    // full-precision corpus, and it reads k·rerankFactor rows per query
+    val floats = e.select(col("vec_id"), col("embedding"),
+      normC(col("embedding"), Some(dim)).as("nrm"))
+    val qFloats = querySet(e).withColumn("qnrm", normC(col("q_emb"), Some(dim)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.join(floats, Seq("vec_id"))
+      .join(broadcast(qFloats), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotC(col("q_emb"), col("embedding"), Some(dim)) /
+          (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-10 (oracle-gated; ranks only)
     "ann_brute_topk" -> ((s, dir) =>
@@ -255,7 +333,10 @@ object Similarity {
     // IVF ANN with k-means-trained cells, probing 3/10 (approximate —
     // rows-only check; recall + candidate-fraction spec-pinned)
     "ann_ivf_topk" -> ((s, dir) =>
-      ivfTopKKMeans(emb(s, dir), k = 10, cells = 10, nProbe = 3, iters = 3))
+      ivfTopKKMeans(emb(s, dir), k = 10, cells = 10, nProbe = 3, iters = 3)),
+    // int8-quantized scoring + exact re-rank (approximate — rows-only
+    // check; recall vs the exact baseline spec-pinned)
+    "ann_quantized_topk" -> ((s, dir) => quantizedTopK(emb(s, dir), k = 10))
   )
 
   def oracles: Map[String, String] = Map(

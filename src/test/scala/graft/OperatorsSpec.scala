@@ -117,6 +117,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivfKmRecall >= 0.5, s"kmeans-IVF recall@10 regressed: $ivfKmRecall")
     assert(ivfKmRecall >= ivfLabelRecall,
       s"training lost to the label stand-in: $ivfKmRecall < $ivfLabelRecall")
+    // int8 quantization + exact re-rank: quantized RANKING is approximate
+    // but int8 keeps ~7 significant bits per element, so with a 4× re-rank
+    // margin the final top-10 should recover nearly all of brute force
+    val quantRecall = (brute & pairs(Similarity.quantizedTopK(e, 10)))
+      .size.toDouble / brute.size
+    assert(quantRecall >= 0.9, s"quantized recall@10 regressed: $quantRecall")
   }
 
   test("Similarity: k-means IVF scores ~nProbe/cells of the corpus") {
