@@ -750,8 +750,8 @@ object Dedup {
     * filter by fingerprint prefix and route each batch row to its shard's
     * bitmap; the tier's contract doesn't change).
     */
-  private def corpusFingerprintBloom(corpus: DataFrame, expectedItems: Long,
-                                     fpp: Double): Array[Byte] = {
+  def corpusFingerprintBloom(corpus: DataFrame, expectedItems: Long,
+                             fpp: Double = 0.01): Array[Byte] = {
     val bf = corpus.select(fingerprint64(col("text")).as("fp64"))
       .stat.bloomFilter("fp64", math.max(expectedItems, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
@@ -814,7 +814,24 @@ object Dedup {
                             knownCorpusRows: Option[Long] = None,
                             maxBroadcastFps: Long = 4L << 20): DataFrame = {
     val expected = knownCorpusRows.getOrElse(corpus.count())
-    val bloom = corpusFingerprintBloom(corpus, expected, fpp)
+    incrementalDedupBloom(corpus, batch,
+      corpusFingerprintBloom(corpus, expected, fpp), maxBroadcastFps)
+  }
+
+  /** [[incrementalDedupBloom]] against a PREBUILT filter — the steady-state
+    * ingest form. The filter build is the only corpus-wide pass the tier
+    * has besides verification, and nothing about it depends on the batch,
+    * so a long-running ingest builds [[corpusFingerprintBloom]] once (sized
+    * with headroom), reuses the bytes for every batch, and only rebuilds
+    * when the corpus outgrows the expected-items budget the filter was
+    * sized for. Admitted docs' fingerprints can even be `put` into a local
+    * copy between rebuilds — a Bloom filter unions by OR, so staleness only
+    * ever routes a few extra rows into verification, never corrupts the
+    * result.
+    */
+  def incrementalDedupBloom(corpus: DataFrame, batch: DataFrame,
+                            bloom: Array[Byte],
+                            maxBroadcastFps: Long): DataFrame = {
     // one batch scan total: fingerprint + route flag, materialized batch-
     // sized (two longs + bool per row) for its three consumers below
     val flagged = batch

@@ -352,6 +352,14 @@ class OperatorsSpec extends AnyFunSuite {
     val selfDup = Dedup.incrementalDedupBloom(corpus, corpus.limit(1))
       .as[Long].collect().toSet
     assert(selfDup === Set.empty[Long])
+    // steady-state form: one prebuilt filter serves multiple batches
+    val bf = Dedup.corpusFingerprintBloom(corpus, expectedItems = 2)
+    val viaPrebuilt = Dedup.incrementalDedupBloom(corpus, batch, bf, 4L << 20)
+      .as[Long].collect().toSet
+    assert(viaPrebuilt === bloom)
+    val batch2 = Seq((20L, "a second batch with fresh content entirely")).toDF("doc_id", "text")
+    assert(Dedup.incrementalDedupBloom(corpus, batch2, bf, 4L << 20)
+      .as[Long].collect().toSet === Set(20L))
   }
 
   test("Dedup: bloom tier matches the anti-join baseline on the real corpus split") {

@@ -131,6 +131,32 @@ class PlanSpec extends AnyFunSuite {
       plan.take(1200))
   }
 
+  test("token heavy-hitters plan TakeOrderedAndProject, never a global sort") {
+    // orderBy(n desc).limit(k) must fuse: per-partition top-k + a k-row
+    // merge on the driver side — a Sort + GlobalLimit would shuffle and
+    // sort the full term dictionary
+    val df = q("text_token_topk")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+  }
+
+  test("stratified sampling is a pure scan+filter — no shuffle, no join") {
+    val df = q("sample_stratified")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"stratified sample grew a shuffle:\n${plan.take(1200)}")
+  }
+
+  test("PII redaction is a pure projection — no shuffle, no UDF") {
+    val df = q("curate_redact")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython") &&
+      !plan.contains("ScalaUDF"), s"redaction left codegen:\n${plan.take(1200)}")
+  }
+
   test("fact dim fan-out chain does not inherit scan partitioning") {
     // every dim join in buildFact is a broadcast join, so without an
     // explicit repartition the whole many-to-many expansion would run on
