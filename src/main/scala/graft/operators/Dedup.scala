@@ -831,16 +831,30 @@ object Dedup {
     */
   def incrementalDedupBloom(corpus: DataFrame, batch: DataFrame,
                             bloom: Array[Byte],
-                            maxBroadcastFps: Long): DataFrame = {
+                            maxBroadcastFps: Long): DataFrame =
+    bloomAdmitIds(
+      corpus.select(fingerprint64(col("text")).as("fp64")),
+      batch.select(col("doc_id"), fingerprint64(col("text")).as("fp64")),
+      bloom, maxBroadcastFps)
+      .select(col("doc_id"))
+
+  /** Route-and-verify core of the Bloom tier, on fingerprints directly:
+    * `batchFps` is (doc_id, fp64), `corpusFps` is the fp64 projection of
+    * whatever the batch must be new AGAINST (the corpus, plus any
+    * fingerprints admitted since the filter was built — the streaming
+    * ingest maintains exactly that union). Returns admitted (doc_id, fp64)
+    * so callers can fold admissions back into their filter and state.
+    */
+  private[graft] def bloomAdmitIds(corpusFps: DataFrame, batchFps: DataFrame,
+                                   bloom: Array[Byte],
+                                   maxBroadcastFps: Long): DataFrame = {
     // one batch scan total: fingerprint + route flag, materialized batch-
     // sized (two longs + bool per row) for its three consumers below
-    val flagged = batch
-      .select(col("doc_id"), fingerprint64(col("text")).as("fp64"))
+    val flagged = batchFps
       .withColumn("maybe", bloomMightContain(bloom, col("fp64")))
       .localCheckpoint()
     val definite = flagged.filter(!col("maybe"))
     val maybe = flagged.filter(col("maybe"))
-    val corpusFps = corpus.select(fingerprint64(col("text")).as("fp64"))
     val survivors =
       if (maybe.count() <= maxBroadcastFps) {
         maybe.join(broadcast(bloomVerifiedHits(corpusFps, maybe)),
@@ -848,8 +862,15 @@ object Dedup {
       } else {
         maybe.join(corpusFps, Seq("fp64"), "left_anti")
       }
-    definite.select(col("doc_id")).union(survivors.select(col("doc_id")))
+    definite.select(col("doc_id"), col("fp64"))
+      .union(survivors.select(col("doc_id"), col("fp64")))
   }
+
+  /** The Bloom tier's 64-bit fingerprint projection of a documents frame —
+    * shared with the streaming ingest so both sides key on the same hash.
+    */
+  private[graft] def fingerprint64Of(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), fingerprint64(col("text")).as("fp64"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

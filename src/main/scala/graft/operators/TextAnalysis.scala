@@ -99,6 +99,34 @@ object TextAnalysis {
         round(col("score"), 4).as("score"), col("rnk"))
   }
 
+  /** Intra-document repetition signals — the standard "repetitious text"
+    * quality filter for web-scale corpora: the fraction of tokens that are
+    * repeats of an earlier token, and the same for word bigrams. Machine-
+    * generated / boilerplate text scores high on both; the curation gate
+    * drops documents above a threshold.
+    *
+    * Both are pure per-row array expressions (split / array_distinct /
+    * size) — no shuffle, no explode; the bigram build is guarded the same
+    * way as [[graft.operators.Dedup.shingles]] (`sequence` DESCENDS for
+    * sub-2 token counts and would fabricate spurious pairs).
+    */
+  def dupTokenRatio(c: Column): Column = {
+    val toks = tokens(lower(c))
+    round(lit(1.0) -
+      size(array_distinct(toks)).cast("double") / size(toks), 4)
+  }
+
+  /** Word-bigram repetition fraction; 0.0 for documents under 2 tokens. */
+  def dupBigramRatio(c: Column): Column = {
+    val toks = tokens(lower(c))
+    val n = size(toks)
+    val bigrams = transform(sequence(lit(0), n - 2),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+    when(n >= 2,
+      round(lit(1.0) - size(array_distinct(bigrams)).cast("double") / (n - 1), 4))
+      .otherwise(lit(0.0))
+  }
+
   /** Exact global token heavy-hitters: explode → one hash aggregation
     * (map-side partial combine bounds the shuffle at distinct-terms per
     * partition) → TakeOrderedAndProject (per-partition top-k, k rows to the
@@ -175,7 +203,15 @@ object TextAnalysis {
     // corpus-level token heavy-hitters, exact (oracle) and sketch-based
     // (rows-only; equality-to-exact is spec-pinned at no-eviction scale)
     "text_token_topk" -> ((s, dir) => tokenTopK(docs(s, dir), k = 20)),
-    "text_token_topk_approx" -> ((s, dir) => tokenTopKApprox(docs(s, dir), k = 20))
+    "text_token_topk_approx" -> ((s, dir) => tokenTopKApprox(docs(s, dir), k = 20)),
+
+    // intra-document repetition (Gopher-style repetitious-text signals)
+    // with the curation keep/drop decision at a 0.6 dup-token threshold
+    "text_repetition" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        dupTokenRatio(col("text")).as("dup_tok"),
+        dupBigramRatio(col("text")).as("dup_bigram"))
+        .withColumn("keep", col("dup_tok") <= 0.6))
   )
 
   private val markerListSql: Map[String, String] =
@@ -219,6 +255,18 @@ object TextAnalysis {
       """SELECT doc_id,
         |  MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks
+        |FROM documents),
+        |r AS (SELECT doc_id,
+        |  ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS dup_tok,
+        |  CASE WHEN len(toks) >= 2 THEN
+        |    ROUND(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE) / (len(toks) - 1), 4)
+        |  ELSE 0.0 END AS dup_bigram
+        |FROM t)
+        |SELECT doc_id, dup_tok, dup_bigram, dup_tok <= 0.6 AS keep FROM r""".stripMargin,
     "text_token_topk" ->
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.operators.Dedup
+
+/** Streaming document ingest with corpus-level exact dedup — the
+  * composition a training-data store actually runs in front of a 100 TB
+  * corpus. Per micro-batch:
+  *
+  *  1. self-dedup WITHIN the batch (first arrival — min doc_id — per
+  *     normalized-content fingerprint, the same survivor rule as
+  *     [[EventStreams.dedupBatch]]);
+  *  2. route through the corpus Bloom filter and exact-verify the maybe set
+  *     ([[Dedup.bloomAdmitIds]]): the corpus contributes one broadcast-semi
+  *     verification scan and ZERO shuffles per batch;
+  *  3. fold the admitted fingerprints back into both the driver's filter
+  *     copy (`putLong` — a Bloom filter unions by OR) and the
+  *     verification-base delta, so a duplicate arriving in a LATER batch is
+  *     still caught even though the static corpus never saw it.
+  *
+  * `foreachBatch` is the right host: the Bloom routing needs per-batch
+  * actions (the broadcast-size gate, the state fold) that a pure streaming
+  * transform cannot express, and the sink keeps exactly-once by writing
+  * idempotently per `batchId` as usual with foreachBatch.
+  *
+  * Driver state is bounded and explicit: the filter bytes (sized by
+  * `expectedRows`, which must include admission headroom) plus one collected
+  * long per admitted document per batch — the same driver-residency contract
+  * as `stat.bloomFilter` itself. At 10B-document scale, shard the filter by
+  * fingerprint prefix and rebuild from the stored corpus on a schedule; the
+  * per-batch protocol here does not change.
+  */
+object DocIngest {
+
+  def bloomIngestStream(docs: DataFrame, corpus: DataFrame,
+                        expectedRows: Long, fpp: Double = 0.01,
+                        maxBroadcastFps: Long = 4L << 20)
+                       (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val bf = BloomFilter.readFrom(new ByteArrayInputStream(
+      Dedup.corpusFingerprintBloom(corpus, expectedRows, fpp)))
+    // static corpus fingerprints, materialized once for every batch's
+    // verification scan
+    val corpusFps = Dedup.fingerprint64Of(corpus).select("fp64").localCheckpoint()
+    var admittedFps: Option[DataFrame] = None
+
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        val withFp = Dedup.fingerprint64Of(batch.toDF)
+        val firsts = withFp.groupBy(col("fp64")).agg(min(col("doc_id")).as("doc_id"))
+        val bytes = { val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray }
+        val verifyBase = admittedFps.fold(corpusFps)(corpusFps.union)
+        val admitted = Dedup.bloomAdmitIds(verifyBase, firsts, bytes, maxBroadcastFps)
+          .localCheckpoint()
+        admitted.select("fp64").collect().foreach(r => bf.putLong(r.getLong(0)))
+        admittedFps = Some(admittedFps
+          .fold(admitted.select("fp64"))(_ union admitted.select("fp64"))
+          .localCheckpoint())
+        onBatch(batch.toDF.join(admitted.select("doc_id"), Seq("doc_id")), batchId)
+    }.start()
+  }
+}

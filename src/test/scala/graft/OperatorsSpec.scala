@@ -390,6 +390,23 @@ class OperatorsSpec extends AnyFunSuite {
       s"bloom verification lost its broadcast-semi shape:\n$plan")
   }
 
+  test("TextAnalysis: repetition ratios on hand-computable fixtures") {
+    val d = Seq(
+      (0L, "a a a b"),        // 4 toks, 2 distinct → 0.5; bigrams {a a, a a, a b} → 1-2/3
+      (1L, "hello"),          // single token: no bigrams, both clean
+      (2L, "the quick brown fox jumps over the lazy dog"), // one repeat of 'the'
+      (3L, "spam spam spam spam spam spam spam spam spam spam")
+    ).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+      TextAnalysis.dupTokenRatio(col("text")).as("dt"),
+      TextAnalysis.dupBigramRatio(col("text")).as("db"))
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(0L) === ((0.5, 0.3333)))
+    assert(r(1L) === ((0.0, 0.0)))
+    assert(r(2L) === ((0.1111, 0.0)))
+    assert(r(3L) === ((0.9, 0.8889))) // 10 toks 1 distinct; 9 bigrams 1 distinct
+  }
+
   test("TextAnalysis: approx token top-k is exact when no sketch map evicts") {
     val docs01 = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
     val exact = TextAnalysis.tokenTopK(docs01, k = 20)

@@ -141,4 +141,57 @@ class PropertySpec extends AnyFunSuite {
         s"intersection mismatch for '$ta' × '$tb'")
     }
   }
+
+  test("redactPii is idempotent and markers never re-match, over random PII mixes") {
+    val pii = Seq("x.y@corp.io", "10.0.0.1", "123-45-6789", "555-123-4567")
+    val words = Seq("alpha", "beta", "gamma", "delta", "1.5", "v2")
+    val texts = Seq.fill(150)(
+      Seq.fill(1 + rnd.nextInt(12))(
+        if (rnd.nextInt(3) == 0) pii(rnd.nextInt(pii.size))
+        else words(rnd.nextInt(words.size))).mkString(" "))
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = graft.operators.Curation.redactPii(d)
+      .select(col("doc_id"), col("text"), col("n_pii"))
+    val twice = graft.operators.Curation.redactPii(once.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("text"), col("n_pii"))
+    val o = once.as[(Long, String, Long)].collect().sortBy(_._1)
+    val t2 = twice.as[(Long, String, Long)].collect().sortBy(_._1)
+    // a second pass finds nothing (markers are inert) and changes nothing
+    assert(t2.map(r => (r._1, r._2)).toSeq === o.map(r => (r._1, r._2)).toSeq)
+    assert(t2.forall(_._3 == 0L), "second redaction pass found PII in markers")
+    // and no raw PII string survives the first pass
+    o.foreach { case (_, txt, _) =>
+      pii.foreach(p => assert(!txt.contains(p), s"unredacted '$p' in '$txt'")) }
+  }
+
+  test("stratified samples nest: higher pct per stratum is a superset, over random maps") {
+    val d = spark.range(2000).select(col("id"),
+      when(col("id") % 4 === 0, "a").when(col("id") % 4 === 1, "b")
+        .when(col("id") % 4 === 2, "c").otherwise("d").as("s"))
+    for (_ <- 1 to 5) {
+      val lo = Map("a" -> rnd.nextInt(50), "b" -> rnd.nextInt(50), "c" -> rnd.nextInt(50))
+      val hi = lo.map { case (k, v) => k -> (v + rnd.nextInt(100 - v + 1).min(100 - v)) }
+      val keptLo = graft.operators.Sampling.stratifiedSample(d, col("id"), col("s"), lo)
+        .select("id").as[Long].collect().toSet
+      val keptHi = graft.operators.Sampling.stratifiedSample(d, col("id"), col("s"), hi)
+        .select("id").as[Long].collect().toSet
+      assert(keptLo.subsetOf(keptHi), s"nesting broke for $lo vs $hi")
+    }
+  }
+
+  test("repetition ratios stay in [0,1] and exact duplication maximizes them") {
+    val texts = Seq.fill(100)(
+      Seq.fill(1 + rnd.nextInt(30))(
+        Seq("w1", "w2", "w3", "w4")(rnd.nextInt(4))).mkString(" "))
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(
+        graft.operators.TextAnalysis.dupTokenRatio(col("text")).as("dt"),
+        graft.operators.TextAnalysis.dupBigramRatio(col("text")).as("db"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (dt, db) =>
+      assert(dt >= 0.0 && dt < 1.0, s"dup_tok out of range: $dt")
+      assert(db >= 0.0 && db < 1.0, s"dup_bigram out of range: $db")
+    }
+  }
 }

@@ -162,4 +162,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch === Set((1L, 3L), (3L, 1L), (4L, 1L)))
     } finally q.stop()
   }
+
+  test("bloom ingest stream dedups within batches, across batches, and vs the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.Map[Long, Set[Long]]()
+    val q = graft.streaming.DocIngest.bloomIngestStream(
+      input.toDF().toDF("doc_id", "text"), corpus, expectedRows = 100) {
+      (adm, id) =>
+        admitted.synchronized {
+          admitted(id) = adm.select("doc_id").as[Long].collect().toSet
+        }
+    }
+    try {
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog"), // corpus dup
+        (11L, "a genuinely new document about training data"),
+        (12L, "a genuinely new document about training data")) // intra-batch dup of 11
+      q.processAllAvailable()
+      input.addData(
+        (20L, "a genuinely new document about training data"), // cross-batch dup of 11
+        (21L, "another new document, unlike anything before"))
+      q.processAllAvailable()
+      val sets = admitted.synchronized(admitted.toMap)
+      assert(sets.values.toSet === Set(Set(11L), Set(21L)),
+        s"bloom ingest admitted wrong sets: $sets")
+    } finally q.stop()
+  }
 }
