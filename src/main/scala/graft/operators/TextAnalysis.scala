@@ -16,6 +16,20 @@ object TextAnalysis {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-style pre-tokenization count — the practical "how many tokens will
+    * the tokenizer see" estimate. Splits the way GPT-style pre-tokenizers
+    * do (letter runs, digit runs, punctuation runs, each with an optional
+    * leading space) but restricted to the Java-regex ∩ RE2 subset: the
+    * canonical pattern's `(?!\S)` lookahead is dropped, which only changes
+    * how runs of trailing whitespace count. `\p{L}`/`\p{N}` keep it
+    * Unicode-correct (a CJK span counts per run, an accented word is one
+    * token). One codegen'd regexp_count per row — no explode, no shuffle.
+    */
+  val BpeTokenPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N}\\s]+"
+
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpeTokenPattern))
+
   /** Lowercased, whitespace-collapsed text — the canonical content on which
     * exact-dedup equality is defined. Every exact-dedup key (the md5
     * [[fingerprint]], the Bloom tier's xxhash64 key) hashes THIS, so they
@@ -165,11 +179,12 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // token counting + surface statistics
+    // token counting + surface statistics (whitespace AND BPE-ish counts)
     "text_token_stats" -> ((s, dir) => {
       docs(s, dir).select(
         col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
         length(col("text")).as("n_chars"),
         round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
           tokenCount(col("text")), 4).as("avg_token_len"))
@@ -223,6 +238,7 @@ object TextAnalysis {
     "text_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+')) AS n_bpe_tokens,
         |  LENGTH(text) AS n_chars,
         |  ROUND(CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
         |    len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len

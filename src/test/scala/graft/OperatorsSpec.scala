@@ -390,6 +390,19 @@ class OperatorsSpec extends AnyFunSuite {
       s"bloom verification lost its broadcast-semi shape:\n$plan")
   }
 
+  test("TextAnalysis: BPE-ish token counts on hand-computable fixtures") {
+    val d = Seq(
+      (0L, "don't stop now!"),      // don | ' | t | _stop | _now | ! → 6
+      (1L, "call 911 now"),         // call | _911 | _now → 3
+      (2L, "中文 abc"),              // 中文 | _abc → 2
+      (3L, "a-b=c")                 // a | - | b | = | c → 5
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(0L -> 6, 1L -> 3, 2L -> 2, 3L -> 5))
+  }
+
   test("TextAnalysis: repetition ratios on hand-computable fixtures") {
     val d = Seq(
       (0L, "a a a b"),        // 4 toks, 2 distinct → 0.5; bigrams {a a, a a, a b} → 1-2/3
