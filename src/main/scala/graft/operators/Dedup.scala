@@ -752,8 +752,14 @@ object Dedup {
     */
   def corpusFingerprintBloom(corpus: DataFrame, expectedItems: Long,
                              fpp: Double = 0.01): Array[Byte] = {
-    val bf = corpus.select(fingerprint64(col("text")).as("fp64"))
-      .stat.bloomFilter("fp64", math.max(expectedItems, 1L), fpp)
+    val proj = corpus.select(fingerprint64(col("text")).as("fp64"))
+    // Spark's stat.bloomFilter NPEs on a zero-row frame (the aggregate
+    // yields null and the wrapper calls readFrom(null)) — a fresh corpus
+    // is a legitimate ingest state, so build the empty filter explicitly
+    val bf =
+      if (proj.isEmpty) org.apache.spark.util.sketch.BloomFilter
+        .create(math.max(expectedItems, 1L), fpp)
+      else proj.stat.bloomFilter("fp64", math.max(expectedItems, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

@@ -125,6 +125,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(quantRecall >= 0.9, s"quantized recall@10 regressed: $quantRecall")
   }
 
+  test("Similarity: quantized recall@10 holds at gate scale (sf0.01)") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(e, 10, dim = Some(Tables.EmbeddingDim)))
+    val quant = pairs(Similarity.quantizedTopK(e, 10))
+    val recall = (brute & quant).size.toDouble / brute.size
+    assert(recall >= 0.9, s"quantized recall@10 at sf0.01 regressed: $recall")
+  }
+
   test("Similarity: k-means IVF scores ~nProbe/cells of the corpus") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cells = 10; val nProbe = 3
@@ -352,6 +362,12 @@ class OperatorsSpec extends AnyFunSuite {
     val selfDup = Dedup.incrementalDedupBloom(corpus, corpus.limit(1))
       .as[Long].collect().toSet
     assert(selfDup === Set.empty[Long])
+    // degenerate inputs: an empty corpus admits everything; an empty batch
+    // admits nothing; neither throws in the filter build or the routing
+    val emptyDocs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.incrementalDedupBloom(emptyDocs, batch)
+      .as[Long].collect().toSet === Set(10L, 11L, 12L, 13L))
+    assert(Dedup.incrementalDedupBloom(corpus, emptyDocs).count() === 0L)
     // steady-state form: one prebuilt filter serves multiple batches
     val bf = Dedup.corpusFingerprintBloom(corpus, expectedItems = 2)
     val viaPrebuilt = Dedup.incrementalDedupBloom(corpus, batch, bf, 4L << 20)
