@@ -566,6 +566,23 @@ object Dedup {
       .localCheckpoint()
   }
 
+  /** Tier-1 dispatch: the anti-join form, or the Bloom-routed form when the
+    * caller supplies a prebuilt filter — identical survivors either way,
+    * but the Bloom route never shuffles the corpus.
+    */
+  private def exactSurvivors(corpus: DataFrame, batch: DataFrame,
+                             corpusBloom: Option[Array[Byte]]): DataFrame =
+    corpusBloom match {
+      case None => exactSurvivorBatch(corpus, batch)
+      case Some(bytes) =>
+        val admitted = bloomAdmitIds(
+          corpus.select(fingerprint64(col("text")).as("fp64")),
+          fingerprint64Of(batch), bytes, maxBroadcastFps = 4L << 20)
+        batch.select(col("doc_id"), col("text"))
+          .join(admitted.select(col("doc_id")), Seq("doc_id"))
+          .localCheckpoint()
+    }
+
   /** Sum of text chars — prefers a precomputed length column so the probe
     * reads 8 bytes/row (column pruning) instead of scanning the text.
     */
@@ -656,16 +673,23 @@ object Dedup {
     * corpus size as a counter instead of paying a per-batch aggregation
     * action (8 bytes/row when an `n_chars` column exists, a full text scan
     * otherwise). The probe runs only when the size is genuinely unknown.
+    *
+    * `corpusBloom` (a prebuilt [[corpusFingerprintBloom]]) routes tier 1
+    * through the Bloom prefilter instead of the fingerprint anti-join —
+    * same admitted set, but the exact tier stops shuffling the corpus
+    * (the near-dup tiers already never did). A steady-state ingest passes
+    * both `knownCorpusChars` and its maintained filter.
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, threshold: Double,
                        maxBroadcastChars: Long = 8L << 20,
                        maxExactCorpusChars: Long = 1L << 30,
                        numHashes: Int = 32, bands: Int = 4,
-                       knownCorpusChars: Option[Long] = None): DataFrame = {
+                       knownCorpusChars: Option[Long] = None,
+                       corpusBloom: Option[Array[Byte]] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val par = graft.Tuning.fanout(spark)
-    val b1 = exactSurvivorBatch(corpus, batch)
+    val b1 = exactSurvivors(corpus, batch, corpusBloom)
     val corpusChars = knownCorpusChars.getOrElse(totalChars(corpus))
     if (corpusChars > maxExactCorpusChars) {
       val nearDup = bandedNearDupIds(b1, corpus, threshold, numHashes, bands,
@@ -724,8 +748,9 @@ object Dedup {
     */
   def incrementalDedupBanded(corpus: DataFrame, batch: DataFrame, threshold: Double,
                              numHashes: Int = 32, bands: Int = 4,
-                             knownCorpusChars: Option[Long] = None): DataFrame = {
-    val b1 = exactSurvivorBatch(corpus, batch)
+                             knownCorpusChars: Option[Long] = None,
+                             corpusBloom: Option[Array[Byte]] = None): DataFrame = {
+    val b1 = exactSurvivors(corpus, batch, corpusBloom)
     val nearDup = bandedNearDupIds(b1, corpus, threshold, numHashes, bands,
       corpusBytes = knownCorpusChars.map(_ * 8L).getOrElse(0L))
     b1.join(nearDup, b1("doc_id") === nearDup("b_id"), "left_anti")

@@ -315,6 +315,14 @@ class OperatorsSpec extends AnyFunSuite {
     val viaSmall = Dedup.incrementalDedup(corpus, batch, threshold = 0.8,
       knownCorpusChars = Some(1L)).as[Long].collect().toSet
     assert(viaSmall === Set(13L))
+    // tier-1 through the Bloom route: same admitted set as the anti-join
+    // form, for both the exact-jaccard and banded near-dup tiers
+    val bloomBytes = Dedup.corpusFingerprintBloom(corpus, expectedItems = 2)
+    assert(Dedup.incrementalDedup(corpus, batch, threshold = 0.8,
+      corpusBloom = Some(bloomBytes)).as[Long].collect().toSet === Set(13L))
+    assert(Dedup.incrementalDedupBanded(corpus, batch, threshold = 0.8,
+      numHashes = 32, bands = 8,
+      corpusBloom = Some(bloomBytes)).as[Long].collect().toSet === Set(13L))
   }
 
   test("Dedup: banded incremental tier is precision-1, recall-pinned vs exact (real corpus)") {
