@@ -194,4 +194,36 @@ class StreamingSpec extends AnyFunSuite {
         s"bloom ingest admitted wrong sets: $sets")
     } finally q.stop()
   }
+
+  test("bloom ingest over the real corpus equals the batch tier, any batch slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs01 = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val bucket = graft.operators.Sampling.hashBucket(col("doc_id"))
+    val corpus = docs01.filter(bucket < 80)
+    val batchRows = docs01.filter(bucket >= 80)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // batch-tier truth on the whole arrival set at once — self-deduped
+    // first (the stream keeps the min doc_id per content; the plain batch
+    // tier has no intra-batch stage)
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val firsts = batchRows.groupBy(r => norm(r._2)).map(_._2.minBy(_._1)).toSeq
+    val want = graft.operators.Dedup.incrementalDedupBloom(corpus,
+      firsts.toDF("doc_id", "text")).as[Long].collect().toSet
+    // stream the same rows in three arbitrary slices
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[Long]()
+    val q = graft.streaming.DocIngest.bloomIngestStream(
+      input.toDF().toDF("doc_id", "text"), corpus, expectedRows = 1000) {
+      (adm, _) =>
+        got.synchronized { got ++= adm.select("doc_id").as[Long].collect() }
+    }
+    try {
+      val slices = batchRows.grouped(math.max(batchRows.length / 3, 1)).toSeq
+      slices.foreach { s => input.addData(s.toIndexedSeq); q.processAllAvailable() }
+      assert(got.synchronized(got.toSet) === want,
+        s"stream/batch divergence: missing ${want.diff(got)}, extra ${got.diff(want)}")
+    } finally q.stop()
+  }
 }
