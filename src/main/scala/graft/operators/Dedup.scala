@@ -571,13 +571,14 @@ object Dedup {
     * but the Bloom route never shuffles the corpus.
     */
   private def exactSurvivors(corpus: DataFrame, batch: DataFrame,
-                             corpusBloom: Option[Array[Byte]]): DataFrame =
+                             corpusBloom: Option[Array[Byte]],
+                             maxBroadcastFps: Long): DataFrame =
     corpusBloom match {
       case None => exactSurvivorBatch(corpus, batch)
       case Some(bytes) =>
         val admitted = bloomAdmitIds(
           corpus.select(fingerprint64(col("text")).as("fp64")),
-          fingerprint64Of(batch), bytes, maxBroadcastFps = 4L << 20)
+          fingerprint64Of(batch), bytes, maxBroadcastFps)
         batch.select(col("doc_id"), col("text"))
           .join(admitted.select(col("doc_id")), Seq("doc_id"))
           .localCheckpoint()
@@ -685,11 +686,12 @@ object Dedup {
                        maxExactCorpusChars: Long = 1L << 30,
                        numHashes: Int = 32, bands: Int = 4,
                        knownCorpusChars: Option[Long] = None,
-                       corpusBloom: Option[Array[Byte]] = None): DataFrame = {
+                       corpusBloom: Option[Array[Byte]] = None,
+                       maxBroadcastFps: Long = 4L << 20): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val par = graft.Tuning.fanout(spark)
-    val b1 = exactSurvivors(corpus, batch, corpusBloom)
+    val b1 = exactSurvivors(corpus, batch, corpusBloom, maxBroadcastFps)
     val corpusChars = knownCorpusChars.getOrElse(totalChars(corpus))
     if (corpusChars > maxExactCorpusChars) {
       val nearDup = bandedNearDupIds(b1, corpus, threshold, numHashes, bands,
@@ -749,8 +751,9 @@ object Dedup {
   def incrementalDedupBanded(corpus: DataFrame, batch: DataFrame, threshold: Double,
                              numHashes: Int = 32, bands: Int = 4,
                              knownCorpusChars: Option[Long] = None,
-                             corpusBloom: Option[Array[Byte]] = None): DataFrame = {
-    val b1 = exactSurvivors(corpus, batch, corpusBloom)
+                             corpusBloom: Option[Array[Byte]] = None,
+                             maxBroadcastFps: Long = 4L << 20): DataFrame = {
+    val b1 = exactSurvivors(corpus, batch, corpusBloom, maxBroadcastFps)
     val nearDup = bandedNearDupIds(b1, corpus, threshold, numHashes, bands,
       corpusBytes = knownCorpusChars.map(_ * 8L).getOrElse(0L))
     b1.join(nearDup, b1("doc_id") === nearDup("b_id"), "left_anti")
@@ -763,9 +766,16 @@ object Dedup {
     * functions of [[TextAnalysis.normalizedText]], so they induce the same
     * duplicate relation (modulo 2⁻⁶⁴ collisions, the budget every
     * hash-dedup layer here already accepts).
+    *
+    * NULL text must stay NULL: bare `xxhash64` skips null children and
+    * would hash every null text to the seed, silently deduping null-text
+    * rows against each other — while the md5 anti-join (null keys never
+    * join) admits each of them. The explicit null-out keeps the two routes
+    * survivor-identical; [[bloomAdmitIds]] then routes null fingerprints
+    * straight to "definitely new".
     */
   private def fingerprint64(c: Column): Column =
-    xxhash64(TextAnalysis.normalizedText(c))
+    when(c.isNotNull, xxhash64(TextAnalysis.normalizedText(c)))
 
   /** Serialized Bloom filter over the corpus's 64-bit fingerprints: one
     * columnar scan of the fingerprint projection, per-partition partial
@@ -778,13 +788,18 @@ object Dedup {
   def corpusFingerprintBloom(corpus: DataFrame, expectedItems: Long,
                              fpp: Double = 0.01): Array[Byte] = {
     val proj = corpus.select(fingerprint64(col("text")).as("fp64"))
+      .filter(col("fp64").isNotNull)
     // Spark's stat.bloomFilter NPEs on a zero-row frame (the aggregate
-    // yields null and the wrapper calls readFrom(null)) — a fresh corpus
-    // is a legitimate ingest state, so build the empty filter explicitly
+    // yields null and the wrapper calls readFrom(null)). A fresh corpus is
+    // a legitimate ingest state, so catch exactly that and build the empty
+    // filter — catching beats an isEmpty probe, which would cost a second
+    // corpus job on EVERY build just to guard the empty case
     val bf =
-      if (proj.isEmpty) org.apache.spark.util.sketch.BloomFilter
-        .create(math.max(expectedItems, 1L), fpp)
-      else proj.stat.bloomFilter("fp64", math.max(expectedItems, 1L), fpp)
+      try proj.stat.bloomFilter("fp64", math.max(expectedItems, 1L), fpp)
+      catch {
+        case _: NullPointerException => org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(expectedItems, 1L), fpp)
+      }
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray
@@ -881,8 +896,12 @@ object Dedup {
                                    maxBroadcastFps: Long): DataFrame = {
     // one batch scan total: fingerprint + route flag, materialized batch-
     // sized (two longs + bool per row) for its three consumers below
+    // null fingerprint (null text) → "definitely new": the anti-join form
+    // admits every null-key row, and a null routed into `maybe` would be
+    // dropped by BOTH filters below (three-valued logic)
     val flagged = batchFps
-      .withColumn("maybe", bloomMightContain(bloom, col("fp64")))
+      .withColumn("maybe",
+        coalesce(bloomMightContain(bloom, col("fp64")), lit(false)))
       .localCheckpoint()
     val definite = flagged.filter(!col("maybe"))
     val maybe = flagged.filter(col("maybe"))

@@ -307,18 +307,19 @@ object Similarity {
       .withColumn("qrank", row_number().over(wQ))
       .filter(col("qrank") <= k * rerankFactor)
       .select(col("q_id"), col("vec_id"))
-    // exact re-rank of the small candidate set: float vectors are fetched
-    // for candidates only — at scale this is the only stage touching the
-    // full-precision corpus, and it reads k·rerankFactor rows per query
-    val floats = e.select(col("vec_id"), col("embedding"),
-      normC(col("embedding"), Some(dim)).as("nrm"))
+    // exact re-rank of the small candidate set: the candidate ids broadcast
+    // (queries × k × rerankFactor rows) so the float corpus streams through
+    // one broadcast hash join with NO shuffle — and the float norm is
+    // computed AFTER the join, so only candidate rows pay the 64-term chain
+    // (a pre-join norm column would evaluate for every corpus row)
+    val floats = e.select(col("vec_id"), col("embedding"))
     val qFloats = querySet(e).withColumn("qnrm", normC(col("q_emb"), Some(dim)))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    cand.join(floats, Seq("vec_id"))
+    broadcast(cand).join(floats, Seq("vec_id"))
       .join(broadcast(qFloats), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dotC(col("q_emb"), col("embedding"), Some(dim)) /
-          (col("qnrm") * col("nrm"))).as("cos"))
+          (col("qnrm") * normC(col("embedding"), Some(dim)))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))

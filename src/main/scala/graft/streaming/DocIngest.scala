@@ -29,35 +29,67 @@ import graft.operators.Dedup
   * transform cannot express, and the sink keeps exactly-once by writing
   * idempotently per `batchId` as usual with foreachBatch.
   *
+  * RESTART CONTRACT: the cross-batch state (filter + admitted delta) lives
+  * in driver memory and dies with the query. The sink that persists
+  * admitted rows is the durable record, so on restart the caller passes the
+  * store's already-admitted documents as `priorAdmitted` — they are folded
+  * into the filter and verification base before the first batch, restoring
+  * exactly the state the crash lost (admissions are idempotent: re-feeding
+  * an admitted doc is simply rejected). Without it a restarted stream would
+  * re-admit content accepted before the crash.
+  *
   * Driver state is bounded and explicit: the filter bytes (sized by
   * `expectedRows`, which must include admission headroom) plus one collected
   * long per admitted document per batch — the same driver-residency contract
-  * as `stat.bloomFilter` itself. At 10B-document scale, shard the filter by
-  * fingerprint prefix and rebuild from the stored corpus on a schedule; the
-  * per-batch protocol here does not change.
+  * as `stat.bloomFilter` itself. The serialized filter literal is re-used
+  * across batches and only re-built after a batch that actually admitted
+  * something — a mostly-duplicate stream never re-serializes. At
+  * 10B-document scale, shard the filter by fingerprint prefix and rebuild
+  * from the stored corpus on a schedule; the per-batch protocol here does
+  * not change.
   */
 object DocIngest {
 
   def bloomIngestStream(docs: DataFrame, corpus: DataFrame,
                         expectedRows: Long, fpp: Double = 0.01,
-                        maxBroadcastFps: Long = 4L << 20)
+                        maxBroadcastFps: Long = 4L << 20,
+                        priorAdmitted: Option[DataFrame] = None)
                        (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     val bf = BloomFilter.readFrom(new ByteArrayInputStream(
       Dedup.corpusFingerprintBloom(corpus, expectedRows, fpp)))
     // static corpus fingerprints, materialized once for every batch's
-    // verification scan
+    // verification scan; a restart's prior admissions fold in here AND
+    // into the filter, rebuilding the lost cross-batch state
     val corpusFps = Dedup.fingerprint64Of(corpus).select("fp64").localCheckpoint()
-    var admittedFps: Option[DataFrame] = None
+    var admittedFps: Option[DataFrame] = priorAdmitted.map { prior =>
+      val fps = Dedup.fingerprint64Of(prior).select("fp64").localCheckpoint()
+      fps.collect().foreach(r => if (!r.isNullAt(0)) bf.putLong(r.getLong(0)))
+      fps
+    }
+    def serialized(): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    }
+    var filterBytes = serialized()
 
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Row], batchId: Long) =>
         val withFp = Dedup.fingerprint64Of(batch.toDF)
-        val firsts = withFp.groupBy(col("fp64")).agg(min(col("doc_id")).as("doc_id"))
-        val bytes = { val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray }
+        // self-dedup groups NON-NULL fingerprints only: null-text rows are
+        // each their own document (null keys never join in the anti-join
+        // form, and groupBy would wrongly collapse them into one group)
+        val firsts = withFp.filter(col("fp64").isNotNull)
+          .groupBy(col("fp64")).agg(min(col("doc_id")).as("doc_id"))
+          .unionByName(withFp.filter(col("fp64").isNull)
+            .select(col("fp64"), col("doc_id")))
         val verifyBase = admittedFps.fold(corpusFps)(corpusFps.union)
-        val admitted = Dedup.bloomAdmitIds(verifyBase, firsts, bytes, maxBroadcastFps)
+        val admitted = Dedup.bloomAdmitIds(verifyBase, firsts, filterBytes, maxBroadcastFps)
           .localCheckpoint()
-        admitted.select("fp64").collect().foreach(r => bf.putLong(r.getLong(0)))
+        val newFps = admitted.select("fp64").collect()
+          .collect { case r if !r.isNullAt(0) => r.getLong(0) }
+        if (newFps.nonEmpty) {
+          newFps.foreach(bf.putLong)
+          filterBytes = serialized()
+        }
         admittedFps = Some(admittedFps
           .fold(admitted.select("fp64"))(_ union admitted.select("fp64"))
           .localCheckpoint())

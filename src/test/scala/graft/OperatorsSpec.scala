@@ -376,6 +376,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.incrementalDedupBloom(emptyDocs, batch)
       .as[Long].collect().toSet === Set(10L, 11L, 12L, 13L))
     assert(Dedup.incrementalDedupBloom(corpus, emptyDocs).count() === 0L)
+    // null-text rows: the md5 anti-join admits every null-key row (null
+    // never joins), so the Bloom route must too — bare xxhash64 would have
+    // hashed them all to the seed and deduped them against each other
+    val nullCorpus = Seq((0L, Option("the quick brown fox jumps over the lazy dog")),
+      (1L, Option.empty[String])).toDF("doc_id", "text")
+    val nullBatch = Seq((30L, Option.empty[String]), (31L, Option.empty[String]),
+      (32L, Option("the quick brown fox jumps over the lazy dog"))).toDF("doc_id", "text")
+    val nullBloom = Dedup.incrementalDedupBloom(nullCorpus, nullBatch)
+      .as[Long].collect().toSet
+    assert(nullBloom === Set(30L, 31L), s"null-text routing diverged: $nullBloom")
     // steady-state form: one prebuilt filter serves multiple batches
     val bf = Dedup.corpusFingerprintBloom(corpus, expectedItems = 2)
     val viaPrebuilt = Dedup.incrementalDedupBloom(corpus, batch, bf, 4L << 20)

@@ -195,6 +195,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloom ingest restart: priorAdmitted rehydrates the cross-batch state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    // "first run" admitted this doc before the crash (it sits in the sink)
+    val prior = Seq((11L, "a genuinely new document about training data"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[Long]()
+    val q = graft.streaming.DocIngest.bloomIngestStream(
+      input.toDF().toDF("doc_id", "text"), corpus, expectedRows = 100,
+      priorAdmitted = Some(prior)) {
+      (adm, _) => got.synchronized { got ++= adm.select("doc_id").as[Long].collect() }
+    }
+    try {
+      input.addData(
+        (20L, "a genuinely new document about training data"), // dup of prior admission
+        (21L, "the quick brown fox jumps over the lazy dog"),  // dup of corpus
+        (22L, "content the crashed run never saw"))
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet) === Set(22L),
+        s"restart lost prior admissions: $got")
+    } finally q.stop()
+  }
+
   test("bloom ingest over the real corpus equals the batch tier, any batch slicing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
