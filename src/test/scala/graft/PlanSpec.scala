@@ -157,6 +157,23 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("ScalaUDF"), s"redaction left codegen:\n${plan.take(1200)}")
   }
 
+  test("bloom dedup never sort-merge-joins: corpus streams under broadcasts") {
+    val df = q("dedup_incremental_bloom")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"bloom tier grew a corpus shuffle join:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
+  test("quantized ANN re-rank broadcasts the candidate set") {
+    val df = q("ann_quantized_topk")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"re-rank fell back to a full-corpus shuffle join:\n${plan.take(1200)}")
+  }
+
   test("fact dim fan-out chain does not inherit scan partitioning") {
     // every dim join in buildFact is a broadcast join, so without an
     // explicit repartition the whole many-to-many expansion would run on
