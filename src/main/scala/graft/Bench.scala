@@ -29,10 +29,17 @@ object Bench {
     SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     // Optional isolation filter (comma-separated names) for root-causing a
-    // single entry without the rest of the suite's JVM interference.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // single entry without the rest of the suite's JVM interference. A
+    // blank value (unset-variable interpolation in a wrapper) is treated as
+    // unset, and a filter matching nothing fails loudly — a silent empty
+    // run would read as a suspiciously green result.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_ONLY matched no queries: ${only.getOrElse(Set.empty).mkString(",")}")
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

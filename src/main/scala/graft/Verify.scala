@@ -16,10 +16,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev loop: SPARK_GRAFT_ONLY=name,name dumps a subset (same contract as
-    // Bench); the driver never sets it, so the gate always dumps everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+    // Bench); the driver never sets it, so the gate always dumps everything.
+    // Blank values count as unset and an all-typo filter fails loudly — a
+    // zero-dump run exiting 0 would read as a green gate downstream.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_ONLY matched no queries: ${only.getOrElse(Set.empty).mkString(",")}")
+    selected
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -786,7 +786,15 @@ object Dedup {
     * bitmap; the tier's contract doesn't change).
     */
   def corpusFingerprintBloom(corpus: DataFrame, expectedItems: Long,
-                             fpp: Double = 0.01): Array[Byte] = {
+                             fpp: Double = 0.01): Array[Byte] =
+    serializeBloom(corpusFingerprintBloomFilter(corpus, expectedItems, fpp))
+
+  /** [[corpusFingerprintBloom]] as the live object — for callers that keep
+    * and mutate the filter (the streaming ingest), avoiding a serialize/
+    * deserialize round trip of the whole bitmap at startup.
+    */
+  def corpusFingerprintBloomFilter(corpus: DataFrame, expectedItems: Long,
+                                   fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
     val proj = corpus.select(fingerprint64(col("text")).as("fp64"))
       .filter(col("fp64").isNotNull)
     // Spark's stat.bloomFilter NPEs on a zero-row frame (the aggregate
@@ -794,12 +802,18 @@ object Dedup {
     // a legitimate ingest state, so catch exactly that and build the empty
     // filter — catching beats an isEmpty probe, which would cost a second
     // corpus job on EVERY build just to guard the empty case
-    val bf =
-      try proj.stat.bloomFilter("fp64", math.max(expectedItems, 1L), fpp)
-      catch {
-        case _: NullPointerException => org.apache.spark.util.sketch.BloomFilter
-          .create(math.max(expectedItems, 1L), fpp)
-      }
+    try proj.stat.bloomFilter("fp64", math.max(expectedItems, 1L), fpp)
+    catch {
+      case _: NullPointerException => org.apache.spark.util.sketch.BloomFilter
+        .create(math.max(expectedItems, 1L), fpp)
+    }
+  }
+
+  /** The Bloom tier's wire format (what [[bloomAdmitIds]] inlines as a
+    * plan literal). One definition — the streaming ingest re-serializes
+    * after admissions through this too.
+    */
+  def serializeBloom(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray
@@ -1045,21 +1059,27 @@ object Dedup {
         |WHERE ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
         |      len(list_distinct(a.g || b.g)), 4) >= 0.8""".stripMargin,
     "dedup_incremental_bloom" ->
+      // NOT EXISTS with plain equality, NOT `NOT IN`: a NULL text anywhere
+      // in the corpus would turn every NOT IN into NULL (three-valued
+      // logic) and drop all rows, while the engine's anti-join — and this
+      // form — admit NULL-key rows
       """WITH b AS (SELECT doc_id, text FROM documents
         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 >= 80),
         |c AS (SELECT text FROM documents
         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 80)
         |SELECT doc_id FROM b
-        |WHERE MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g'))) NOT IN
-        |  (SELECT MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g'))) FROM c)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM c
+        |  WHERE MD5(LOWER(regexp_replace(trim(c.text), '\s+', ' ', 'g'))) =
+        |        MD5(LOWER(regexp_replace(trim(b.text), '\s+', ' ', 'g'))))""".stripMargin,
     "dedup_incremental" ->
       """WITH b AS (SELECT doc_id, text FROM documents
         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 >= 80),
         |c AS (SELECT doc_id, text FROM documents
         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 80),
         |bf AS (SELECT * FROM b
-        |  WHERE MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g'))) NOT IN
-        |    (SELECT MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g'))) FROM c)),
+        |  WHERE NOT EXISTS (SELECT 1 FROM c
+        |    WHERE MD5(LOWER(regexp_replace(trim(c.text), '\s+', ' ', 'g'))) =
+        |          MD5(LOWER(regexp_replace(trim(b.text), '\s+', ' ', 'g'))))),
         |shb AS (SELECT doc_id,
         |  list_distinct(list_transform(range(1, length(text) - 1), i -> text[i:i+2])) AS g FROM bf),
         |shc AS (SELECT doc_id,

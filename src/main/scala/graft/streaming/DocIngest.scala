@@ -1,11 +1,8 @@
 package graft.streaming
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.util.sketch.BloomFilter
 
 import graft.operators.Dedup
 
@@ -55,21 +52,23 @@ object DocIngest {
                         maxBroadcastFps: Long = 4L << 20,
                         priorAdmitted: Option[DataFrame] = None)
                        (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
-    val bf = BloomFilter.readFrom(new ByteArrayInputStream(
-      Dedup.corpusFingerprintBloom(corpus, expectedRows, fpp)))
+    val bf = Dedup.corpusFingerprintBloomFilter(corpus, expectedRows, fpp)
     // static corpus fingerprints, materialized once for every batch's
     // verification scan; a restart's prior admissions fold in here AND
     // into the filter, rebuilding the lost cross-batch state
     val corpusFps = Dedup.fingerprint64Of(corpus).select("fp64").localCheckpoint()
-    var admittedFps: Option[DataFrame] = priorAdmitted.map { prior =>
+    // admitted-fps deltas: each micro-batch's admissions materialize ONCE
+    // (their own localCheckpoint) and the verification base is the LAZY
+    // union of corpus + deltas — re-checkpointing the cumulative union per
+    // batch would re-materialize every prior admission every batch
+    // (quadratic in total admissions); this keeps total materialization
+    // linear, at the cost of a union plan one node wider per batch
+    var deltas: List[DataFrame] = priorAdmitted.map { prior =>
       val fps = Dedup.fingerprint64Of(prior).select("fp64").localCheckpoint()
       fps.collect().foreach(r => if (!r.isNullAt(0)) bf.putLong(r.getLong(0)))
       fps
-    }
-    def serialized(): Array[Byte] = {
-      val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
-    }
-    var filterBytes = serialized()
+    }.toList
+    var filterBytes = Dedup.serializeBloom(bf)
 
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Row], batchId: Long) =>
@@ -81,18 +80,16 @@ object DocIngest {
           .groupBy(col("fp64")).agg(min(col("doc_id")).as("doc_id"))
           .unionByName(withFp.filter(col("fp64").isNull)
             .select(col("fp64"), col("doc_id")))
-        val verifyBase = admittedFps.fold(corpusFps)(corpusFps.union)
+        val verifyBase = (corpusFps :: deltas).reduce(_ union _)
         val admitted = Dedup.bloomAdmitIds(verifyBase, firsts, filterBytes, maxBroadcastFps)
           .localCheckpoint()
         val newFps = admitted.select("fp64").collect()
           .collect { case r if !r.isNullAt(0) => r.getLong(0) }
         if (newFps.nonEmpty) {
           newFps.foreach(bf.putLong)
-          filterBytes = serialized()
+          filterBytes = Dedup.serializeBloom(bf)
+          deltas = admitted.select("fp64") :: deltas
         }
-        admittedFps = Some(admittedFps
-          .fold(admitted.select("fp64"))(_ union admitted.select("fp64"))
-          .localCheckpoint())
         onBatch(batch.toDF.join(admitted.select("doc_id"), Seq("doc_id")), batchId)
     }.start()
   }

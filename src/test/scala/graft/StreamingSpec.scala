@@ -229,8 +229,15 @@ class StreamingSpec extends AnyFunSuite {
     val docs01 = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
     val bucket = graft.operators.Sampling.hashBucket(col("doc_id"))
     val corpus = docs01.filter(bucket < 80)
-    val batchRows = docs01.filter(bucket >= 80)
+    // the real batch bucket (no intra-batch duplicate contents at sf0.01 —
+    // verified) PLUS planted re-keyed duplicates, so the self-dedup and
+    // cross-batch stages are exercised, not vacuous; arrivals are sorted by
+    // doc_id so "first arrival" and "min doc_id" coincide (the stream keeps
+    // the first-arriving copy, the batch emulation below keeps the min id)
+    val real = docs01.filter(bucket >= 80)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val batchRows = (real ++ real.take(9).map { case (id, t) => (id + (1L << 40), t) })
+      .sortBy(_._1)
     // batch-tier truth on the whole arrival set at once — self-deduped
     // first (the stream keeps the min doc_id per content; the plain batch
     // tier has no intra-batch stage)
