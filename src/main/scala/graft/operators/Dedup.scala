@@ -576,8 +576,7 @@ object Dedup {
     corpusBloom match {
       case None => exactSurvivorBatch(corpus, batch)
       case Some(bytes) =>
-        val admitted = bloomAdmitIds(
-          corpus.select(fingerprint64(col("text")).as("fp64")),
+        val admitted = bloomAdmitIds(corpusFps64(corpus),
           fingerprint64Of(batch), bytes, maxBroadcastFps)
         batch.select(col("doc_id"), col("text"))
           .join(admitted.select(col("doc_id")), Seq("doc_id"))
@@ -777,6 +776,12 @@ object Dedup {
   private def fingerprint64(c: Column): Column =
     when(c.isNotNull, xxhash64(TextAnalysis.normalizedText(c)))
 
+  /** The corpus side's bare fingerprint projection — the one column every
+    * Bloom-tier stage (filter build, verification scan) reads.
+    */
+  private def corpusFps64(corpus: DataFrame): DataFrame =
+    corpus.select(fingerprint64(col("text")).as("fp64"))
+
   /** Serialized Bloom filter over the corpus's 64-bit fingerprints: one
     * columnar scan of the fingerprint projection, per-partition partial
     * filters OR-merged on the driver (`stat.bloomFilter` tree-aggregates) —
@@ -795,8 +800,7 @@ object Dedup {
     */
   def corpusFingerprintBloomFilter(corpus: DataFrame, expectedItems: Long,
                                    fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
-    val proj = corpus.select(fingerprint64(col("text")).as("fp64"))
-      .filter(col("fp64").isNotNull)
+    val proj = corpusFps64(corpus).filter(col("fp64").isNotNull)
     // Spark's stat.bloomFilter NPEs on a zero-row frame (the aggregate
     // yields null and the wrapper calls readFrom(null)). A fresh corpus is
     // a legitimate ingest state, so catch exactly that and build the empty
@@ -892,9 +896,7 @@ object Dedup {
   def incrementalDedupBloom(corpus: DataFrame, batch: DataFrame,
                             bloom: Array[Byte],
                             maxBroadcastFps: Long): DataFrame =
-    bloomAdmitIds(
-      corpus.select(fingerprint64(col("text")).as("fp64")),
-      batch.select(col("doc_id"), fingerprint64(col("text")).as("fp64")),
+    bloomAdmitIds(corpusFps64(corpus), fingerprint64Of(batch),
       bloom, maxBroadcastFps)
       .select(col("doc_id"))
 
