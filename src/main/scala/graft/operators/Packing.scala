@@ -68,6 +68,58 @@ object Packing {
         least(col("span_idx") * stride + width, col("n_tokens")).as("tok_end"))
   }
 
+  /** Whole-document bin packing (first-fit-decreasing): pack documents into
+    * bins of ≤ `budget` tokens WITHOUT splitting any document — the
+    * construction for fine-tuning/eval batches where an example must not
+    * straddle sequences (the padding-free pretraining form is
+    * [[sequencePacking]], which splits). Documents longer than `budget` get
+    * a singleton overflow bin (callers chunk those first).
+    *
+    * FFD is inherently sequential, so it runs per partition via
+    * `mapPartitions` (the designed tier-(d) seam: genuine per-partition
+    * imperative logic) after hash-partitioning on `groupCol` — a group
+    * lives wholly in one partition, so bins never cross groups and each
+    * group packs independently in parallel. A bin's id is the doc_id of
+    * the document that OPENED it: unique (doc ids are), and — because each
+    * group is packed whole after a (tokens desc, doc_id) sort — the entire
+    * output is a pure function of the group's contents, independent of
+    * partition count or task ids. Packing quality is FFD's
+    * ≤ 11/9·OPT + 1 bins per group.
+    *
+    * Output: (doc_id, group, n_tokens, bin_id, bin_fill) — planning
+    * metadata only, like the other packers; no text moves.
+    */
+  def binPackFFD(d: DataFrame, budget: Int,
+                 groupCol: String = "lang"): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val spark = d.sparkSession
+    import spark.implicits._
+    val par = graft.Tuning.fanout(spark)
+    val sized = d.select(col("doc_id").cast("long"), col(groupCol).cast("string"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .repartition(par, col(groupCol))
+      .as[(Long, String, Long)]
+    sized.mapPartitions { it =>
+      val rows = it.toArray
+      // (group, tokens desc, id) order → deterministic FFD per group
+      val sorted = rows.sortBy { case (id, g, n) => (g, -n, id) }
+      // open bins of the CURRENT group only: (opener doc_id, remaining)
+      val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var currentGroup: String = null
+      val out = sorted.map { case (id, g, n) =>
+        if (g != currentGroup) { bins.clear(); currentGroup = g }
+        val fit = bins.indexWhere(_._2 >= n)
+        val bin =
+          if (fit >= 0) { val (b, rem) = bins(fit); bins(fit) = (b, rem - n); b }
+          else { bins += ((id, budget - n)); id }
+        (id, g, n, bin)
+      }
+      // second pass: per-bin fill totals (bins are partition-local)
+      val fill = out.groupBy(_._4).map { case (b, xs) => b -> xs.map(_._3).sum }
+      out.iterator.map { case (id, g, n, b) => (id, g, n, b, fill(b)) }
+    }.toDF("doc_id", groupCol, "n_tokens", "bin_id", "bin_fill")
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "documents")
 
@@ -77,7 +129,10 @@ object Packing {
       sequencePacking(docs(s, dir), budget = 512)),
     // 128-token context windows with 32-token overlap
     "pack_chunk_spans" -> ((s, dir) =>
-      chunkSpans(docs(s, dir), width = 128, overlap = 32))
+      chunkSpans(docs(s, dir), width = 128, overlap = 32)),
+    // whole-document FFD bins (no oracle: FFD is not SQL-expressible;
+    // deterministic output — budget/isolation/determinism spec-pinned)
+    "pack_bins_ffd" -> ((s, dir) => binPackFFD(docs(s, dir), budget = 512))
   )
 
   def oracles: Map[String, String] = Map(

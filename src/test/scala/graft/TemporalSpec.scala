@@ -275,6 +275,50 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("binPackFFD: budget respected, overflow isolated, deterministic") {
+    val d = Seq(
+      (1L, "en", 300), (2L, "en", 300), (3L, "en", 200), (4L, "en", 200),
+      (5L, "en", 100), (6L, "en", 700), // overflow: longer than budget
+      (7L, "de", 400), (8L, "de", 150)
+    ).map { case (id, g, n) => (id, g, ("w " * n).trim) }.toDF("doc_id", "lang", "text")
+    def run() = graft.operators.Packing.binPackFFD(d, budget = 512)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    val rows = run()
+    // every doc packed exactly once
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    val byBin = rows.groupBy(_._4)
+    byBin.values.foreach { xs =>
+      val fill = xs.map(_._3).sum
+      // fill column agrees with the recomputed sum
+      assert(xs.forall(_._5 == fill))
+      // bins respect the budget unless they isolate one oversized doc
+      assert(fill <= 512 || (xs.length == 1 && xs.head._3 > 512),
+        s"bin over budget: $xs")
+    }
+    // the oversized doc sits alone
+    val overflowBin = rows.find(_._1 == 6L).get._4
+    assert(byBin(overflowBin).length === 1)
+    // bins never cross groups
+    byBin.values.foreach(xs => assert(xs.map(_._2).distinct.length === 1))
+    // FFD packs the en group (300+300+200+200+100=1100 over 512) into 3
+    // bins: (300+200), (300+200), (100) — plus the overflow singleton
+    assert(rows.filter(r => r._2 == "en" && r._3 <= 512).map(_._4).distinct.length === 3)
+    // pure function of content: identical output on a second run
+    assert(run().toSeq === rows.toSeq)
+    // real corpus, many partitions: bin ids must stay unique ACROSS tasks
+    // (the first cut derived ids from TaskContext partition ids, which
+    // collided and silently merged bins from different groups)
+    val real = graft.operators.Packing.binPackFFD(
+      graft.Tables(spark, "/root/testdata/sf0.01", "documents"), budget = 512)
+      .as[(Long, String, Long, Long, Long)].collect()
+    val realBins = real.groupBy(_._4)
+    realBins.values.foreach { xs =>
+      assert(xs.map(_._2).distinct.length === 1, "bin crossed groups")
+      val fill = xs.map(_._3).sum
+      assert(fill <= 512 || xs.length == 1, s"real-corpus bin over budget: $fill")
+    }
+  }
+
   test("sequencePacking: concat-then-chunk spans with straddling documents") {
     // budget 10; en docs of 4, 8, 3 tokens in doc_id order:
     //   doc 0: tokens [0,4)  → pack 0, offset 0
