@@ -40,11 +40,25 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     require(selected.nonEmpty,
       s"SPARK_GRAFT_ONLY matched no queries: ${only.getOrElse(Set.empty).mkString(",")}")
+    // Measurement protocol: rounds 3–5 all recorded phantom regressions from
+    // in-suite interference (r5: curate_corpus 17.4 s recorded vs 2.2 s
+    // isolated). Two causes, both addressed here: (a) entries that
+    // `localCheckpoint()` leave blocks in the block manager that squeeze the
+    // next entry's execution memory — unpersist them before every timed run;
+    // (b) a single sample inherits whatever GC debt the previous entry left —
+    // take the min of SPARK_GRAFT_RUNS (default 2) samples after a GC settle.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2).max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
+        Thread.sleep(100)
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

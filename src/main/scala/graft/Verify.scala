@@ -26,6 +26,15 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     require(selected.nonEmpty,
       s"SPARK_GRAFT_ONLY matched no queries: ${only.getOrElse(Set.empty).mkString(",")}")
+    // A filter that DOES match is loud too: a SPARK_GRAFT_ONLY value leaked
+    // into the gate environment would otherwise narrow the dump to a subset
+    // while exiting green, and the gate would score only what ran.
+    only.foreach { f =>
+      System.err.println(
+        s"[verify] *** SPARK_GRAFT_ONLY ACTIVE: dumping ${selected.size}/" +
+          s"${SparkEntry.queries.size} queries (${f.toSeq.sorted.mkString(",")}) — " +
+          "NOT a full correctness dump ***")
+    }
     selected
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

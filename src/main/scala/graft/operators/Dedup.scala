@@ -803,13 +803,19 @@ object Dedup {
     val proj = corpusFps64(corpus).filter(col("fp64").isNotNull)
     // Spark's stat.bloomFilter NPEs on a zero-row frame (the aggregate
     // yields null and the wrapper calls readFrom(null)). A fresh corpus is
-    // a legitimate ingest state, so catch exactly that and build the empty
-    // filter — catching beats an isEmpty probe, which would cost a second
-    // corpus job on EVERY build just to guard the empty case
+    // a legitimate ingest state, so catch that and build the empty filter —
+    // catching beats an isEmpty probe, which would cost a second corpus job
+    // on EVERY build just to guard the empty case. But an NPE on a NON-empty
+    // corpus must not become an empty filter: that would route every batch
+    // row to "definitely new" and silently admit duplicates (the filter only
+    // routes, it never decides). The emptiness probe runs only inside the
+    // already-exceptional catch branch, so the common path stays one job.
     try proj.stat.bloomFilter("fp64", math.max(expectedItems, 1L), fpp)
     catch {
-      case _: NullPointerException => org.apache.spark.util.sketch.BloomFilter
-        .create(math.max(expectedItems, 1L), fpp)
+      case npe: NullPointerException =>
+        if (proj.limit(1).isEmpty)
+          org.apache.spark.util.sketch.BloomFilter.create(math.max(expectedItems, 1L), fpp)
+        else throw npe
     }
   }
 

@@ -66,6 +66,7 @@ final class FileCacheStore(spark: SparkSession, rootDir: String) extends CacheSt
     try out.write(value.createdMs.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     local.put(key, value)
+    invalidateListing()
   }
 
   override def remove(key: Long): Option[CachedResult] = {
@@ -73,12 +74,36 @@ final class FileCacheStore(spark: SparkSession, rootDir: String) extends CacheSt
     local.remove(key)
     fs.delete(metaPath(key), false)
     fs.delete(dataPath(key), true)
+    invalidateListing()
     prior
   }
 
   override def size: Int = keys.size
 
-  override def keys: Seq[Long] =
+  // `size`/`keys` back the LRU's maxEntries check, which runs on EVERY
+  // through() — a raw listStatus there makes each cache hit pay a directory
+  // listing. The listing is cached for a short TTL instead: local mutations
+  // (put/remove) invalidate it immediately, so this process's eviction
+  // decisions stay exact; another process's writes become visible to
+  // size/oldestKey at most `listingTtlMs` late, which can only delay a
+  // shared eviction by one window. Correctness is unaffected — `get` never
+  // consults the listing, it reads the key's meta file directly.
+  private val listingTtlMs = 2000L
+  @volatile private var cachedListing: (Long, Seq[Long]) = (Long.MinValue, Nil)
+  private def invalidateListing(): Unit = cachedListing = (Long.MinValue, Nil)
+
+  override def keys: Seq[Long] = {
+    val now = System.currentTimeMillis()
+    val (listedAt, listed) = cachedListing
+    if (now - listedAt <= listingTtlMs) listed
+    else {
+      val fresh = listKeys()
+      cachedListing = (now, fresh)
+      fresh
+    }
+  }
+
+  private def listKeys(): Seq[Long] =
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("k") && n.endsWith(".meta") =>

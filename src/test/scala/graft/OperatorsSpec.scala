@@ -135,6 +135,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"quantized recall@10 at sf0.01 regressed: $recall")
   }
 
+  test("Similarity: IVF×int8 recall@10 >= 0.9 vs brute at both pin scales") {
+    // the composed index tier (battery config: cells=12, nProbe=9, iters=3).
+    // Its recall vs brute is probe recall × quantized-rank recall; the
+    // 4× re-rank margin makes the second factor ≈1, so the floor pins the
+    // whole composition. Measured: 0.94 (sf0.001), 0.96 (sf0.01), 0.94
+    // (sf0.1) — deterministic (xxhash64-seeded k-means, no randomness).
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = graft.Tables(spark, s"/root/testdata/$sf", "embeddings")
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val brute = pairs(Similarity.bruteForceTopK(e, 10, dim = Some(Tables.EmbeddingDim)))
+      val composed = pairs(Similarity.ivfQuantizedTopK(e, 10,
+        cells = 12, nProbe = 9, iters = 3))
+      val recall = (brute & composed).size.toDouble / brute.size
+      assert(recall >= 0.9, s"IVF×int8 recall@10 at $sf regressed: $recall")
+    }
+  }
+
+  test("Similarity: IVF×int8 scores ~nProbe/cells of the corpus") {
+    // same probe stage as the float IVF, so the scored-candidate fraction is
+    // probed-cell mass over corpus — the composition must still prune, not
+    // just quantize. 9/12 = 0.75 nominal; 2× imbalance headroom, and it must
+    // stay a genuine subset of the corpus.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cells = 12; val nProbe = 9
+    val cents = Similarity.kMeansCentroids(e, cells, iters = 3)
+    val sizes = Similarity.kMeansAssign(e, cents)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = sizes.values.sum
+    val probed = Similarity.probeCells(e,
+      Similarity.centroidFrame(spark, cents), nProbe, Some(Tables.EmbeddingDim))
+      .select("q_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1))
+    val nQueries = probed.map(_._1).distinct.length
+    val scored = probed.map { case (_, c) => sizes.getOrElse(c, 0L) }.sum
+    val fraction = scored.toDouble / (nQueries.toLong * n)
+    assert(fraction <= 2.0 * nProbe.toDouble / cells,
+      s"candidate fraction $fraction far above nProbe/cells=${nProbe.toDouble / cells}")
+    assert(fraction < 0.95, s"IVF×int8 scored $fraction — not pruning at all")
+  }
+
   test("Similarity: k-means IVF scores ~nProbe/cells of the corpus") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cells = 10; val nProbe = 3

@@ -120,6 +120,27 @@ class ServeSpec extends AnyFunSuite {
     c1.clear(); c3.clear()
   }
 
+  test("file-backed store: keys listing is cached, local mutations invalidate it") {
+    import graft.serve.{CachedResult, FileCacheStore}
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-fcs-l").toFile.getAbsolutePath
+    val store = new FileCacheStore(spark, storeDir)
+    val df = Seq((1L, "x")).toDF("id", "s")
+    assert(store.keys.isEmpty)
+    // put invalidates: the new key is visible immediately despite the TTL
+    store.put(7L, CachedResult(df, 123L))
+    assert(store.keys === Seq(7L), "local put not visible through cached listing")
+    // the listing is genuinely cached: deleting the meta file BEHIND the
+    // store (another process's remove) stays invisible inside the TTL window
+    // — the documented at-most-one-window lag; get() is unaffected because
+    // it never consults the listing
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(storeDir, "k7.meta"), false)
+    assert(store.keys === Seq(7L), "listing re-listed inside the TTL window")
+    // a local remove invalidates and re-lists: the key is gone at once
+    store.remove(7L)
+    assert(store.keys.isEmpty, "local remove not visible through cached listing")
+  }
+
   test("native expressions are SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val n = spark.sql(
