@@ -147,4 +147,79 @@ class ScaleSpec extends AnyFunSuite {
     assert(graft.Tuning.fanout(spark, 2L << 40) >= big)
     assert(graft.Tuning.fanout(spark, Long.MaxValue) === (1 << 20))
   }
+
+  test("binPackFFD: a dominant group fans out across sub-groups, output partition-invariant") {
+    import graft.operators.Packing
+    import spark.implicits._
+    // one dominant group ("en" = 90% of the corpus) plus a long tail —
+    // the 100 TB shape the sub-grouping exists for. ~50 tokens per doc,
+    // cap 600 tokens per sub-group → the en group MUST split.
+    val docs = (1 to 400).map { i =>
+      val g = if (i <= 360) "en" else s"g${i % 7}"
+      (i.toLong, g, ("w " * (30 + i % 40)).trim)
+    }
+    val base = docs.toDF("doc_id", "lang", "text")
+    val cap = 600L
+    // the dominant group genuinely fans out: >= 10 content-derived sub-groups
+    val subs = Packing.ffdSubGroups(base, "lang", cap)
+      .filter($"grp" === "en").select($"sub").distinct().count()
+    assert(subs >= 10, s"en fanned out to only $subs sub-groups at cap=$cap")
+    def run(df: org.apache.spark.sql.DataFrame, shufflePartitions: Int) = {
+      val prior = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      try Packing.binPackFFD(df, budget = 512, maxSubGroupTokens = cap)
+        .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+    }
+    // identical output across input partitioning AND shuffle width — the
+    // sub-group assignment is content-derived, never partition-derived
+    val a = run(base.repartition(3), 4)
+    val b = run(base.repartition(17), 13)
+    assert(a === b, "packing depended on partitioning")
+    // invariants hold under sub-grouping: every doc once, budget respected
+    assert(a.map(_._1) === docs.map(_._1))
+    a.groupBy(_._4).values.foreach { xs =>
+      val fill = xs.map(_._3).sum
+      assert(xs.forall(_._5 == fill))
+      assert(fill <= 512 || xs.length == 1, s"bin over budget: $xs")
+      assert(xs.map(_._2).distinct.length === 1, "bin crossed groups")
+    }
+  }
+
+  test("binPackFFD: null text and null group pack instead of crashing") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val d = Seq(
+      (1L, "en", "a b c"), (2L, null, "d e"), (3L, null, null),
+      (4L, "en", null), (5L, null, "f g h i")
+    ).toDF("doc_id", "lang", "text")
+    val rows = Packing.binPackFFD(d, budget = 4)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    // every doc packed exactly once; null text = 0 tokens
+    assert(rows.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(rows.find(_._1 == 3L).get._3 === 0L)
+    assert(rows.find(_._1 == 4L).get._3 === 0L)
+    // null group survives to the output and packs as ONE group, apart from "en"
+    val nullGroupBins = rows.filter(_._2.isEmpty).map(_._4).toSet
+    val enBins = rows.filter(_._2.contains("en")).map(_._4).toSet
+    assert((nullGroupBins & enBins).isEmpty, "null group shared a bin with en")
+    // null-group docs (2, 3, 5): 2+0+4 tokens under budget 4 → FFD packs
+    // (5:4), (2:2 + 3:0) — two bins
+    assert(nullGroupBins.size === 2)
+  }
+
+  test("binPackFFDInvariants: all violation counters zero on the real corpus") {
+    import graft.operators.Packing
+    val inv = Packing.binPackFFDInvariants(
+      graft.Tables(spark, "/root/testdata/sf0.01", "documents"), budget = 512)
+      .collect()
+    assert(inv.nonEmpty)
+    inv.foreach { r =>
+      assert(r.getLong(3) === 0L, s"overfull_bins: $r")
+      assert(r.getLong(4) === 0L, s"openerless_bins: $r")
+      assert(r.getLong(5) === 0L, s"fill_mismatch_bins: $r")
+      assert(r.getLong(6) === 0L, s"dup_docs: $r")
+    }
+  }
 }
