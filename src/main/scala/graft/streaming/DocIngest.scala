@@ -24,9 +24,11 @@ import graft.operators.Dedup
   * `foreachBatch` is the right host: the Bloom routing needs per-batch
   * actions (the broadcast-size gate, the state fold) that a pure streaming
   * transform cannot express, and the sink keeps exactly-once by writing
-  * idempotently per `batchId` as usual with foreachBatch.
+  * idempotently per `batchId` as usual with foreachBatch. The per-batch
+  * protocol itself lives in [[DocIngest.BloomIngestState]], which other
+  * hosts (a batch backfill loop, a spec) can drive directly.
   *
-  * RESTART CONTRACT: the cross-batch state (filter + admitted delta) lives
+  * RESTART CONTRACT: the cross-batch state (filter + admitted deltas) lives
   * in driver memory and dies with the query. The sink that persists
   * admitted rows is the durable record, so on restart the caller passes the
   * store's already-admitted documents as `priorAdmitted` — they are folded
@@ -47,49 +49,116 @@ import graft.operators.Dedup
   */
 object DocIngest {
 
+  /** The cross-batch dedup state and per-batch admission protocol, hoisted
+    * out of the stream host so it is testable without a streaming harness
+    * and reusable by non-streaming ingest loops.
+    *
+    * Verification-base shape: admitted-fps deltas each materialize ONCE
+    * (their own localCheckpoint) and the base is the LAZY union of
+    * corpus + deltas — re-checkpointing the cumulative union per batch
+    * would re-materialize every prior admission every batch (quadratic in
+    * total admissions). Left unbounded, though, the union grows one plan
+    * arm per admitting batch and per-batch ANALYSIS cost eventually
+    * dominates a months-long stream — so every `compactEvery` admitting
+    * batches the delta list folds into one fresh checkpoint. Per-batch
+    * plan width stays ≤ compactEvery + 1 arms forever; total
+    * re-materialization is one extra copy of the (tiny, 8-byte-per-doc)
+    * admission fingerprints per compaction, never the corpus.
+    *
+    * Saturation: the filter was sized for `expectedRows`; admissions past
+    * that headroom degrade fpp toward 1, which silently turns every batch
+    * into the broadcast-verify (or, past `maxBroadcastFps`, the full
+    * shuffle anti-join the tier exists to avoid). Correctness never
+    * depends on the filter, so this is a LOUD warning, not an error — the
+    * occupancy estimate (distinct corpus fingerprints + every putLong since
+    * startup) crosses 80% once and logs the rebuild advice.
+    */
+  final class BloomIngestState(corpus: DataFrame, expectedRows: Long,
+                               fpp: Double = 0.01,
+                               maxBroadcastFps: Long = 4L << 20,
+                               compactEvery: Int = 16,
+                               priorAdmitted: Option[DataFrame] = None) {
+    require(compactEvery >= 2,
+      s"compactEvery=$compactEvery would re-checkpoint (nearly) every batch — the quadratic this tier avoids")
+    private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    private val bf = Dedup.corpusFingerprintBloomFilter(corpus, expectedRows, fpp)
+    // static corpus fingerprints, materialized once for every batch's
+    // verification scan
+    private val corpusFps = Dedup.fingerprint64Of(corpus).select("fp64").localCheckpoint()
+    // row count, not distinct — duplicate contents overestimate occupancy,
+    // which only makes the saturation warning fire early (safe side)
+    private var inserted: Long =
+      corpusFps.filter(col("fp64").isNotNull).count()
+    private var saturationWarned = false
+    private var deltas: List[DataFrame] = priorAdmitted.map { prior =>
+      val fps = Dedup.fingerprint64Of(prior).select("fp64").localCheckpoint()
+      val longs = fps.collect().collect { case r if !r.isNullAt(0) => r.getLong(0) }
+      longs.foreach(bf.putLong)
+      noteInserted(longs.length.toLong)
+      fps
+    }.toList
+    private var filterBytes = Dedup.serializeBloom(bf)
+
+    private def noteInserted(n: Long): Unit = {
+      inserted += n
+      if (!saturationWarned && inserted >= expectedRows * 8 / 10) {
+        saturationWarned = true
+        log.warn(s"bloom ingest filter at ~$inserted of expectedRows=$expectedRows " +
+          "inserts (>=80%): fpp is degrading and batches will increasingly pay the " +
+          "exact verification path. Rebuild the filter from the stored corpus with " +
+          "fresh headroom (restart with a larger expectedRows).")
+      }
+    }
+
+    /** Plan arms in the verification base (corpus + pending deltas) —
+      * bounded by `compactEvery + 1` for the life of the stream; spec-pinned.
+      */
+    def verifyArms: Int = 1 + deltas.length
+
+    /** Run one batch through self-dedup + Bloom routing + exact verify,
+      * fold its admissions into the cross-batch state, and return the
+      * admitted (fp64, doc_id) rows (materialized).
+      */
+    def admitBatch(batch: DataFrame): DataFrame = {
+      val withFp = Dedup.fingerprint64Of(batch)
+      // self-dedup groups NON-NULL fingerprints only: null-text rows are
+      // each their own document (null keys never join in the anti-join
+      // form, and groupBy would wrongly collapse them into one group)
+      val firsts = withFp.filter(col("fp64").isNotNull)
+        .groupBy(col("fp64")).agg(min(col("doc_id")).as("doc_id"))
+        .unionByName(withFp.filter(col("fp64").isNull)
+          .select(col("fp64"), col("doc_id")))
+      val verifyBase = (corpusFps :: deltas).reduce(_ union _)
+      val admitted = Dedup.bloomAdmitIds(verifyBase, firsts, filterBytes, maxBroadcastFps)
+        .localCheckpoint()
+      val newFps = admitted.select("fp64").collect()
+        .collect { case r if !r.isNullAt(0) => r.getLong(0) }
+      if (newFps.nonEmpty) {
+        newFps.foreach(bf.putLong)
+        noteInserted(newFps.length.toLong)
+        filterBytes = Dedup.serializeBloom(bf)
+        deltas = admitted.select("fp64") :: deltas
+        if (deltas.length >= compactEvery) {
+          // fold the list into ONE checkpoint; the dropped frames' blocks
+          // are reference-cleaned by the ContextCleaner once unreachable
+          deltas = List(deltas.reduce(_ union _).localCheckpoint())
+        }
+      }
+      admitted
+    }
+  }
+
   def bloomIngestStream(docs: DataFrame, corpus: DataFrame,
                         expectedRows: Long, fpp: Double = 0.01,
                         maxBroadcastFps: Long = 4L << 20,
-                        priorAdmitted: Option[DataFrame] = None)
+                        priorAdmitted: Option[DataFrame] = None,
+                        compactEvery: Int = 16)
                        (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
-    val bf = Dedup.corpusFingerprintBloomFilter(corpus, expectedRows, fpp)
-    // static corpus fingerprints, materialized once for every batch's
-    // verification scan; a restart's prior admissions fold in here AND
-    // into the filter, rebuilding the lost cross-batch state
-    val corpusFps = Dedup.fingerprint64Of(corpus).select("fp64").localCheckpoint()
-    // admitted-fps deltas: each micro-batch's admissions materialize ONCE
-    // (their own localCheckpoint) and the verification base is the LAZY
-    // union of corpus + deltas — re-checkpointing the cumulative union per
-    // batch would re-materialize every prior admission every batch
-    // (quadratic in total admissions); this keeps total materialization
-    // linear, at the cost of a union plan one node wider per batch
-    var deltas: List[DataFrame] = priorAdmitted.map { prior =>
-      val fps = Dedup.fingerprint64Of(prior).select("fp64").localCheckpoint()
-      fps.collect().foreach(r => if (!r.isNullAt(0)) bf.putLong(r.getLong(0)))
-      fps
-    }.toList
-    var filterBytes = Dedup.serializeBloom(bf)
-
+    val state = new BloomIngestState(corpus, expectedRows, fpp,
+      maxBroadcastFps, compactEvery, priorAdmitted)
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Row], batchId: Long) =>
-        val withFp = Dedup.fingerprint64Of(batch.toDF)
-        // self-dedup groups NON-NULL fingerprints only: null-text rows are
-        // each their own document (null keys never join in the anti-join
-        // form, and groupBy would wrongly collapse them into one group)
-        val firsts = withFp.filter(col("fp64").isNotNull)
-          .groupBy(col("fp64")).agg(min(col("doc_id")).as("doc_id"))
-          .unionByName(withFp.filter(col("fp64").isNull)
-            .select(col("fp64"), col("doc_id")))
-        val verifyBase = (corpusFps :: deltas).reduce(_ union _)
-        val admitted = Dedup.bloomAdmitIds(verifyBase, firsts, filterBytes, maxBroadcastFps)
-          .localCheckpoint()
-        val newFps = admitted.select("fp64").collect()
-          .collect { case r if !r.isNullAt(0) => r.getLong(0) }
-        if (newFps.nonEmpty) {
-          newFps.foreach(bf.putLong)
-          filterBytes = Dedup.serializeBloom(bf)
-          deltas = admitted.select("fp64") :: deltas
-        }
+        val admitted = state.admitBatch(batch.toDF)
         onBatch(batch.toDF.join(admitted.select("doc_id"), Seq("doc_id")), batchId)
     }.start()
   }

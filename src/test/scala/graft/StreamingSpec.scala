@@ -222,6 +222,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloom ingest compaction bounds verification arms over 50 admitting batches") {
+    import spark.implicits._
+    val corpus = Seq((0L, "seed document in the corpus"))
+      .toDF("doc_id", "text")
+    val K = 8
+    val state = new graft.streaming.DocIngest.BloomIngestState(
+      corpus, expectedRows = 1000, compactEvery = K)
+    // 50 batches, each admitting one genuinely new doc — the shape that
+    // grew the r5 verification union one plan arm per batch, unbounded
+    var maxArms = 0
+    (1 to 50).foreach { i =>
+      val batch = Seq((100L + i, s"unique document number $i about topic ${i * 7}"))
+        .toDF("doc_id", "text")
+      val admitted = state.admitBatch(batch).select("doc_id").as[Long].collect().toSet
+      assert(admitted === Set(100L + i), s"batch $i should admit its one new doc")
+      maxArms = math.max(maxArms, state.verifyArms)
+      assert(state.verifyArms <= K + 1,
+        s"verification base grew past the compaction bound at batch $i: ${state.verifyArms}")
+    }
+    // compaction actually ran (the list folded at least once) AND the bound
+    // was genuinely exercised up to its ceiling: the delta list grows to
+    // K-1, and the batch that would make it K folds it to 1 before
+    // returning — so K arms (corpus + K-1 deltas) is the observable max
+    assert(maxArms === K, s"expected the arm count to reach K, saw $maxArms")
+    // a duplicate of batch 1's admission — now living only in a COMPACTED
+    // delta — is still rejected in "batch 51", as are corpus and recent dups
+    val dupBatch = Seq(
+      (900L, "unique document number 1 about topic 7"),  // batch-1 admission dup
+      (901L, "seed document in the corpus"),             // corpus dup
+      (902L, "unique document number 50 about topic 350"), // recent dup
+      (903L, "a never-before-seen straggler")
+    ).toDF("doc_id", "text")
+    val finalAdmitted = state.admitBatch(dupBatch).select("doc_id").as[Long].collect().toSet
+    assert(finalAdmitted === Set(903L),
+      s"compacted state lost an admission: $finalAdmitted")
+  }
+
+  test("bloom ingest state warns once when insertions approach the filter's headroom") {
+    import spark.implicits._
+    // expectedRows=10 with an 9-doc corpus: the first admitting batch
+    // crosses the 80% occupancy line
+    val corpus = (1 to 9).map(i => (i.toLong, s"corpus doc $i")).toDF("doc_id", "text")
+    val state = new graft.streaming.DocIngest.BloomIngestState(
+      corpus, expectedRows = 10, compactEvery = 8)
+    // occupancy estimate starts at 9/10 (>80%): the very first admission
+    // must not crash and must still admit correctly — the warning is LOUD
+    // but correctness never depends on the filter
+    val admitted = state.admitBatch(
+      Seq((100L, "a new document")).toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(100L))
+    // and a duplicate past saturation still rejects (exact verify decides)
+    val again = state.admitBatch(
+      Seq((101L, "a new document")).toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === Set.empty[Long])
+  }
+
   test("bloom ingest over the real corpus equals the batch tier, any batch slicing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
