@@ -53,6 +53,9 @@ object SparkEntry {
     graft.operators.Multimodal.queries ++
     graft.operators.Temporal.queries ++
     graft.operators.Sampling.queries ++
+    graft.operators.Decontam.queries ++
+    graft.operators.Mixing.queries ++
+    graft.operators.SemDedup.queries ++
     graft.operators.Clustering.queries ++
     graft.operators.Packing.queries ++
     graft.operators.Curation.queries ++
@@ -76,6 +79,9 @@ object SparkEntry {
     graft.operators.Multimodal.oracles ++
     graft.operators.Temporal.oracles ++
     graft.operators.Sampling.oracles ++
+    graft.operators.Decontam.oracles ++
+    graft.operators.Mixing.oracles ++
+    graft.operators.SemDedup.oracles ++
     graft.operators.Clustering.oracles ++
     graft.operators.Packing.oracles ++
     graft.operators.Curation.oracles ++

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus composition operators — deciding WHICH rows a training run sees
+  * and in WHAT order, deterministically: temperature-weighted source
+  * rebalance (the multilingual up/down-sampling rule), token-budget
+  * selection by quality, and shard assignment for the final training
+  * layout. All three follow the [[Sampling]] contract: membership and
+  * order are pure functions of stable keys (md5), never `rand()`, so the
+  * same corpus yields the same mixture on every engine and every rerun.
+  */
+object Mixing {
+
+  /** Bucket resolution for rate → threshold quantization (1 bp). */
+  private val RateBuckets = 10000
+
+  /** Temperature-weighted rebalance across strata (α = 1/2): stratum s with
+    * n_s rows gets target share ∝ √n_s — the standard multilingual mixing
+    * rule that up-weights rare strata without letting a dominant one drown
+    * the mixture. `targetFrac` sets the overall kept fraction; a stratum
+    * whose target exceeds its size is kept whole (rate capped at 1).
+    *
+    * α is fixed at 1/2 on purpose: √ is correctly rounded under IEEE-754 so
+    * the per-stratum thresholds are bit-identical in every engine, which
+    * keeps row membership oracle-checkable (`pow(n, α)` for general α is
+    * only faithfully rounded and may differ across libm builds).
+    *
+    * Scale shape: one stratum-level aggregate (rows = #strata, not #docs),
+    * threshold math on that tiny frame, broadcast join back, then the same
+    * codegen'd md5-bucket filter as [[Sampling.stratifiedSample]]. One
+    * corpus shuffle total (the count), and that one is metadata-sized.
+    */
+  def temperatureMix(d: DataFrame, stratumCol: String, keyCol: String,
+                     targetFrac: Double = 0.5): DataFrame = {
+    val counts = d.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_s"))
+    // whole-frame totals over the #strata-row aggregate; the single-partition
+    // window is deliberate — its input is stratum-level, never corpus-level
+    val whole = Window.partitionBy()
+    val rates = counts
+      .withColumn("n_total", sum(col("n_s")).over(whole))
+      .withColumn("sqrt_sum", sum(sqrt(col("n_s"))).over(whole))
+      // parenthesization is part of the contract: the oracle repeats it
+      // verbatim so every double op happens in the same order
+      .withColumn("rate", least(lit(1.0),
+        lit(targetFrac) * col("n_total") * sqrt(col("n_s")) /
+          col("sqrt_sum") / col("n_s")))
+      .withColumn("thr", floor(col("rate") * RateBuckets).cast("long"))
+      .select(col(stratumCol), col("thr"))
+    d.join(broadcast(rates), Seq(stratumCol))
+      .filter(Sampling.hashBucket(col(keyCol), RateBuckets) < col("thr"))
+  }
+
+  /** Greedy token-budget selection: documents ranked by (quality desc,
+    * doc_id asc) are admitted while the running token total stays within
+    * `budget` — "take the best B tokens", the last gate before training.
+    *
+    * NOT a global sort: a cumulative window over (quality desc) of the
+    * whole corpus would funnel 100 TB through one partition. Instead the
+    * prefix sum splits into (1) a quality-bucket aggregate (rows = #distinct
+    * quality values — qualityScore is rounded to 4 decimals, so bounded),
+    * (2) a running total over that tiny frame, (3) a per-bucket cumulative
+    * window partitioned by quality, which spreads buckets across the
+    * cluster. Identical admission set to the naive global window.
+    */
+  def selectByTokenBudget(d: DataFrame, budget: Long): DataFrame = {
+    val scored = d.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val buckets = scored.groupBy(col("quality"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val before = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = buckets
+      .withColumn("cum_before", coalesce(sum(col("bucket_tokens")).over(before), lit(0L)))
+      .select(col("quality"), col("cum_before"))
+    val within = Window.partitionBy(col("quality")).orderBy(col("doc_id"))
+    scored.join(broadcast(cum), Seq("quality"))
+      .withColumn("cum_tokens", col("cum_before") + sum(col("n_tokens")).over(within))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Deterministic training-shard layout: shard = md5-bucket of the key
+    * (so shards are balanced and membership is portable), position within
+    * the shard = rank by md5 of the key — a pseudo-random global shuffle
+    * of the corpus WITHOUT a global sort: each shard orders independently
+    * in parallel, and concatenating shards in (shard, pos) order is the
+    * epoch order a trainer reads.
+    */
+  def shardAssign(d: DataFrame, keyCol: String, shards: Int = 16): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(keyCol))
+    d.select(col(keyCol),
+        Sampling.hashBucket(col(keyCol), shards).as("shard"),
+        md5(col(keyCol).cast("string")).as("h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(keyCol), col("shard"), col("pos"))
+  }
+
+  private val MixTargetFrac = 0.5
+  private val TokenBudget = 8000L
+  private val Shards = 16
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // α=1/2 rebalance over the skewed lang distribution — row-level output
+    // so the oracle checks every membership decision
+    "mix_temperature" -> ((s, dir) =>
+      temperatureMix(graft.Tables(s, dir, "documents"),
+        stratumCol = "lang", keyCol = "doc_id", targetFrac = MixTargetFrac)
+        .select(col("doc_id"), col("lang"))),
+
+    "budget_select" -> ((s, dir) =>
+      selectByTokenBudget(graft.Tables(s, dir, "documents"), TokenBudget)),
+
+    "shard_assign" -> ((s, dir) =>
+      shardAssign(graft.Tables(s, dir, "documents"), keyCol = "doc_id",
+        shards = Shards))
+  )
+
+  /** md5-bucket expression shared by the mixing oracles (identical to the
+    * [[Sampling]] oracles' form).
+    */
+  private def duckBucket(buckets: Int) =
+    s"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % $buckets"
+
+  def oracles: Map[String, String] = Map(
+    "mix_temperature" ->
+      s"""WITH counts AS (
+         |  SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+         |rates AS (
+         |  SELECT lang,
+         |    FLOOR(LEAST(1.0,
+         |      $MixTargetFrac * (SUM(n_s) OVER ()) * sqrt(n_s) /
+         |        (SUM(sqrt(n_s)) OVER ()) / n_s) * $RateBuckets)::BIGINT AS thr
+         |  FROM counts)
+         |SELECT doc_id, lang
+         |FROM documents JOIN rates USING (lang)
+         |WHERE ${duckBucket(RateBuckets)} < thr""".stripMargin,
+    "budget_select" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    ROUND(LEAST(1.0, len(string_split_regex(trim(text), '\\s+')) / 50.0) *
+         |      (1.0 - 0.5 * (CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |          x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS DOUBLE)
+         |        / len(string_split_regex(trim(text), '\\s+')))), 4) AS quality,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT quality,
+         |    COALESCE(SUM(bucket_tokens) OVER (ORDER BY quality DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM (SELECT quality, SUM(n_tokens) AS bucket_tokens
+         |        FROM scored GROUP BY quality))
+         |SELECT doc_id, quality, n_tokens,
+         |  CAST(cum_before + SUM(n_tokens) OVER (PARTITION BY quality
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |FROM scored JOIN cum USING (quality)
+         |QUALIFY cum_tokens <= $TokenBudget""".stripMargin,
+    "shard_assign" ->
+      s"""SELECT doc_id,
+         |  CAST(${duckBucket(Shards)} AS BIGINT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY ${duckBucket(Shards)}
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+         |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication over an embedding column — SemDeDup (Abbas et al.
+  * 2023, arXiv:2303.09540): k-means partitions the corpus into semantically
+  * tight cells, all-pairs cosine runs ONLY within a cell, and of every
+  * near-duplicate pair (cos ≥ τ) the larger id drops. The pairwise cost
+  * falls from N²/2 to Σ|cell|²/2 ≈ N²/(2·cells) — the pruning that makes
+  * embedding dedup feasible at corpus scale, at the price of missing the
+  * (rare) near-dup pair that straddles a cell boundary: candidate recall is
+  * a clustering property, while precision stays exact because every emitted
+  * pair carries its true cosine (OperatorsSpec pins both against the
+  * blocked-exact kernel).
+  *
+  * Scale shape: training/assignment reuse the IVF machinery
+  * ([[Similarity.kMeansCentroids]] — per-round shuffle is cells × dim
+  * doubles, row-count-independent; [[Similarity.kMeansAssign]] — one
+  * codegen'd pass). The within-cell stage re-blocks each cell with the same
+  * Afrati–Ullman scheme as [[Dedup]]'s exact kernels, sized by the LARGEST
+  * cell, so one skewed cell (the k-means failure mode) cannot exceed the
+  * per-task memory budget — it fans out across block-pair tasks instead.
+  */
+object SemDedup {
+
+  /** Oracle-contract rounding (same rule as the [[Dedup]] kernels). */
+  private def round4(x: Double): Double =
+    if (x.isNaN) Double.NegativeInfinity
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Verified near-dup pairs (id_a < id_b, round4 cosine ≥ τ) found within
+    * k-means cells. `blocks` sub-divides every cell Afrati–Ullman-style
+    * (0 = derive from the largest cell's byte estimate and the 256 MB task
+    * budget, exactly like [[Dedup.blockCount]] does for the global kernels).
+    */
+  def semDedupPairs(e: DataFrame, tau: Double, cells: Int = 10,
+                    iters: Int = 3, blocks: Int = 0,
+                    dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cents = Similarity.kMeansCentroids(e, cells, iters, dim)
+    val assigned = Similarity.kMeansAssign(e, cents, dim)
+      .select(col("cell"), col("vec_id").cast("long"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+
+    val b = if (blocks > 0) blocks else {
+      // size blocks by the biggest cell — the only one that can bust a task
+      val maxCell = assigned.groupBy(col("cell")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      Dedup.blockCount(spark, corpusBytes = maxCell * (4L * dim + 32L))
+    }
+    val numTasks = cells * (b * (b + 1) / 2)
+
+    val grouped = assigned.rdd.flatMap { case (cell, id, v) =>
+      val blk = math.floorMod(id, b).toInt
+      (0 until b).map(o => ((cell, math.min(blk, o), math.max(blk, o)), (id, v)))
+    }.groupByKey(numTasks)
+
+    def prep(v: Array[Float]): (Array[Float], Double) = {
+      var acc = 0.0; var i = 0
+      while (i < dim) { val x = v(i).toDouble; acc += x * x; i += 1 }
+      (v, math.sqrt(acc))
+    }
+    def cos(a: (Array[Float], Double), c: (Array[Float], Double)): Double = {
+      val (va, na) = a; val (vb, nb) = c
+      var dot = 0.0; var i = 0
+      while (i < dim) { dot += va(i).toDouble * vb(i).toDouble; i += 1 }
+      dot / (na * nb)
+    }
+
+    val pairs = grouped.flatMap { case ((_, bx, by), group) =>
+      val rows = group.toArray
+      if (bx == by) {
+        val items = rows.map { case (id, v) => (id, prep(v)) }.sortBy(_._1)
+        for {
+          i <- items.indices.iterator
+          j <- (i + 1 until items.length).iterator
+          r = round4(cos(items(i)._2, items(j)._2))
+          if r >= tau
+        } yield (items(i)._1, items(j)._1, r)
+      } else {
+        val (xr, yr) = rows.partition { case (id, _) => math.floorMod(id, b).toInt == bx }
+        val xs = xr.map { case (id, v) => (id, prep(v)) }
+        val ys = yr.map { case (id, v) => (id, prep(v)) }
+        for {
+          x <- xs.iterator
+          y <- ys.iterator
+          r = round4(cos(x._2, y._2))
+          if r >= tau
+        } yield (math.min(x._1, y._1), math.max(x._1, y._1), r)
+      }
+    }
+    spark.createDataset(pairs).toDF("id_a", "id_b", "cos")
+  }
+
+  /** Survivors under the min-id rule: a vector drops iff some smaller-id
+    * vector in its cell sits within cosine τ — the same rule as the exact
+    * embedding dedup, restricted to within-cell evidence. Output: one
+    * `vec_id` row per keeper.
+    */
+  def semDedupSurvivors(e: DataFrame, tau: Double, cells: Int = 10,
+                        iters: Int = 3, blocks: Int = 0,
+                        dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val dropped = semDedupPairs(e, tau, cells, iters, blocks, dim)
+      .select(col("id_b").as("vec_id")).distinct()
+    e.select(col("vec_id").cast("long").as("vec_id"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+  }
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    // rows-only: the k-means partition isn't SQL-expressible; the semantic
+    // gate lives in OperatorsSpec (dropped ⊆ exact-dropped, recall pinned
+    // vs the blocked-exact kernel at two scales). Planted near-dups (same
+    // frame as dedup_embedding_lsh) so the entry demonstrably drops rows.
+    "semdedup_survivors" -> ((s, dir) =>
+      semDedupSurvivors(
+        Dedup.plantEmbeddingNearDups(
+          graft.Tables(s, dir, "embeddings")).localCheckpoint(),
+        tau = 0.9))
+  )
+
+  def oracles: Map[String, String] = Map.empty
+}

@@ -89,8 +89,11 @@ final class FileCacheStore(spark: SparkSession, rootDir: String) extends CacheSt
   // shared eviction by one window. Correctness is unaffected — `get` never
   // consults the listing, it reads the key's meta file directly.
   private val listingTtlMs = 2000L
-  @volatile private var cachedListing: (Long, Seq[Long]) = (Long.MinValue, Nil)
-  private def invalidateListing(): Unit = cachedListing = (Long.MinValue, Nil)
+  // expired-sentinel is -1, NOT Long.MinValue: `now - Long.MinValue`
+  // overflows negative, which would make the staleness check read the
+  // sentinel as fresh and pin the empty listing forever
+  @volatile private var cachedListing: (Long, Seq[Long]) = (-1L, Nil)
+  private def invalidateListing(): Unit = cachedListing = (-1L, Nil)
 
   override def keys: Seq[Long] = {
     val now = System.currentTimeMillis()

@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Decontam, Dedup, Mixing, SemDedup, TextAnalysis}
+
+/** Round-6 corpus-composition operators: decontamination / duplicated-n-gram
+  * coverage, temperature mixing, token-budget selection, shard layout, and
+  * SemDeDup — hand-computable small cases plus equivalence/recall pins
+  * against the exact kernels on the driver test data.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf1 = "/root/testdata/sf0.001"
+  private val sf2 = "/root/testdata/sf0.01"
+
+  // ---------------------------------------------------------------- shingles
+
+  test("Decontam.shingles: every full window, md5-hashed, distinct") {
+    val d = Seq(
+      (1L, "a b c d e f"),      // windows: "a b c d e", "b c d e f"
+      (2L, "a b c d"),          // shorter than n=5 → no shingles
+      (3L, "x x x x x x x")     // 3 windows, all identical → 1 distinct
+    ).toDF("doc_id", "text")
+    val sh = Decontam.shingles(d, n = 5).collect()
+    val byDoc = sh.groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(byDoc(1L).size === 2)
+    assert(!byDoc.contains(2L))
+    assert(byDoc(3L).size === 1)
+    // digest is md5 of the space-joined window (the oracle re-derives it)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c d e".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byDoc(1L).contains(expected))
+  }
+
+  test("Decontam.contaminated + dupNgramCoverage: hand case") {
+    val d = Seq(
+      (1L, "a b c d e f"),          // shares both windows with 11
+      (11L, "a b c d e f"),         // duplicate of 1
+      (2L, "p q r s t u v"),        // unique text
+      (3L, "a b c d e zzz")         // shares window "a b c d e" with 1/11
+    ).toDF("doc_id", "text")
+    val cont = Decontam.contaminated(
+      corpus = d.filter(col("doc_id") =!= 11L),
+      bench = d.filter(col("doc_id") === 11L), n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cont === Map(1L -> 2L, 3L -> 1L)) // doc 2 is clean
+
+    val cov = Decontam.dupNgramCoverage(d, n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cov(1L) === ((2L, 2L)))  // both windows shared with 11
+    assert(cov(11L) === ((2L, 2L)))
+    assert(cov(2L) === ((3L, 0L)))  // nothing shared
+    assert(cov(3L) === ((2L, 1L)))  // "a b c d e" shared, "b c d e zzz" not
+  }
+
+  test("Decontam.dupNgramCoverage: fraction bounds on the real corpus") {
+    val cov = Decontam.dupNgramCoverage(Tables(spark, sf1, "documents"))
+    val bad = cov.filter(col("dup_frac") < 0.0 || col("dup_frac") > 1.0 ||
+      col("n_dup") > col("n_shingles")).count()
+    assert(bad === 0L)
+    assert(cov.count() > 0L)
+  }
+
+  // ------------------------------------------------------------------ mixing
+
+  test("Mixing.temperatureMix: rare strata keep a higher rate; deterministic") {
+    val d = Tables(spark, sf2, "documents")
+    val kept = Mixing.temperatureMix(d, "lang", "doc_id", targetFrac = 0.5)
+      .groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+    val base = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val rates = base.join(kept, Seq("lang"))
+      .select(col("lang"), col("n"), (col("kept") / col("n")).as("rate"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // en dominates the corpus → its kept-rate must be the minimum
+    val (nEn, rateEn) = rates("en")
+    rates.foreach { case (_, (n, rate)) =>
+      if (n < nEn) assert(rate >= rateEn)
+    }
+    // √-weighting with cap never drops a stratum entirely
+    assert(rates.values.forall(_._2 > 0.0))
+    // membership is content-derived: invariant under input partitioning
+    val again = Mixing.temperatureMix(d.repartition(13), "lang", "doc_id",
+      targetFrac = 0.5).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val first = Mixing.temperatureMix(d, "lang", "doc_id", targetFrac = 0.5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(again === first)
+  }
+
+  test("Mixing.selectByTokenBudget: identical to the naive global-window greedy") {
+    val d = Tables(spark, sf1, "documents")
+    val budget = 3000L
+    val got = Mixing.selectByTokenBudget(d, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // naive reference: one global cumulative window (correct but unscalable)
+    val w = Window.orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = d.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got === ref)
+    assert(got.nonEmpty && got.values.max <= budget)
+  }
+
+  test("Mixing.shardAssign: dense per-shard positions, balanced, deterministic") {
+    val d = Tables(spark, sf2, "documents")
+    val a = Mixing.shardAssign(d, "doc_id", shards = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byShard = a.groupBy(_._2)
+    // every shard's positions are exactly 1..|shard| (a trainer can stream
+    // shard files in pos order with no gaps)
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // md5 sharding balances: no shard more than 2× the mean
+    val sizes = byShard.view.mapValues(_.length).values
+    assert(sizes.max <= 2 * (a.length / 16 + 1))
+    // layout is a pure function of the key: invariant under repartition
+    val again = Mixing.shardAssign(d.repartition(7), "doc_id", shards = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === a.toSet)
+  }
+
+  // ---------------------------------------------------------------- semdedup
+
+  /** Ground truth for the SemDeDup pins: the exact blocked kernel's dropped
+    * set (ids with a smaller-id neighbor at cos ≥ τ) on the planted corpus.
+    */
+  private def exactDropped(dir: String, tau: Double): Set[Long] =
+    Dedup.embeddingCosinePairsBlocked(
+        Dedup.plantEmbeddingNearDups(Tables(spark, dir, "embeddings"))
+          .localCheckpoint(),
+        threshold = tau, dim = Tables.EmbeddingDim)
+      .select(col("id_b")).collect().map(_.getLong(0)).toSet
+
+  private def semDropped(dir: String, tau: Double): Set[Long] = {
+    val e = Dedup.plantEmbeddingNearDups(Tables(spark, dir, "embeddings"))
+      .localCheckpoint()
+    val all = e.select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val kept = SemDedup.semDedupSurvivors(e, tau = tau)
+      .collect().map(_.getLong(0)).toSet
+    all -- kept
+  }
+
+  test("SemDedup: precision exact, recall >= 0.8 vs blocked kernel (two scales)") {
+    for (dir <- Seq(sf1, sf2)) {
+      val exact = exactDropped(dir, 0.9)
+      val sem = semDropped(dir, 0.9)
+      assert(exact.nonEmpty, s"$dir: planted corpus must have true near-dups")
+      // within-cell pairs are exact-verified → can only drop true dups
+      assert(sem.subsetOf(exact), s"$dir: semdedup dropped a non-duplicate")
+      val recall = sem.size.toDouble / exact.size
+      assert(recall >= 0.8, s"$dir: semdedup recall $recall < 0.8")
+    }
+  }
+
+  test("Decontam.splitLeakage: matches an independent recomputation; held side broadcasts") {
+    val d = Tables(spark, sf2, "documents")
+    val got = Decontam.splitLeakage(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent recomputation with the join orientation flipped
+    val split = graft.operators.Sampling.hashSplit(col("doc_id"))
+    val trainSh = Decontam.shingles(d.filter(split === "train"))
+      .withColumnRenamed("doc_id", "train_id")
+    val testSh = Decontam.shingles(d.filter(split === "test"))
+    val ref = testSh.join(trainSh, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("a"), countDistinct(col("train_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === ref)
+    assert(got.nonEmpty, "corpus near-dups must straddle the 80/10/10 split")
+    val plan = Decontam.splitLeakage(d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  // ---------------------------------------------------------------- plans
+
+  test("plan pins: broadcast probes, no corpus-sized broadcast or nested loop") {
+    val d = Tables(spark, sf2, "documents")
+    // the benchmark shingle set probes the corpus under a broadcast hash
+    // join — the corpus side must never shuffle on the shingle key
+    val contPlan = Decontam.contaminated(
+      corpus = d.filter(col("doc_id") % 7 =!= 0),
+      bench = d.filter(col("doc_id") % 7 === 0))
+      .queryExecution.executedPlan.toString
+    assert(contPlan.contains("BroadcastHashJoin"), contPlan.take(2000))
+    assert(!contPlan.contains("BroadcastNestedLoopJoin"))
+    // stratum rates (#strata rows) broadcast back onto the corpus
+    val mixPlan = Mixing.temperatureMix(d, "lang", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(mixPlan.contains("BroadcastHashJoin"), mixPlan.take(2000))
+    // quality-bucket cumulative frame broadcasts; the corpus-side window
+    // partitions by quality — never an unpartitioned corpus window
+    val sel = Mixing.selectByTokenBudget(d, 8000L)
+    val selPlan = sel.queryExecution.executedPlan.toString
+    assert(selPlan.contains("BroadcastHashJoin"), selPlan.take(2000))
+  }
+
+  test("SemDedup: cells genuinely prune the pairwise work") {
+    val e = Dedup.plantEmbeddingNearDups(Tables(spark, sf2, "embeddings"))
+      .localCheckpoint()
+    val cents = graft.operators.Similarity.kMeansCentroids(e, cells = 10, iters = 3)
+    val sizes = graft.operators.Similarity.kMeansAssign(e, cents)
+      .groupBy(col("cell")).count().collect().map(_.getLong(1))
+    val n = sizes.sum
+    val scored = sizes.map(s => s * (s - 1) / 2).sum.toDouble
+    val full = n * (n - 1) / 2.0
+    // Σ|cell|²/2 must be well below N²/2 — the whole point of the cells
+    assert(scored / full <= 0.5,
+      s"within-cell pair fraction ${scored / full} — clustering isn't pruning")
+  }
+}

@@ -89,6 +89,8 @@ class PlanSpec extends AnyFunSuite {
       graft.operators.Multimodal.queries, graft.operators.Temporal.queries,
       graft.operators.Sampling.queries, graft.operators.Clustering.queries,
       graft.operators.Packing.queries, graft.operators.Curation.queries,
+      graft.operators.Decontam.queries, graft.operators.Mixing.queries,
+      graft.operators.SemDedup.queries,
       graft.streaming.EventStreams.queries,
       graft.models.ComposedPipeline.queries).flatMap(_.keys) :+ "q1_agg"
     assert(allNames.size === allNames.distinct.size,
