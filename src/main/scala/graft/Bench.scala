@@ -47,7 +47,10 @@ object Bench {
     // next entry's execution memory — unpersist them before every timed run;
     // (b) a single sample inherits whatever GC debt the previous entry left —
     // take the min of SPARK_GRAFT_RUNS (default 2) samples after a GC settle.
-    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2).max(1)
+    // Default 3 samples: the r6 host shows 4-7% steal and ~13/32 effective
+    // cores under load, with identical warm work varying up to 8x run-to-run;
+    // min-of-2 can still catch two contended samples, min-of-3 rarely does.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3).max(1)
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))

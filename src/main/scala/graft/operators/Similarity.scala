@@ -52,8 +52,14 @@ object Similarity {
     */
   def bruteForceTopK(e: DataFrame, k: Int, dim: Option[Int] = None): DataFrame = {
     val par = graft.Tuning.fanout(e.sparkSession)
-    val corpus = e.select(col("vec_id"), col("embedding"),
-      normC(col("embedding"), dim).as("nrm")).repartition(par)
+    val base = e.select(col("vec_id"), col("embedding"),
+      normC(col("embedding"), dim).as("nrm"))
+    // repartition only when the scan underfills the cores (a small parquet
+    // input is one partition and would serialize the whole score loop); a
+    // production-scale corpus already arrives wider than the cluster and
+    // paying a full exchange before a broadcast join is pure waste.
+    // getNumPartitions plans the RDD without running a job.
+    val corpus = if (base.rdd.getNumPartitions < par) base.repartition(par) else base
     val q = querySet(e)
       .withColumn("qnrm", normC(col("q_emb"), dim))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
