@@ -56,6 +56,7 @@ object SparkEntry {
     graft.operators.Decontam.queries ++
     graft.operators.Mixing.queries ++
     graft.operators.SemDedup.queries ++
+    graft.operators.SpanDedup.queries ++
     graft.operators.Clustering.queries ++
     graft.operators.Packing.queries ++
     graft.operators.Curation.queries ++
@@ -82,6 +83,7 @@ object SparkEntry {
     graft.operators.Decontam.oracles ++
     graft.operators.Mixing.oracles ++
     graft.operators.SemDedup.oracles ++
+    graft.operators.SpanDedup.oracles ++
     graft.operators.Clustering.oracles ++
     graft.operators.Packing.oracles ++
     graft.operators.Curation.oracles ++

@@ -63,10 +63,52 @@ object Curation {
     d.withColumn("n_pii", n).withColumn(textCol, red)
   }
 
+  /** Embedding-space outlier scoring — the curation filter that flags rows
+    * far from their group's centroid (mislabeled data, encoding garbage,
+    * off-topic scrapes embed far from their cluster's center). Emits each
+    * vector's cosine to its group centroid and an outlier flag.
+    *
+    * Two tricks keep this oracle-gateable despite float math:
+    * (1) the centroid is computed as the per-dimension SUM, not the mean —
+    * cosine is scale-invariant, so cos(v, Σ) = cos(v, Σ/n) exactly, and
+    * skipping the division skips a rounding step the two engines could
+    * disagree on; (2) the per-dimension sum runs in DECIMAL (each float
+    * rounded to 6 decimals first), which is exact and order-independent —
+    * a double sum would depend on partition order and never hash-match.
+    *
+    * Scale shape: the explode is per-row compute; the (group, dim) hash
+    * aggregation's shuffle is bounded by groups×dims rows AFTER map-side
+    * partial combine (metadata-sized, like the IVF centroid sync); the
+    * groups×dim-array centroid frame broadcasts; scoring is one unrolled
+    * codegen'd pass over the corpus. No corpus-sized shuffle anywhere.
+    */
+  def embedOutliers(e: DataFrame, groupCol: String = "label",
+                    dim: Int = graft.Tables.EmbeddingDim,
+                    minCos: Double = 0.0): DataFrame = {
+    import graft.functions.VectorFns
+    val sums = e
+      .select(col(groupCol), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col(groupCol), col("d"))
+      .agg(sum(round(col("v").cast("double"), 6).cast("decimal(16,6)")).as("s"))
+    val cent = sums
+      .groupBy(col(groupCol))
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("s")))),
+        t => round(t.getField("s"), 4).cast("double")).as("centroid"))
+    e.join(broadcast(cent), Seq(groupCol))
+      .select(col("vec_id"), col(groupCol),
+        round(VectorFns.dotN(col("embedding"), col("centroid"), dim) /
+          (VectorFns.l2normN(col("embedding"), dim) *
+            VectorFns.l2normN(col("centroid"), dim)), 4).as("cos_centroid"))
+      .withColumn("outlier", col("cos_centroid") < minCos)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_corpus" -> ((s, dir) =>
       curateCorpus(graft.Tables(s, dir, "documents"),
         minQuality = 0.5, lang = "en")),
+
+    "curate_embed_outliers" -> ((s, dir) =>
+      embedOutliers(graft.Tables(s, dir, "embeddings"))),
 
     // PII scrub over the corpus with deterministic planted PII (every 10th
     // doc gains an email + ip + ssn + phone suffix, derived from doc_id in
@@ -89,6 +131,30 @@ object Curation {
     * by its per-operator oracle (fingerprint, quality, lang-ID, hash split).
     */
   def oracles: Map[String, String] = Map(
+    "curate_embed_outliers" ->
+      """WITH d AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |    unnest(range(1, len(embedding) + 1)) AS di
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT label, di,
+        |    SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(16,6))) AS sv
+        |  FROM d GROUP BY label, di),
+        |cent AS (
+        |  SELECT label, list(CAST(ROUND(sv, 4) AS DOUBLE) ORDER BY di) AS c
+        |  FROM s GROUP BY label),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    ROUND(
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * c[i])) /
+        |      (SQRT(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |       SQRT(list_sum(list_transform(range(1, len(c) + 1),
+        |        i -> c[i] * c[i])))), 4) AS cos_centroid
+        |  FROM embeddings e JOIN cent USING (label))
+        |SELECT vec_id, label, cos_centroid, cos_centroid < 0.0 AS outlier
+        |FROM scored""".stripMargin,
     "curate_corpus" ->
       """WITH surv AS (
         |  SELECT MIN(doc_id) AS doc_id

@@ -99,6 +99,30 @@ object Mixing {
       .select(col(keyCol), col("shard"), col("pos"))
   }
 
+  /** CCNet-style per-stratum quality tiers: within each stratum (source,
+    * domain, language), rank documents by quality and split into `nTiles`
+    * equal tiers — head/middle/tail for the default 3. CCNet keeps "head"
+    * for LM training and drops or down-weights "tail"; tiering WITHIN the
+    * stratum (not globally) is the point — it prevents a high-resource
+    * source's mediocre documents from outranking a rare source's best.
+    *
+    * One window shuffle partitioned by stratum; ties break on doc_id so
+    * tier membership is deterministic. `ntile` follows the SQL-standard
+    * fill rule (leading tiles take the remainder) on every engine.
+    */
+  def qualityBuckets(d: DataFrame, stratumCol: String,
+                     nTiles: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("quality").desc, col("doc_id"))
+    d.select(col("doc_id"), col(stratumCol),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .withColumn("tile", ntile(nTiles).over(w).cast("long"))
+      .withColumn("tier",
+        when(col("tile") === 1, "head")
+          .when(col("tile") === nTiles, "tail")
+          .otherwise("middle"))
+  }
+
   private val MixTargetFrac = 0.5
   private val TokenBudget = 8000L
   private val Shards = 16
@@ -116,7 +140,10 @@ object Mixing {
 
     "shard_assign" -> ((s, dir) =>
       shardAssign(graft.Tables(s, dir, "documents"), keyCol = "doc_id",
-        shards = Shards))
+        shards = Shards)),
+
+    "quality_buckets" -> ((s, dir) =>
+      qualityBuckets(graft.Tables(s, dir, "documents"), stratumCol = "source"))
   )
 
   /** md5-bucket expression shared by the mixing oracles (identical to the
@@ -163,6 +190,23 @@ object Mixing {
          |  CAST(${duckBucket(Shards)} AS BIGINT) AS shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY ${duckBucket(Shards)}
          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+    "quality_buckets" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    ROUND(LEAST(1.0, len(string_split_regex(trim(text), '\\s+')) / 50.0) *
+         |      (1.0 - 0.5 * (CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |          x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS DOUBLE)
+         |        / len(string_split_regex(trim(text), '\\s+')))), 4) AS quality
+         |  FROM documents),
+         |tiled AS (
+         |  SELECT doc_id, source, quality,
+         |    CAST(NTILE(3) OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS BIGINT) AS tile
+         |  FROM scored)
+         |SELECT doc_id, source, quality, tile,
+         |  CASE WHEN tile = 1 THEN 'head' WHEN tile = 3 THEN 'tail'
+         |       ELSE 'middle' END AS tier
+         |FROM tiled""".stripMargin
   )
 }

@@ -334,6 +334,33 @@ object Relational {
         .except(t(s, dir, "orders").select(col("o_custkey").as("k")))
     }),
 
+    // Pivot with an EXPLICIT value list — the values are part of the query,
+    // so the plan is a single-pass conditional aggregation (one shuffle, no
+    // value-discovery pre-query), and the output schema is static: the shape
+    // that scales. (An implicit pivot runs a distinct-values job first and
+    // cannot be planned statically.) Oracle is the CASE form — the same
+    // relational algebra spelled portably.
+    "a12_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+    }),
+
+    // Unpivot (melt): wide per-group metrics → long (group, metric, value)
+    // rows — the inverse reshape, a per-row generate with NO extra shuffle
+    // beyond the feeding aggregation.
+    "a13_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "value")
+    }),
+
     // F1-F6/F15: scalar-function suite incl. the dbt_utils-exact MD5 key.
     "f_scalar_suite" -> ((s, dir) => {
       t(s, dir, "customer").select(
@@ -512,6 +539,20 @@ object Relational {
     "a9_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "a12_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a13_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a""".stripMargin,
     "a10_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_lines

@@ -184,6 +184,51 @@ object TextAnalysis {
       .select(explode(col("topk")).as("e"))
       .select(col("e.item").as("term"), col("e.count").as("n"))
 
+  /** Top-k adjacent-token-pair frequencies — one round of BPE-style vocab
+    * induction run corpus-wide: the pair a tokenizer trainer would merge
+    * next, with its count. Iterating this (merge, re-tokenize, recount) is
+    * exactly the BPE training loop; a single round is the distributed
+    * primitive and is oracle-gateable.
+    *
+    * Bigrams use the [[dupBigramRatio]] zip-over-shifted-slices shape
+    * (per-row arrays evaluate once — the pinned HOF-capture lesson), then
+    * one explode + hash aggregation with map-side combine; the result is
+    * TakeOrderedAndProject like [[tokenTopK]] — per-partition top-k, never
+    * a global sort.
+    */
+  def bigramMerges(d: DataFrame, k: Int = 20): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val n = size(toks)
+    val len = greatest(n - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
+      (a, b) => concat_ws(" ", a, b))
+    d.select(explode(bigrams).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** Encoding/mojibake signals: the share of characters that are non-ASCII,
+    * the Unicode replacement character U+FFFD (the definitive transcoding-
+    * damage marker), digits, and uppercase letters. Pure per-row column
+    * math over a character-class regex subset valid in BOTH Java regex and
+    * RE2 (the [[Curation]] PII precedent) so the oracle re-derives every
+    * ratio. A curation gate drops documents above a replacement-char or
+    * non-ASCII threshold for an English-only corpus.
+    */
+  def encodingSignal(c: Column): Column = {
+    val nChars = length(c)
+    def ratio(stripped: Column) =
+      round((nChars - length(stripped)).cast("double") / nChars, 4)
+    struct(
+      ratio(regexp_replace(c, "[^\\x00-\\x7F]", "")).as("non_ascii_ratio"),
+      // \x{FFFD} (not �): the hex-brace class is the one spelling of
+      // the replacement char that Java regex and RE2 both accept
+      ratio(regexp_replace(c, "\\x{FFFD}", "")).as("replacement_ratio"),
+      ratio(regexp_replace(c, "[0-9]", "")).as("digit_ratio"),
+      ratio(regexp_replace(c, "[A-Z]", "")).as("upper_ratio"))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "documents")
 
@@ -236,7 +281,20 @@ object TextAnalysis {
       docs(s, dir).select(col("doc_id"),
         dupTokenRatio(col("text")).as("dup_tok"),
         dupBigramRatio(col("text")).as("dup_bigram"))
-        .withColumn("keep", col("dup_tok") <= 0.6))
+        .withColumn("keep", col("dup_tok") <= 0.6)),
+
+    // one BPE vocab-induction round: corpus-wide top merge candidates
+    "text_bigram_merges" -> ((s, dir) => bigramMerges(docs(s, dir), k = 20)),
+
+    // encoding damage / character-class signals with an English-corpus gate
+    "text_encoding_signal" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), encodingSignal(col("text")).as("e"))
+        .select(col("doc_id"), col("e.non_ascii_ratio"),
+          col("e.replacement_ratio"), col("e.digit_ratio"),
+          col("e.upper_ratio"))
+        .withColumn("keep",
+          col("replacement_ratio") === 0.0 && col("non_ascii_ratio") <= 0.2))
   )
 
   private val markerListSql: Map[String, String] =
@@ -299,6 +357,26 @@ object TextAnalysis {
         |  FROM documents)
         |SELECT term, COUNT(*) AS n FROM toks WHERE term <> ''
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    "text_bigram_merges" ->
+      """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+        |FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT pair, COUNT(*) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "text_encoding_signal" ->
+      """WITH t AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+        |r AS (SELECT doc_id,
+        |  ROUND(CAST(n - LENGTH(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS DOUBLE) / n, 4) AS non_ascii_ratio,
+        |  ROUND(CAST(n - LENGTH(regexp_replace(text, '\x{FFFD}', '', 'g')) AS DOUBLE) / n, 4) AS replacement_ratio,
+        |  ROUND(CAST(n - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n, 4) AS digit_ratio,
+        |  ROUND(CAST(n - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / n, 4) AS upper_ratio
+        |FROM t)
+        |SELECT doc_id, non_ascii_ratio, replacement_ratio, digit_ratio, upper_ratio,
+        |  (replacement_ratio = 0.0 AND non_ascii_ratio <= 0.2) AS keep
+        |FROM r""".stripMargin,
     "text_tfidf_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -203,6 +203,104 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(selPlan.contains("BroadcastHashJoin"), selPlan.take(2000))
   }
 
+  // ------------------------------------------------------------ span dedup
+
+  test("SpanDedup: shared spans removed, unique text untouched") {
+    val d = Seq(
+      (1L, "h1 h2 h3 h4 h5 u1 u2"),     // shares the 5-token header with 2
+      (2L, "h1 h2 h3 h4 h5 v1 v2 v3"),
+      (3L, "w1 w2 w3 w4 w5 w6"),        // unique → unchanged
+      (4L, "z1 z2 z3 z4 z5"),           // exact dup of 5 → fully covered
+      (5L, "z1 z2 z3 z4 z5")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.SpanDedup.stripDuplicatedSpans(d)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("u1 u2", 7L, 5L)))
+    assert(out(2L) === (("v1 v2 v3", 8L, 5L)))
+    assert(out(3L) === (("w1 w2 w3 w4 w5 w6", 6L, 0L)))
+    assert(out(4L) === (("", 5L, 5L)))
+    assert(out(5L) === (("", 5L, 5L)))
+  }
+
+  test("SpanDedup: overlapping duplicated spans cover the union of windows") {
+    // docs share BOTH windows of a 6-token run: covered = positions 0..5
+    val d = Seq(
+      (1L, "a b c d e f tail1"),
+      (2L, "a b c d e f tail2")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.SpanDedup.stripDuplicatedSpans(d)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "tail1")
+    assert(out(2L) === "tail2")
+  }
+
+  // ------------------------------------------------------- quality buckets
+
+  test("Mixing.qualityBuckets: per-stratum tiers are ordered and balanced") {
+    val out = Mixing.qualityBuckets(Tables(spark, sf2, "documents"), "source")
+    val rows = out.collect()
+    assert(rows.length === 500)
+    // tile sizes within a stratum differ by at most 1 (ntile fill rule)
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val sizes = rs.groupBy(_.getLong(3)).view.mapValues(_.length).values
+      assert(sizes.max - sizes.min <= 1, s"unbalanced tiles in $src")
+      // quality is non-increasing across tiers
+      val byTile = rs.groupBy(_.getLong(3)).view
+        .mapValues(_.map(_.getDouble(2))).toMap
+      assert(byTile(1L).min >= byTile(2L).max - 1e-9)
+      assert(byTile(2L).min >= byTile(3L).max - 1e-9)
+    }
+    val tiers = rows.map(_.getString(4)).toSet
+    assert(tiers === Set("head", "middle", "tail"))
+  }
+
+  // ------------------------------------------------- bigrams and encoding
+
+  test("TextAnalysis.bigramMerges: counts and deterministic tie-break") {
+    val d = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramMerges(d, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("TextAnalysis.encodingSignal: hand-computed ratios") {
+    val d = Seq((1L, "AB cd 12 �")).toDF("doc_id", "text")
+    val r = d.select(TextAnalysis.encodingSignal(col("text")).as("e"))
+      .select(col("e.*")).collect().head
+    assert(r.getDouble(0) === 0.1)  // non-ascii: the replacement char
+    assert(r.getDouble(1) === 0.1)  // replacement
+    assert(r.getDouble(2) === 0.2)  // digits
+    assert(r.getDouble(3) === 0.2)  // uppercase
+  }
+
+  // ------------------------------------------------------- embed outliers
+
+  test("Curation.embedOutliers: cosine to centroid, hand case") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0),   // centroid(0) ∝ (1,1)
+      (3L, Array(-1.0f, -1.0f), 1),
+      (4L, Array(-1.0f, -1.0f), 1)  // centroid(1) ∝ (-1,-1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Curation.embedOutliers(e, dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) === 0.7071)  // cos 45°
+    assert(out(2L) === 0.7071)
+    assert(out(3L) === 1.0)
+    assert(out(4L) === 1.0)
+  }
+
+  test("Curation.embedOutliers: real corpus — bounded, flag consistent") {
+    val out = graft.operators.Curation.embedOutliers(
+      Tables(spark, sf2, "embeddings")).collect()
+    assert(out.length === 500)
+    out.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0001 && c <= 1.0001)
+      assert(r.getBoolean(3) === (c < 0.0))
+    }
+  }
+
   test("SemDedup: cells genuinely prune the pairwise work") {
     val e = Dedup.plantEmbeddingNearDups(Tables(spark, sf2, "embeddings"))
       .localCheckpoint()

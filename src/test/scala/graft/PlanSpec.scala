@@ -91,6 +91,7 @@ class PlanSpec extends AnyFunSuite {
       graft.operators.Packing.queries, graft.operators.Curation.queries,
       graft.operators.Decontam.queries, graft.operators.Mixing.queries,
       graft.operators.SemDedup.queries,
+      graft.operators.SpanDedup.queries,
       graft.streaming.EventStreams.queries,
       graft.models.ComposedPipeline.queries).flatMap(_.keys) :+ "q1_agg"
     assert(allNames.size === allNames.distinct.size,
