@@ -102,10 +102,80 @@ object Curation {
       .withColumn("outlier", col("cos_centroid") < minCos)
   }
 
+  /** The curation FUNNEL — the composed report a production pipeline emits:
+    * how many documents survive each gate, in gate order (raw → encoding →
+    * exact-dedup → quality floor → benchmark decontamination). The count
+    * after stage k applies gates 1..k cumulatively, which is what makes the
+    * report a funnel and the oracle a genuine composition check: a row
+    * that any stage misclassifies shifts every later count.
+    *
+    * Built as per-document boolean gate flags resolved in ONE dataflow
+    * (survivor membership and contamination attach by left-semi-style
+    * joins), then a single global aggregate of flag sums unpivoted to
+    * (stage, n_docs) rows — the whole corpus collapses to five numbers
+    * before anything reaches the driver. The survivor set is computed on
+    * the encoding-surviving population (gates apply in order — dedup
+    * doesn't resurrect a doc the encoding gate killed); contamination is
+    * corpus-membership-independent (shingle overlap with the benchmark),
+    * so it attaches as a per-doc fact.
+    */
+  def curationFunnel(d: DataFrame, bench: DataFrame,
+                     minQuality: Double = 0.3): DataFrame = {
+    val enc = TextAnalysis.encodingSignal(col("text"))
+    val flagged = d.select(col("doc_id"), col("text"),
+      (enc.getField("replacement_ratio") === 0.0 &&
+        enc.getField("non_ascii_ratio") <= 0.2).as("enc_ok"))
+    val survivors = flagged.filter(col("enc_ok"))
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_surv"))
+    val contaminated = Decontam.contaminated(d, bench)
+      .select(col("doc_id"), lit(true).as("is_cont"))
+    val staged = flagged
+      .join(survivors, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(
+        col("enc_ok"),
+        (col("enc_ok") && coalesce(col("is_surv"), lit(false))).as("surv_ok"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        coalesce(col("is_cont"), lit(false)).as("cont"))
+      .select(col("enc_ok"), col("surv_ok"),
+        (col("surv_ok") && col("q") >= minQuality).as("qual_ok"),
+        col("cont"))
+    staged.agg(
+        count(lit(1)).as("s0_raw"),
+        sum(when(col("enc_ok"), 1L).otherwise(0L)).as("s1_encoding"),
+        sum(when(col("surv_ok"), 1L).otherwise(0L)).as("s2_dedup"),
+        sum(when(col("qual_ok"), 1L).otherwise(0L)).as("s3_quality"),
+        sum(when(col("qual_ok") && !col("cont"), 1L).otherwise(0L)).as("s4_decontam"))
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array(col("s0_raw"), col("s1_encoding"), col("s2_dedup"),
+          col("s3_quality"), col("s4_decontam")), "stage", "n_docs")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_corpus" -> ((s, dir) =>
       curateCorpus(graft.Tables(s, dir, "documents"),
         minQuality = 0.5, lang = "en")),
+
+    // the composed funnel over the documents table, with the mod-7 docs as
+    // the stand-in external benchmark (same convention as `decontaminate`).
+    // The synthetic corpus is clean ASCII with no exact dups, so two gates
+    // would idle; deterministic planting (the `curate_redact` convention —
+    // both engines derive the same damage from doc_id) gives every stage
+    // real drops: %31==3 docs gain a replacement char (encoding gate),
+    // %31==5 docs collapse to one constant text (exact-dedup gate; its
+    // 4-token survivor then falls to the quality floor).
+    "curate_funnel" -> ((s, dir) => {
+      val d = graft.Tables(s, dir, "documents")
+      val planted = d.withColumn("text",
+        when(col("doc_id") % 31 === 3, concat(col("text"), lit(" �")))
+          .when(col("doc_id") % 31 === 5, lit("duplicate seed text block"))
+          .otherwise(col("text")))
+      curationFunnel(
+        planted.filter(col("doc_id") % 7 =!= 0),
+        bench = planted.filter(col("doc_id") % 7 === 0))
+    }),
 
     "curate_embed_outliers" -> ((s, dir) =>
       embedOutliers(graft.Tables(s, dir, "embeddings"))),
@@ -131,6 +201,60 @@ object Curation {
     * by its per-operator oracle (fingerprint, quality, lang-ID, hash split).
     */
   def oracles: Map[String, String] = Map(
+    "curate_funnel" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 31 = 3 THEN text || ' ' || chr(65533)
+        |         WHEN doc_id % 31 = 5 THEN 'duplicate seed text block'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, text FROM planted WHERE doc_id % 7 <> 0),
+        |enc AS (
+        |  SELECT doc_id, text,
+        |    (ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '\x{FFFD}', '', 'g')) AS DOUBLE) / LENGTH(text), 4) = 0.0
+        |     AND ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS DOUBLE) / LENGTH(text), 4) <= 0.2) AS enc_ok
+        |  FROM raw),
+        |surv AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM enc WHERE enc_ok
+        |  GROUP BY MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g')))),
+        |shc AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest([md5(array_to_string(toks[i:i+4], ' '))
+        |              for i in range(1, len(toks) - 3)]) AS shingle
+        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |          FROM planted WHERE doc_id % 7 <> 0))),
+        |shb AS (
+        |  SELECT DISTINCT shingle FROM (
+        |    SELECT unnest([md5(array_to_string(toks[i:i+4], ' '))
+        |                   for i in range(1, len(toks) - 3)]) AS shingle
+        |    FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |          FROM planted WHERE doc_id % 7 = 0))),
+        |cont AS (SELECT DISTINCT doc_id FROM shc WHERE shingle IN (SELECT shingle FROM shb)),
+        |flags AS (
+        |  SELECT e.doc_id, e.enc_ok,
+        |    (e.enc_ok AND e.doc_id IN (SELECT doc_id FROM surv)) AS surv_ok,
+        |    ROUND(LEAST(1.0, len(string_split_regex(trim(e.text), '\s+')) / 50.0) *
+        |      (1.0 - 0.5 * (CAST(len(list_filter(string_split_regex(trim(e.text), '\s+'),
+        |          x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS DOUBLE)
+        |        / len(string_split_regex(trim(e.text), '\s+')))), 4) AS q,
+        |    e.doc_id IN (SELECT doc_id FROM cont) AS cont
+        |  FROM enc e),
+        |f2 AS (
+        |  SELECT enc_ok, surv_ok, (surv_ok AND q >= 0.3) AS qual_ok, cont FROM flags),
+        |agg AS (
+        |  SELECT COUNT(*) AS s0_raw,
+        |    CAST(SUM(CASE WHEN enc_ok THEN 1 ELSE 0 END) AS BIGINT) AS s1_encoding,
+        |    CAST(SUM(CASE WHEN surv_ok THEN 1 ELSE 0 END) AS BIGINT) AS s2_dedup,
+        |    CAST(SUM(CASE WHEN qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS s3_quality,
+        |    CAST(SUM(CASE WHEN qual_ok AND NOT cont THEN 1 ELSE 0 END) AS BIGINT) AS s4_decontam
+        |  FROM f2)
+        |SELECT 's0_raw' AS stage, s0_raw AS n_docs FROM agg
+        |UNION ALL SELECT 's1_encoding', s1_encoding FROM agg
+        |UNION ALL SELECT 's2_dedup', s2_dedup FROM agg
+        |UNION ALL SELECT 's3_quality', s3_quality FROM agg
+        |UNION ALL SELECT 's4_decontam', s4_decontam FROM agg""".stripMargin,
     "curate_embed_outliers" ->
       """WITH d AS (
         |  SELECT label, unnest(embedding) AS v,

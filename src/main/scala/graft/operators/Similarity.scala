@@ -373,7 +373,6 @@ object Similarity {
                        iters: Int = 3, rerankFactor: Int = 4,
                        dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
     val cents = kMeansCentroids(e, cells, iters, dim)
-    val par = graft.Tuning.fanout(e.sparkSession)
     // the stored index, BUILT as its own job: one quantization pass over the
     // cell-assigned corpus, materialized before the search reads it. In
     // production this is a parquet write partitioned by `cell` (built once,
@@ -383,17 +382,37 @@ object Similarity {
     // unrolled quantization chains blow janino's 64 KB method limit and the
     // WHOLE stage falls back to interpreted — materialized, downstream
     // stages see plain array columns.
-    val corpusQ = quantizeInt8(
-      kMeansAssign(e, cents, dim).repartition(par),
+    val corpusQ = buildQuantizedIndex(e, cents, dim).localCheckpoint()
+    searchQuantizedIndex(e, corpusQ, cents, k, nProbe, rerankFactor, dim)
+  }
+
+  /** One index segment: cell assignment + int8 codes for `part` under an
+    * ALREADY-TRAINED centroid matrix — the build step shared by the bulk
+    * index and incremental appends.
+    */
+  private def buildQuantizedIndex(part: DataFrame, cents: Array[Array[Double]],
+                                  dim: Int): DataFrame =
+    quantizeInt8(
+      kMeansAssign(part, cents, dim)
+        .repartition(graft.Tuning.fanout(part.sparkSession)),
       "embedding", dim, qCol = "qv", qnCol = "qn")
       .select(col("vec_id"), col("cell"), col("qv"), col("qn"))
-      .localCheckpoint()
+
+  /** Probe + integer-score + exact-rerank over a stored quantized index —
+    * the query-side of [[ivfQuantizedTopK]], independent of how (or in how
+    * many increments) the index was built. `full` supplies the query set
+    * and the float vectors for the re-rank.
+    */
+  private def searchQuantizedIndex(full: DataFrame, corpusQ: DataFrame,
+                                   cents: Array[Array[Double]], k: Int,
+                                   nProbe: Int, rerankFactor: Int,
+                                   dim: Int): DataFrame = {
     // probe stage reuses the float centroid ranking (centroids are k rows —
     // quantizing them buys nothing), then rides the quantized query codes in
-    val probed = probeCells(e, centroidFrame(e.sparkSession, cents), nProbe, Some(dim))
-      .select(col("q_id"), col("cell"))
+    val probed = probeCells(full, centroidFrame(full.sparkSession, cents),
+      nProbe, Some(dim)).select(col("q_id"), col("cell"))
     val qQ = quantizeInt8(
-      querySet(e).withColumnRenamed("q_emb", "qe"), "qe", dim,
+      querySet(full).withColumnRenamed("q_emb", "qe"), "qe", dim,
       qCol = "qqv", qnCol = "qqn")
       .select(col("q_id"), col("qqv"), col("qqn"))
     val probeQ = probed.join(qQ, Seq("q_id"))
@@ -405,7 +424,34 @@ object Similarity {
       .withColumn("qrank", row_number().over(wQ))
       .filter(col("qrank") <= k * rerankFactor)
       .select(col("q_id"), col("vec_id"))
-    exactRerank(e, cand, k, dim)
+    exactRerank(full, cand, k, dim)
+  }
+
+  /** Incremental index maintenance — the operation a production ANN service
+    * runs every ingest cycle: new vectors are assigned to the EXISTING
+    * trained cells and quantized ([[buildQuantizedIndex]] over just the
+    * batch), and the new segment unions with the stored index. No
+    * retraining, no touch of the base segment — at 100 TB the append costs
+    * one pass over the batch, not the corpus (the union is a metadata
+    * concatenation of index segments, exactly like adding parquet files to
+    * a cell-partitioned index directory).
+    *
+    * Trade-off carried honestly: centroids drift as the distribution
+    * shifts; appended-heavy indexes degrade probe recall until the next
+    * retrain (the spec pins recall on the appended index against brute
+    * force over the full corpus, so the degradation is measured, not
+    * assumed away).
+    */
+  def ivfAppendedTopK(base: DataFrame, batch: DataFrame, k: Int,
+                      cells: Int = 10, nProbe: Int = 3, iters: Int = 3,
+                      rerankFactor: Int = 4,
+                      dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val cents = kMeansCentroids(base, cells, iters, dim)
+    val corpusQ = buildQuantizedIndex(base, cents, dim)
+      .union(buildQuantizedIndex(batch, cents, dim))
+      .localCheckpoint()
+    searchQuantizedIndex(base.unionByName(batch), corpusQ, cents,
+      k, nProbe, rerankFactor, dim)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -428,7 +474,18 @@ object Similarity {
     // weak random-cluster structure to ≥0.94 at all three test scales;
     // real embedding corpora run far smaller probe ratios.
     "ann_ivf_quantized_topk" -> ((s, dir) =>
-      ivfQuantizedTopK(emb(s, dir), k = 10, cells = 12, nProbe = 9, iters = 3))
+      ivfQuantizedTopK(emb(s, dir), k = 10, cells = 12, nProbe = 9, iters = 3)),
+    // incremental append: index trained+built on 90% of the corpus, the
+    // vec_id%10==0 batch assigned into the trained cells without retraining
+    // (approximate — rows-only; recall vs brute over the FULL corpus and
+    // batch-row findability spec-pinned)
+    "ann_ivf_append_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      ivfAppendedTopK(
+        base = e.filter(col("vec_id") % 10 =!= 0),
+        batch = e.filter(col("vec_id") % 10 === 0),
+        k = 10, cells = 12, nProbe = 9, iters = 3)
+    })
   )
 
   def oracles: Map[String, String] = Map(

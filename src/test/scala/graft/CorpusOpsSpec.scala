@@ -301,6 +301,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------- curation funnel
+
+  test("Curation.curationFunnel: monotone, every stage exercised, hand case") {
+    import graft.operators.Curation
+    val d = Seq(
+      (1L, "good unique document with enough interesting tokens here"),
+      (2L, "broken document �"),                 // encoding gate
+      (3L, "same same duplicated content body"), // dup pair; 3 survives
+      (4L, "same same duplicated content body"),
+      (5L, "tiny"),                              // quality floor (short)
+      (6L, "the benchmark overlap five gram window text body")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "benchmark overlap five gram window"))
+      .toDF("doc_id", "text")
+    val out = Curation.curationFunnel(d, bench, minQuality = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("s0_raw") === 6L)
+    assert(out("s1_encoding") === 5L)   // doc 2 out
+    assert(out("s2_dedup") === 4L)      // doc 4 out (3 survives)
+    assert(out("s3_quality") === 3L)    // doc 5 out at 0.05 floor
+    assert(out("s4_decontam") === 2L)   // doc 6 out (shares the 5-gram)
+    // funnel is monotone by construction — pin it anyway on real data
+    val real = Curation.curationFunnel(
+      Tables(spark, sf2, "documents").filter(col("doc_id") % 7 =!= 0),
+      Tables(spark, sf2, "documents").filter(col("doc_id") % 7 === 0))
+      .collect().sortBy(_.getString(0)).map(_.getLong(1))
+    assert(real.sliding(2).forall(p => p(0) >= p(1)), real.mkString(","))
+  }
+
   test("SemDedup: cells genuinely prune the pairwise work") {
     val e = Dedup.plantEmbeddingNearDups(Tables(spark, sf2, "embeddings"))
       .localCheckpoint()

@@ -153,6 +153,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Similarity: appended IVF×int8 index keeps recall; batch rows findable") {
+    // centroids trained on 90% of the corpus, the vec_id%10==0 batch
+    // appended without retraining. Recall floors against brute over the
+    // FULL corpus pin the drift honestly; the appended rows must actually
+    // surface as neighbors (an index that silently drops the new segment
+    // would still pass a recall-only floor if base rows dominate).
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = graft.Tables(spark, s"/root/testdata/$sf", "embeddings")
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val brute = pairs(Similarity.bruteForceTopK(e, 10, dim = Some(Tables.EmbeddingDim)))
+      val appended = pairs(Similarity.ivfAppendedTopK(
+        base = e.filter(col("vec_id") % 10 =!= 0),
+        batch = e.filter(col("vec_id") % 10 === 0),
+        k = 10, cells = 12, nProbe = 9, iters = 3))
+      val recall = (brute & appended).size.toDouble / brute.size
+      assert(recall >= 0.85, s"appended-index recall@10 at $sf: $recall")
+      val batchNeighbors = appended.count(_._2 % 10 == 0)
+      val bruteBatchNeighbors = brute.count(_._2 % 10 == 0)
+      assert(batchNeighbors >= (bruteBatchNeighbors * 0.7).toInt,
+        s"appended rows under-surfaced at $sf: $batchNeighbors vs brute $bruteBatchNeighbors")
+    }
+  }
+
   test("Similarity: IVF×int8 scores ~nProbe/cells of the corpus") {
     // same probe stage as the float IVF, so the scored-candidate fraction is
     // probed-cell mass over corpus — the composition must still prune, not
