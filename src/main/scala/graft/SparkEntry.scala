@@ -57,6 +57,7 @@ object SparkEntry {
     graft.operators.Mixing.queries ++
     graft.operators.SemDedup.queries ++
     graft.operators.SpanDedup.queries ++
+    graft.operators.Versioning.queries ++
     graft.operators.Clustering.queries ++
     graft.operators.Packing.queries ++
     graft.operators.Curation.queries ++
@@ -84,6 +85,7 @@ object SparkEntry {
     graft.operators.Mixing.oracles ++
     graft.operators.SemDedup.oracles ++
     graft.operators.SpanDedup.oracles ++
+    graft.operators.Versioning.oracles ++
     graft.operators.Clustering.oracles ++
     graft.operators.Packing.oracles ++
     graft.operators.Curation.oracles ++

@@ -301,6 +301,21 @@ object Relational {
           round(element_at(col("ps"), 3), 4).as("p75"))
     }),
 
+    // sketch-based percentiles: the 100 TB shape for a11 — approx_percentile
+    // (Greenwald-Khanna) keeps a bounded summary per partition and merges
+    // summaries, so the shuffle carries sketch bytes, not values. Rows-only
+    // (sketch merge order is engine-internal); rank-accuracy vs the exact
+    // a11 values is spec-pinned in OperatorsSpec.
+    "a11b_approx_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"))
+    }),
+
     // top-k by score — Catalyst plans TakeOrderedAndProject (no full sort).
     "o4_topk" -> ((s, dir) => {
       t(s, dir, "orders")

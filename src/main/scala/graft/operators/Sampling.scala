@@ -65,6 +65,26 @@ object Sampling {
     df.filter(hashBucket(key) < pctCol)
   }
 
+  /** Deterministic "reservoir" of exactly `k` rows per stratum: rank rows
+    * within each stratum by (md5(key), key) — a uniform pseudo-random but
+    * run-stable order — and keep the first k. The balanced-eval-set
+    * builder: every language/source contributes the same row count
+    * regardless of its corpus share (contrast [[stratifiedSample]], which
+    * keeps a per-stratum RATE).
+    *
+    * A true streaming reservoir trades determinism for one pass; this form
+    * pays one window shuffle partitioned by stratum and keeps the
+    * pure-function-of-key contract, which is what a training pipeline
+    * actually wants (re-runs and engines agree on the sample).
+    */
+  def reservoirPerStratum(df: DataFrame, key: Column, stratum: Column,
+                          k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(md5(key.cast("string")), key)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "documents")
 
@@ -83,6 +103,11 @@ object Sampling {
       stratifiedSample(docs(s, dir), col("doc_id"), col("lang"),
         pcts = Map("en" -> 30, "de" -> 60))
         .select(col("doc_id"), col("lang"))),
+
+    // exactly-k-per-stratum deterministic reservoir (balanced eval set)
+    "sample_reservoir" -> ((s, dir) =>
+      reservoirPerStratum(docs(s, dir), col("doc_id"), col("lang"), k = 25)
+        .select(col("doc_id"), col("lang"), col("rk"))),
 
     // split-level integrity summary: sizes + char volume per (split, lang) —
     // what a pipeline reports before training
@@ -106,6 +131,12 @@ object Sampling {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 <
         |  CASE WHEN lang = 'en' THEN 30 WHEN lang = 'de' THEN 60 ELSE 100 END""".stripMargin,
+    "sample_reservoir" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents) WHERE rk <= 25""".stripMargin,
     "sample_split_stats" ->
       """WITH s AS (
         |  SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 80 THEN 'train'

@@ -160,7 +160,42 @@ object EventStreams {
       .select(col("purchase_id"), col("click_id"))
   }
 
+  /** Windowed per-source document-quality monitor — the live gauge a
+    * streaming ingest runs beside [[DocIngest]]: per (hour-window, source),
+    * document count and exact-decimal quality mass (sum of the round4
+    * quality scores — average derives as sum/n downstream; emitting the
+    * decimal SUM keeps the aggregate exact and engine-portable where a
+    * double `avg` would depend on merge order) plus min/max. Same
+    * batch/stream duality as [[hourlyTypeCounts]]: identical code runs on a
+    * batch frame for the oracle and under a watermark on a stream
+    * (StreamingSpec pins stream ≡ batch on the same rows).
+    */
+  def docQualityStats(d: DataFrame): DataFrame =
+    d.groupBy(window(col("ts"), "1 hour").as("w"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.operators.TextAnalysis.qualityScore(col("text"))
+          .cast("decimal(10,4)")).cast("double").as("sum_quality"),
+        min(graft.operators.TextAnalysis.qualityScore(col("text"))).as("min_quality"),
+        max(graft.operators.TextAnalysis.qualityScore(col("text"))).as("max_quality"))
+      .select((unix_timestamp(col("w.start")) / 3600).cast("long").as("hour_idx"),
+        col("source"), col("n_docs"), col("sum_quality"),
+        col("min_quality"), col("max_quality"))
+
+  /** Streaming form: 2-hour watermark bounds window state; late documents
+    * beyond it are dropped (counted upstream by the ingest's sink metrics).
+    */
+  def docQualityMonitor(stream: DataFrame): DataFrame =
+    docQualityStats(stream.withWatermark("ts", "2 hours"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // batch-equivalent of docQualityMonitor; ts derives deterministically
+    // from doc_id (one doc per minute from a fixed epoch) so the window
+    // math is exercised AND oracle-checkable on the static table
+    "stream_quality_monitor" -> ((s, dir) =>
+      docQualityStats(
+        graft.Tables(s, dir, "documents")
+          .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id") * 60)))),
+
     // windowed aggregation (batch-equivalent of the streaming query)
     "stream_hourly_counts" -> ((s, dir) =>
       hourlyTypeCounts(graft.Tables(s, dir, "events"))),
@@ -199,6 +234,20 @@ object EventStreams {
   )
 
   def oracles: Map[String, String] = Map(
+    "stream_quality_monitor" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    (1704067200 + doc_id * 60) // 3600 AS hour_idx,
+        |    ROUND(LEAST(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) *
+        |      (1.0 - 0.5 * (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS DOUBLE)
+        |        / len(string_split_regex(trim(text), '\s+')))), 4) AS q
+        |  FROM documents)
+        |SELECT CAST(hour_idx AS BIGINT) AS hour_idx, source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(q AS DECIMAL(10,4))) AS DOUBLE) AS sum_quality,
+        |  MIN(q) AS min_quality, MAX(q) AS max_quality
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "stream_attrib_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

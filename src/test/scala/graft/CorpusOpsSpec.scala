@@ -330,6 +330,67 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(real.sliding(2).forall(p => p(0) >= p(1)), real.mkString(","))
   }
 
+  // --------------------------------------------- versioning and sampling
+
+  test("Versioning.corpusDiff: added/removed/changed, whitespace-invariant") {
+    import graft.operators.Versioning
+    val v1 = Seq(
+      (1L, "stable content here"),
+      (2L, "will be removed"),
+      (3L, "original text"),
+      (4L, "spaced    out   text")
+    ).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "stable content here"),
+      (3L, "revised text"),
+      (4L, "spaced out text"),   // same normalized fingerprint → unchanged
+      (5L, "brand new doc")
+    ).toDF("doc_id", "text")
+    val out = Versioning.corpusDiff(v1, v2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(2L -> "removed", 3L -> "changed", 5L -> "added"))
+  }
+
+  test("Sampling.reservoirPerStratum: exactly k, deterministic, dense ranks") {
+    import graft.operators.Sampling
+    val d = Tables(spark, sf2, "documents")
+    val out = Sampling.reservoirPerStratum(d, col("doc_id"), col("lang"), k = 25)
+      .select(col("lang"), col("doc_id"), col("rk")).collect()
+    val byLang = out.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length === 25, s"$lang: ${rs.length}")
+      assert(rs.map(_.getLong(2)).sorted.toSeq === (1L to 25L), s"$lang ranks")
+    }
+    // determinism: a re-run over a repartitioned input picks the same rows
+    val again = Sampling.reservoirPerStratum(
+      d.repartition(7), col("doc_id"), col("lang"), k = 25)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(again === out.map(_.getLong(1)).toSet)
+  }
+
+  test("Relational.a11b: sketch percentiles land within rank tolerance of exact") {
+    val exact = SparkEntry.queries("a11_percentiles")(spark, sf2).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val approx = SparkEntry.queries("a11b_approx_percentiles")(spark, sf2).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val li = Tables(spark, sf2, "lineitem").select(col("l_returnflag"),
+      col("l_extendedprice")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    for ((flag, (a25, a50, a75)) <- approx) {
+      assert(a25 <= a50 && a50 <= a75, s"$flag not monotone")
+      for ((v, target) <- Seq((a25, 0.25), (a50, 0.5), (a75, 0.75))) {
+        val xs = li(flag)
+        val frac = xs.count(_ <= v).toDouble / xs.length
+        assert(math.abs(frac - target) <= 0.01,
+          s"$flag p$target: approx value $v sits at rank fraction $frac")
+      }
+      val (e25, e50, e75) = exact(flag)
+      assert(math.abs(a50 - e50) / math.max(e50, 1.0) <= 0.05,
+        s"$flag median drifted: $a50 vs exact $e50")
+      assert(e25 <= e75) // exact sanity anchor so the fixture stays honest
+    }
+  }
+
   test("SemDedup: cells genuinely prune the pairwise work") {
     val e = Dedup.plantEmbeddingNearDups(Tables(spark, sf2, "embeddings"))
       .localCheckpoint()

@@ -92,6 +92,7 @@ class PlanSpec extends AnyFunSuite {
       graft.operators.Decontam.queries, graft.operators.Mixing.queries,
       graft.operators.SemDedup.queries,
       graft.operators.SpanDedup.queries,
+      graft.operators.Versioning.queries,
       graft.streaming.EventStreams.queries,
       graft.models.ComposedPipeline.queries).flatMap(_.keys) :+ "q1_agg"
     assert(allNames.size === allNames.distinct.size,

@@ -318,4 +318,32 @@ class StreamingSpec extends AnyFunSuite {
         s"stream/batch divergence: missing ${want.diff(got)}, extra ${got.diff(want)}")
     } finally q.stop()
   }
+
+  test("doc-quality monitor: stream over MemoryStream equals batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // (doc_id, source, text) documents, one per minute from a fixed epoch
+    val rows = (0L until 240L).map(i =>
+      (i, s"src${i % 3}", s"doc $i with some token payload of id $i"))
+    val withTs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id") * 60))
+    val batch = EventStreams.docQualityStats(
+      withTs(rows.toDF("doc_id", "source", "text"))).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val input = MemoryStream[(Long, String, String)]
+    val mon = EventStreams.docQualityMonitor(
+      withTs(input.toDF().toDF("doc_id", "source", "text")))
+    val q = mon.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("qmon").start()
+    try {
+      rows.grouped(80).foreach { s => input.addData(s.toIndexedSeq); q.processAllAvailable() }
+      val streamed = spark.table("qmon").collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+      assert(streamed === batch)
+      assert(batch.nonEmpty && batch.keys.map(_._1).toSet.size === 4) // 4 hours
+    } finally q.stop()
+  }
 }
