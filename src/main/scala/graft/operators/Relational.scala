@@ -316,6 +316,22 @@ object Relational {
           round(element_at(col("ps"), 3), 4).as("p75"))
     }),
 
+    // fixed-width histogram — the profiling primitive behind every data-
+    // quality dashboard: one hash aggregation on the computed bucket (map-
+    // side combine bounds the shuffle at #buckets per partition). Bucket =
+    // floor(x/width) in DOUBLE deliberately: one IEEE division + floor is
+    // bit-identical everywhere, whereas decimal→int casts round in DuckDB
+    // but truncate in Spark.
+    "a14_histogram" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select((floor(col("l_extendedprice").cast("double") / 10000).cast("long")
+          * 10000).as("bucket_lo"),
+          col("l_extendedprice"))
+        .groupBy(col("bucket_lo"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
     // top-k by score — Catalyst plans TakeOrderedAndProject (no full sort).
     "o4_topk" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -554,6 +570,11 @@ object Relational {
     "a9_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "a14_histogram" ->
+      """SELECT CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 10000) AS BIGINT) * 10000 AS bucket_lo,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "a12_pivot" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,

@@ -391,6 +391,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Packing.reassembleChunks: round trip holds incl. clipped windows") {
+    import graft.operators.Packing
+    val d = Seq(
+      (1L, (1 to 50).map(i => s"t$i").mkString(" ")), // multi-span
+      (2L, "short doc"),                              // single clipped span
+      (3L, (1 to 32).map(i => s"u$i").mkString(" ")), // exactly one width
+      (4L, (1 to 33).map(i => s"v$i").mkString(" "))  // one token past width
+    ).toDF("doc_id", "text")
+    val out = Packing.reassembleChunks(d, width = 32, overlap = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.size === 4 && out.values.forall(identity), out.toString)
+    // and on the real corpus at the battery's parameters
+    val real = Packing.reassembleChunks(
+      Tables(spark, sf2, "documents"), width = 32, overlap = 8).collect()
+    assert(real.length === 500)
+    assert(real.forall(_.getBoolean(1)), "round-trip broke on real docs")
+  }
+
   test("SemDedup: cells genuinely prune the pairwise work") {
     val e = Dedup.plantEmbeddingNearDups(Tables(spark, sf2, "embeddings"))
       .localCheckpoint()
