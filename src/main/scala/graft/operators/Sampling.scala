@@ -85,6 +85,21 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
+  /** Importance (quality-weighted) sampling: each row's keep probability IS
+    * its weight in [0,1] — the soft alternative to a hard quality floor
+    * (a 0.9-quality doc survives 9× as often as a 0.1 one, but nothing is
+    * censored outright). Deterministic like every sampler here: the row's
+    * md5 bucket is compared to `round(weight × buckets)` — `round`, not
+    * `floor`, because the weight is a round4 decimal whose ×10000 image
+    * must map to the same integer in both engines despite double
+    * representation (0.1234 × 10000 = 1233.999…; floor would flip it).
+    */
+  def importanceSample(df: DataFrame, key: Column, weight: Column): DataFrame =
+    df.filter(hashBucket(key, RateBuckets) <
+      round(weight * RateBuckets).cast("long"))
+
+  private val RateBuckets = 10000
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "documents")
 
@@ -103,6 +118,15 @@ object Sampling {
       stratifiedSample(docs(s, dir), col("doc_id"), col("lang"),
         pcts = Map("en" -> 30, "de" -> 60))
         .select(col("doc_id"), col("lang"))),
+
+    // quality-proportional keep (soft curation — row-level membership gated)
+    "sample_importance" -> ((s, dir) => {
+      val d = docs(s, dir)
+      importanceSample(d, col("doc_id"),
+        graft.operators.TextAnalysis.qualityScore(col("text")))
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
 
     // exactly-k-per-stratum deterministic reservoir (balanced eval set)
     "sample_reservoir" -> ((s, dir) =>
@@ -131,6 +155,17 @@ object Sampling {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 <
         |  CASE WHEN lang = 'en' THEN 30 WHEN lang = 'de' THEN 60 ELSE 100 END""".stripMargin,
+    "sample_importance" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    ROUND(LEAST(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) *
+        |      (1.0 - 0.5 * (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS DOUBLE)
+        |        / len(string_split_regex(trim(text), '\s+')))), 4) AS quality
+        |  FROM documents)
+        |SELECT doc_id, quality FROM q
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 <
+        |  CAST(ROUND(quality * 10000) AS BIGINT)""".stripMargin,
     "sample_reservoir" ->
       """SELECT doc_id, lang, rk FROM (
         |  SELECT doc_id, lang,

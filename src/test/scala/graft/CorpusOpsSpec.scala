@@ -391,6 +391,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Sampling.importanceSample: keep rate tracks the weight") {
+    import graft.operators.{Sampling, TextAnalysis}
+    val d = Tables(spark, sf2, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+    val kept = Sampling.importanceSample(
+      Tables(spark, sf2, "documents"), col("doc_id"),
+      TextAnalysis.qualityScore(col("text")))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val all = d.collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val med = all.map(_._2).sorted.apply(all.length / 2)
+    def rate(p: ((Long, Double)) => Boolean) = {
+      val xs = all.filter(p); xs.count(x => kept(x._1)).toDouble / xs.length
+    }
+    val hi = rate(_._2 >= med); val lo = rate(_._2 < med)
+    assert(hi > lo, s"high-quality keep rate $hi not above low-quality $lo")
+    // the keep rate approximates the mean weight (md5 buckets are uniform)
+    val meanQ = all.map(_._2).sum / all.length
+    val overall = kept.size.toDouble / all.length
+    assert(math.abs(overall - meanQ) <= 0.1, s"keep rate $overall vs mean weight $meanQ")
+  }
+
   test("Packing.reassembleChunks: round trip holds incl. clipped windows") {
     import graft.operators.Packing
     val d = Seq(
