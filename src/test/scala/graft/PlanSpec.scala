@@ -178,6 +178,37 @@ class PlanSpec extends AnyFunSuite {
       s"re-rank fell back to a full-corpus shuffle join:\n${plan.take(1200)}")
   }
 
+  test("importance sampling is a pure scan+filter — no shuffle, no join") {
+    val df = q("sample_importance")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"importance sample grew a shuffle:\n${plan.take(1200)}")
+  }
+
+  test("embed outliers broadcast the centroid frame, never shuffle-join it") {
+    val df = q("curate_embed_outliers")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"),
+      s"groups×dims centroid frame shuffled the corpus:\n${plan.take(1200)}")
+  }
+
+  test("span dedup and curation funnel never nested-loop or cartesian") {
+    // the survivor/contamination joins are id-to-id (legitimately shuffled
+    // at scale — AQE broadcasts them at gate scale); what must NEVER appear
+    // is a nested-loop fallback from a missing equi-condition
+    for (name <- Seq("span_dedup", "curate_funnel")) {
+      val df = q(name)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name grew a non-equi join:\n${plan.take(1200)}")
+    }
+  }
+
   test("fact dim fan-out chain does not inherit scan partitioning") {
     // every dim join in buildFact is a broadcast join, so without an
     // explicit repartition the whole many-to-many expansion would run on
