@@ -944,6 +944,44 @@ object Dedup {
   private[graft] def fingerprint64Of(d: DataFrame): DataFrame =
     d.select(col("doc_id"), fingerprint64(col("text")).as("fp64"))
 
+  /** Edit-distance near-duplicate pairs: every a<b pair of documents whose
+    * normalized texts are within `maxDist` Levenshtein edits.
+    *
+    * Blocking is EXACT, from the length lower bound (an edit changes length
+    * by at most 1, so `lev(a,b) ≥ |len(a)−len(b)|`): with length buckets of
+    * width `maxDist+1`, every qualifying pair lands in the same or an
+    * adjacent bucket. The probe side registers under bucket offsets
+    * {−1,0,+1}; the equi-join on the bucket key shuffles-and-hashes instead
+    * of nested-looping the corpus, and each ordered pair meets exactly once
+    * (at the build row's own bucket), so no distinct is needed. Candidates
+    * then pass the cheap |Δlen| ≤ maxDist filter before the banded
+    * three-argument `levenshtein(l, r, max)` — O(maxDist·n) per pair with
+    * early exit, not the full O(n²) DP (the oracle recomputes the unbanded
+    * distance, equal whenever ≤ maxDist). At web scale the length buckets
+    * over a fixed length range make the bucket key low-cardinality and
+    * skewed; the production form salts the bucket key with a content prefix
+    * class exactly like [[ngramJaccardPairsBlocked]]'s Afrati–Ullman split
+    * — documented, not needed at gate scale.
+    */
+  def editDistancePairs(d: DataFrame, maxDist: Int = 16): DataFrame = {
+    val w = maxDist + 1
+    val base = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.normalizedText(col("text")).as("norm"))
+      .withColumn("len", length(col("norm")))
+      .withColumn("b", floor(col("len") / w))
+    val build = base.select(col("doc_id").as("id_a"), col("norm").as("na"),
+      col("len").as("la"), col("b").as("ba"))
+    val probe = base.select(col("doc_id").as("id_b"), col("norm").as("nb"),
+        col("len").as("lb"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bb"))
+    build.join(probe,
+        col("ba") === col("bb") && col("id_a") < col("id_b") &&
+          abs(col("la") - col("lb")) <= maxDist &&
+          levenshtein(col("na"), col("nb"), maxDist) =!= -1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("na"), col("nb"), maxDist).cast("long").as("dist"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: duplicate-content groups with the survivor id
@@ -974,6 +1012,11 @@ object Dedup {
     // (no collect, bounded task memory) above it
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairsAdaptive(docs(s, dir), threshold = 0.8)),
+
+    // edit-distance near-dup pairs (exact length-bucket blocking + banded
+    // levenshtein; oracle recomputes the unbanded distance over a<b pairs)
+    "dedup_edit_distance" -> ((s, dir) =>
+      editDistancePairs(docs(s, dir), maxDist = 16)),
 
     // MinHash+LSH near-dup pairs — the 100 TB path (no oracle: depends on
     // xxhash64; the rows are verified true-Jaccard ≥ 0.8 pairs)
@@ -1056,6 +1099,16 @@ object Dedup {
     "dedup_exact_survivors" ->
       """SELECT MIN(doc_id) AS doc_id FROM documents
         |GROUP BY MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g')))""".stripMargin,
+    "dedup_edit_distance" ->
+      """WITH n AS (
+        |  SELECT doc_id, LOWER(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS dist
+        |FROM n a JOIN n b
+        |  ON a.doc_id < b.doc_id
+        | AND ABS(LENGTH(a.norm) - LENGTH(b.norm)) <= 16
+        | AND levenshtein(a.norm, b.norm) <= 16""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH sh AS (SELECT doc_id,
         |  list_distinct(list_transform(range(1, length(text) - 1), i -> text[i:i+2])) AS g

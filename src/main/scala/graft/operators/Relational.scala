@@ -139,6 +139,23 @@ object Relational {
         .select(col("c_custkey"))
     }),
 
+    // full-outer join — year-over-year customer churn: both sides carry
+    // unmatched rows (lost vs newly-acquired customers), the case semi/anti
+    // can't express. Aggregate-before-join keeps the shuffled sides at
+    // |active customers|, not |orders|, and the join key is the same
+    // custkey both aggregations just partitioned by, so AQE can reuse the
+    // exchange; coalesce() recovers the single key column.
+    "j11_full_outer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val y94 = o.filter(year(col("o_orderdate")) === 1994)
+        .groupBy(col("o_custkey").as("k94")).agg(count(lit(1)).as("n_1994"))
+      val y95 = o.filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_custkey").as("k95")).agg(count(lit(1)).as("n_1995"))
+      y94.join(y95, col("k94") === col("k95"), "full_outer")
+        .select(coalesce(col("k94"), col("k95")).as("custkey"),
+          col("n_1994"), col("n_1995"))
+    }),
+
     // A2: DISTINCT — hash agg on all columns.
     "a2_distinct" -> ((s, dir) => {
       t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderpriority")).distinct()
@@ -271,6 +288,19 @@ object Relational {
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // explicit GROUPING SETS — the general form rollup/cube specialize:
+    // per-status totals, per-priority totals, and the grand total in one
+    // Expand+hash-agg pass (one scan, one shuffle — not a UNION of three
+    // aggregations, which would scan three times).
+    "a15_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
     // exact distinct count (the approx variant is a separate rows-only query).
@@ -567,6 +597,18 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "j11_full_outer" ->
+      """WITH y94 AS (SELECT o_custkey AS k, COUNT(*) AS n_1994 FROM orders
+        |            WHERE EXTRACT(YEAR FROM o_orderdate) = 1994 GROUP BY 1),
+        |     y95 AS (SELECT o_custkey AS k, COUNT(*) AS n_1995 FROM orders
+        |            WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1)
+        |SELECT COALESCE(y94.k, y95.k) AS custkey, n_1994, n_1995
+        |FROM y94 FULL OUTER JOIN y95 ON y94.k = y95.k""".stripMargin,
+    "a15_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "a9_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,

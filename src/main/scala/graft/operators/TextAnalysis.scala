@@ -208,6 +208,74 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus' own top-`v`
+    * vocabulary — the tokenizer-coverage signal a training pipeline checks
+    * before committing to a vocab size (a high OOV tail means the tokenizer
+    * will shatter those documents into bytes/unk).
+    *
+    * Vocabulary selection is sort+limit — TakeOrderedAndProject (per-
+    * partition top-v, v rows to the driver), never a global sort — with the
+    * total (count desc, token asc) tie-break so the v-th boundary is
+    * deterministic and the entry oracle-gateable. The vocab (≤ v rows) is
+    * explicitly broadcast back; the per-doc re-aggregation is a map-side-
+    * combined hash agg on doc_id. One explode, one broadcast join, two hash
+    * aggs — no corpus shuffle beyond the token count itself.
+    */
+  def oovRate(d: DataFrame, v: Int = 100): DataFrame = {
+    val toks = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(v)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 4).as("oov_rate"))
+  }
+
+  /** Word-bigram language-model quality score — the CCNet-style "perplexity
+    * under a corpus LM" filter, self-trained: count bigrams and their
+    * first-word contexts over the corpus, smooth add-one over the unigram
+    * vocabulary, and score each document by its mean bigram log-probability
+    * `ln((C(w1,w2)+1)/(C(w1,·)+V))`. Fluent/repetitive text scores high
+    * (toward 0), token soup scores low — rank by `lm_score` and drop the
+    * tail.
+    *
+    * Shapes: bigrams come from the pinned zip-over-shifted-slices build
+    * (never an index-loop HOF), exploded once; model counts are two hash
+    * aggregations with map-side combine (bounded by the bigram/unigram
+    * vocabulary, not the corpus); scoring joins the exploded stream to the
+    * model on (w1,w2) then w1 — unhinted equi-joins, so AQE broadcasts the
+    * model while it fits and shuffle-joins when a 100 TB vocabulary
+    * doesn't — and the per-doc mean is a final hash agg on doc_id. V (a
+    * scalar) is the one driver-side value, same as [[tfidfTopTerms]]'s
+    * doc count.
+    */
+  def bigramLmScore(d: DataFrame): DataFrame = {
+    val base = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val nm1 = size(col("toks")) - 1
+    val big = base.select(col("doc_id"),
+        explode(zip_with(slice(col("toks"), lit(1), nm1),
+          slice(col("toks"), lit(2), nm1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val v = base.select(explode(col("toks")).as("tok")).agg(
+      countDistinct(col("tok"))).head().getLong(0)
+    val cb = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = big.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    big.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .withColumn("lp",
+        log((col("cb") + 1).cast("double") / (col("cu") + lit(v)).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("lm_score"))
+  }
+
   /** Encoding/mojibake signals: the share of characters that are non-ASCII,
     * the Unicode replacement character U+FFFD (the definitive transcoding-
     * damage marker), digits, and uppercase letters. Pure per-row column
@@ -285,6 +353,13 @@ object TextAnalysis {
 
     // one BPE vocab-induction round: corpus-wide top merge candidates
     "text_bigram_merges" -> ((s, dir) => bigramMerges(docs(s, dir), k = 20)),
+
+    // tokenizer-coverage: per-doc OOV rate vs the corpus top-100 vocab
+    "text_oov_rate" -> ((s, dir) => oovRate(docs(s, dir), v = 100)),
+
+    // CCNet-style LM quality score: mean bigram log-prob under the
+    // corpus' own add-one-smoothed bigram model
+    "text_bigram_lm_score" -> ((s, dir) => bigramLmScore(docs(s, dir))),
 
     // encoding damage / character-class signals with an English-corpus gate
     "text_encoding_signal" -> ((s, dir) =>
@@ -366,6 +441,41 @@ object TextAnalysis {
         |  FROM t WHERE len(toks) >= 2)
         |SELECT pair, COUNT(*) AS n FROM pairs
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "text_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE tok <> ''),
+        |vocab AS (
+        |  SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+        |  ORDER BY cnt DESC, tok LIMIT 100)
+        |SELECT toks.doc_id, COUNT(*) AS n_tokens,
+        |  COUNT(*) FILTER (WHERE vocab.tok IS NULL) AS n_oov,
+        |  ROUND(CAST(COUNT(*) FILTER (WHERE vocab.tok IS NULL) AS DOUBLE) / COUNT(*), 4) AS oov_rate
+        |FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok
+        |GROUP BY toks.doc_id""".stripMargin,
+    "text_bigram_lm_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |  WHERE text IS NOT NULL
+        |    AND len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+        |  FROM base),
+        |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2),
+        |cu AS (SELECT w1, COUNT(*) AS cu FROM big GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        |  (SELECT unnest(toks) AS tok FROM base))
+        |SELECT big.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(LN(CAST(cb.cb + 1 AS DOUBLE) / CAST(cu.cu + v.v AS DOUBLE))), 4) AS lm_score
+        |FROM big JOIN cb ON big.w1 = cb.w1 AND big.w2 = cb.w2
+        |     JOIN cu ON big.w1 = cu.w1
+        |     CROSS JOIN v
+        |GROUP BY big.doc_id""".stripMargin,
     "text_encoding_signal" ->
       """WITH t AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
         |r AS (SELECT doc_id,
