@@ -550,4 +550,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c(0) === Seq(2.0, 4.0))
     assert(c(1) === Seq(10.0, 20.0))
   }
+
+  test("Dedup: edit-distance pairs find exact and near dups, equi-join plan") {
+    val pairs = Dedup.editDistancePairs(docs, maxDist = 16)
+    val got = pairs.as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // exact dup → distance 0; the dog→cat single-token swap → 3 edits; the
+    // transitive (1,3) pair is the same 3 edits
+    assert(got((0L, 3L)) === 0L)
+    assert(got((0L, 1L)) === 3L)
+    assert(got((1L, 3L)) === 3L)
+    assert(got.size === 3, s"unexpected pairs: ${got.keySet}")
+    // blocking is an equi-join on the length bucket — never a nested loop
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"edit-distance blocking degenerated to a nested loop:\n$plan")
+  }
+
+  test("Dedup: edit-distance blocking catches adjacent-bucket pairs " +
+    "regardless of id order") {
+    // maxDist=2 → bucket width 3. len 8 → bucket 2, len 9 → bucket 3: the
+    // pair straddles a boundary, and the LONGER string carries the SMALLER
+    // id, exercising the orientation the ±1 probe expansion must cover.
+    val d = Seq((0L, "xxxxxxxxx"), (1L, "xxxxxxxx"), (2L, "yyyyyyyyyyyyyyyyyyyy"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(d, maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L, 1L)))
+  }
+
+  test("TextAnalysis: OOV rate against the corpus top-V vocabulary") {
+    // top-2 by (count desc, token asc): "the" (6), then "brown" (3, first
+    // alphabetically among the 3-count tie) → vocab = {the, brown}
+    val r = TextAnalysis.oovRate(docs, v = 2)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_rate"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r(2L) === ((6L, 6L, 1.0))) // no vocab token at all
+    assert(r(0L) === ((9L, 6L, 0.6667))) // the×2 + brown in vocab
+    assert(r(4L) === ((10L, 10L, 1.0)))
+  }
+
+  test("TextAnalysis: bigram LM scores repetitive text above token soup") {
+    val d = Seq(
+      (0L, "a b a b a b a b"), // high-count bigrams under the corpus model
+      (1L, "c d e f g h"), // every bigram unique
+      (2L, "k") // under 2 tokens: excluded
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScore(d)
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(0L)._1 === 7L)
+    assert(r(1L)._1 === 5L)
+    assert(!r.contains(2L))
+    // mean log-prob: repeated bigrams → closer to 0 than all-singletons
+    assert(r(0L)._2 > r(1L)._2,
+      s"repetitive doc should outscore token soup: $r")
+  }
 }
