@@ -61,6 +61,7 @@ object SparkEntry {
     graft.operators.Clustering.queries ++
     graft.operators.Packing.queries ++
     graft.operators.Curation.queries ++
+    graft.operators.QualityClassifier.queries ++
     graft.streaming.EventStreams.queries ++
     graft.models.ComposedPipeline.queries
 
@@ -89,6 +90,7 @@ object SparkEntry {
     graft.operators.Clustering.oracles ++
     graft.operators.Packing.oracles ++
     graft.operators.Curation.oracles ++
+    graft.operators.QualityClassifier.oracles ++
     graft.streaming.EventStreams.oracles ++
     graft.models.ComposedPipeline.oracles
 }

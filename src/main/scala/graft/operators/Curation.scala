@@ -102,6 +102,92 @@ object Curation {
       .withColumn("outlier", col("cos_centroid") < minCos)
   }
 
+  /** Required-stopword list for the Gopher rule battery (the subset of
+    * [[TextAnalysis.EnglishStopwords]] Gopher itself checks; the synthetic
+    * vocabulary contains 'the' and 'a', so the ≥2-hits rule has genuine
+    * per-document signal — 317/500 docs at sf0.01 carry both).
+    */
+  val RequiredStopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
+
+  /** 30 numeric tokens for the gopher-battery alpha-fraction plant — enough
+    * that even a 99-token doc drops below the 0.8 alphabetic floor.
+    */
+  val GopherNumericJunk: String =
+    "101 202 303 404 505 606 707 808 909 111 222 333 444 555 666 " +
+      "777 888 999 121 232 343 454 565 676 787 898 919 212 323 434"
+
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, table A1) — the
+    * standard pre-filter a training-data pipeline runs BEFORE any model
+    * scoring: per-document word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, alphabetic-word fraction, and a required-
+    * stopword count, plus the conjunctive `pass` flag.
+    *
+    * Scale shape: pure per-row column math over one scan — tokenize once,
+    * every rule reads the same token array inside whole-stage codegen; no
+    * shuffle, no UDF, no state. Ratios are rounded (shared round4 contract)
+    * BEFORE comparison so the flags are engine-portable.
+    */
+  def gopherRules(d: DataFrame,
+                  minWords: Long = 50, maxWords: Long = 100000L,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+                  minStopHits: Int = 2): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val nWords = size(toks).cast("long")
+    // chars-sans-whitespace / words == mean token length, without a
+    // per-token HOF pass (and with no lambda touching outer columns)
+    val meanLen = round(
+      length(regexp_replace(col("text"), "\\s", "")).cast("double") / nWords, 4)
+    val symRatio = round(
+      (regexp_count(col("text"), lit("#")) +
+        regexp_count(col("text"), lit("\\.\\.\\."))).cast("double") / nWords, 4)
+    val alphaRatio = round(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nWords, 4)
+    val stopHits = RequiredStopwords
+      .map(w => array_contains(toks, w).cast("int")).reduce(_ + _).cast("long")
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), alphaRatio.as("alpha_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("pass",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("symbol_ratio") < maxSymbolRatio &&
+          col("alpha_ratio") >= minAlphaRatio &&
+          col("stop_hits") >= minStopHits)
+  }
+
+  /** Per-source reputation report — the C4/RefinedWeb "domain" filter shape:
+    * for each source, document count, distinct-content count, duplication
+    * rate, and mean quality, with a blocklist flag for sources that are
+    * mostly boilerplate or low quality. At 100 TB this is THE cheap lever —
+    * dropping a bad domain removes millions of documents for the cost of
+    * one metadata-sized aggregate.
+    *
+    * Scale shape: one hash aggregation keyed by source (the shuffle carries
+    * (source, fingerprint, quality-decimal) after map-side partial combine
+    * of the count/sum; count-distinct expands to the (source, fp) pre-agg
+    * Catalyst plans automatically) — output is one row per source. Quality
+    * sums in DECIMAL so the mean is order-independent and engine-portable.
+    */
+  def sourceStats(d: DataFrame, maxDupRate: Double = 0.2,
+                  minAvgQuality: Double = 0.3): DataFrame = {
+    d.filter(col("text").isNotNull)
+      .select(col("source"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.qualityScore(col("text")).cast("decimal(14,4)").as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        sum(col("q")).as("qsum"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4)
+          .as("dup_rate"),
+        round(col("qsum").cast("double") / col("n_docs"), 4).as("avg_quality"))
+      .withColumn("flagged",
+        col("dup_rate") > maxDupRate || col("avg_quality") < minAvgQuality)
+  }
+
   /** The curation FUNNEL — the composed report a production pipeline emits:
     * how many documents survive each gate, in gate order (raw → encoding →
     * exact-dedup → quality floor → benchmark decontamination). The count
@@ -179,6 +265,37 @@ object Curation {
 
     "curate_embed_outliers" -> ((s, dir) =>
       embedOutliers(graft.Tables(s, dir, "embeddings"))),
+
+    // Gopher rule gate with deterministic planted damage (the curate_redact
+    // convention — both engines derive identical damage from doc_id) so
+    // every rule fires on real rows: %17==1 gains symbol runs, %17==2 gains
+    // 30 numeric tokens (alpha-fraction fail), %17==3 gains one 800-char
+    // token (mean-word-length fail); word-count and stopword rules have
+    // natural signal (10–99-token docs; 'the'/'a' presence varies)
+    "curate_gopher_rules" -> ((s, dir) => {
+      val d = graft.Tables(s, dir, "documents")
+      val planted = d.withColumn("text",
+        when(col("doc_id") % 17 === 1,
+          concat(col("text"), lit(" ### #### ## ... ... ... ##")))
+          .when(col("doc_id") % 17 === 2,
+            concat(col("text"), lit(" " + GopherNumericJunk)))
+          .when(col("doc_id") % 17 === 3,
+            concat(col("text"), lit(" " + "x" * 800)))
+          .otherwise(col("text")))
+      gopherRules(planted)
+    }),
+
+    // per-source reputation with three planted boilerplate-heavy sources
+    // (src3/src7/src11: two thirds of their docs collapse to one shared
+    // banner) — those sources must flag, the others must not
+    "curate_source_stats" -> ((s, dir) => {
+      val d = graft.Tables(s, dir, "documents")
+      val planted = d.withColumn("text",
+        when(col("source").isin("src3", "src7", "src11") &&
+          col("doc_id") % 3 =!= 0, lit("shared boilerplate banner text"))
+          .otherwise(col("text")))
+      sourceStats(planted)
+    }),
 
     // PII scrub over the corpus with deterministic planted PII (every 10th
     // doc gains an email + ip + ssn + phone suffix, derived from doc_id in
@@ -313,6 +430,61 @@ object Curation {
         |       ELSE 'test' END AS split
         |FROM q
         |WHERE quality >= 0.5 AND lang_guess = 'en'""".stripMargin,
+    "curate_gopher_rules" ->
+      ("""WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 1 THEN text || ' ### #### ## ... ... ... ##'
+        |         WHEN doc_id % 17 = 2 THEN text || ' """ + GopherNumericJunk +
+        """'
+        |         WHEN doc_id % 17 = 3 THEN text || ' ' || repeat('x', 800)
+        |         ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |    ROUND(CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')), 4) AS mean_word_len,
+        |    ROUND(CAST(len(regexp_extract_all(text, '#')) +
+        |               len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')), 4) AS symbol_ratio,
+        |    ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')), 4) AS alpha_ratio,
+        |    CAST(CAST(list_contains(string_split_regex(trim(text), '\s+'), 'the') AS INT)
+        |       + CAST(list_contains(string_split_regex(trim(text), '\s+'), 'a') AS INT)
+        |       + CAST(list_contains(string_split_regex(trim(text), '\s+'), 'and') AS INT)
+        |       + CAST(list_contains(string_split_regex(trim(text), '\s+'), 'of') AS INT)
+        |       + CAST(list_contains(string_split_regex(trim(text), '\s+'), 'to') AS INT)
+        |      AS BIGINT) AS stop_hits
+        |  FROM planted)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+        |   AND symbol_ratio < 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS pass
+        |FROM r""").stripMargin,
+    "curate_source_stats" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source IN ('src3','src7','src11') AND doc_id % 3 <> 0
+        |         THEN 'shared boilerplate banner text' ELSE text END AS text
+        |  FROM documents),
+        |base AS (
+        |  SELECT source,
+        |    MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |    CAST(ROUND(LEAST(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) *
+        |      (1.0 - 0.5 * (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS DOUBLE)
+        |        / len(string_split_regex(trim(text), '\s+')))), 4) AS DECIMAL(14,4)) AS q
+        |  FROM planted WHERE text IS NOT NULL),
+        |agg AS (
+        |  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
+        |    SUM(q) AS qsum
+        |  FROM base GROUP BY source)
+        |SELECT source, n_docs, n_unique,
+        |  ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 4) AS dup_rate,
+        |  ROUND(CAST(qsum AS DOUBLE) / n_docs, 4) AS avg_quality,
+        |  (ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 4) > 0.2 OR
+        |   ROUND(CAST(qsum AS DOUBLE) / n_docs, 4) < 0.3) AS flagged
+        |FROM agg""".stripMargin,
     "curate_redact" ->
       """WITH planted AS (
         |  SELECT doc_id,

@@ -443,4 +443,102 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(scored / full <= 0.5,
       s"within-cell pair fraction ${scored / full} — clustering isn't pruning")
   }
+
+  // ------------------------------------------------- quality classifier
+
+  // ------------------------------------------------- gopher rules / sources
+
+  test("Curation.gopherRules: hand-computed rule flags") {
+    import graft.operators.Curation
+    val d = Seq(
+      // 50 alpha words incl 'the a' → every rule passes
+      (1L, ("the a " + Seq.fill(48)("word").mkString(" "))),
+      // 10 words only → word-count fail, others pass
+      (2L, "the a word word word word word word word word"),
+      // symbol-heavy: '#'×14 + '...'×3 over 57 words → symbol fail
+      (3L, ("the a " + Seq.fill(48)("word").mkString(" ") +
+        " ### #### ## ... ... ... ##")),
+      // numeric flood → alpha fail
+      (4L, ("the a " + Seq.fill(48)("word").mkString(" ") + " " +
+        Seq.fill(30)("123").mkString(" "))),
+      // one 800-char token → mean-word-length fail
+      (5L, ("the a " + Seq.fill(48)("word").mkString(" ") + " " + "x" * 800)),
+      // no required stopwords → stop-hits fail
+      (6L, Seq.fill(50)("word").mkString(" ")),
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Curation.gopherRules(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.size === 6, "null text filtered")
+    assert(r(1L).getBoolean(6), "doc 1 passes all rules")
+    assert(!r(2L).getBoolean(6) && r(2L).getLong(1) === 10L)
+    assert(!r(3L).getBoolean(6) &&
+      r(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!r(4L).getBoolean(6) &&
+      r(4L).getAs[Double]("alpha_ratio") < 0.8)
+    assert(!r(5L).getBoolean(6) &&
+      r(5L).getAs[Double]("mean_word_len") > 10.0)
+    assert(!r(6L).getBoolean(6) && r(6L).getLong(5) === 0L)
+    // doc 1's exact metrics: 50 words, all alpha, no symbols, 2 stop hits
+    assert(r(1L).getLong(1) === 50L && r(1L).getAs[Double]("alpha_ratio") === 1.0
+      && r(1L).getAs[Double]("symbol_ratio") === 0.0 && r(1L).getLong(5) === 2L)
+  }
+
+  test("Curation.gopherRules: battery plant fires every rule at sf0.01") {
+    val r = graft.SparkEntry.queries("curate_gopher_rules")(spark, sf2)
+    val agg = r.agg(
+      sum(when(col("symbol_ratio") >= 0.1, 1L).otherwise(0L)),
+      sum(when(col("alpha_ratio") < 0.8, 1L).otherwise(0L)),
+      sum(when(col("mean_word_len") > 10.0, 1L).otherwise(0L)),
+      sum(when(!col("pass"), 1L).otherwise(0L)),
+      sum(when(col("pass"), 1L).otherwise(0L))).head()
+    assert((0 to 4).forall(i => agg.getLong(i) > 0L),
+      s"every rule class populated: $agg")
+  }
+
+  test("Curation.sourceStats: planted boilerplate sources flag, others don't") {
+    val r = graft.SparkEntry.queries("curate_source_stats")(spark, sf2)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val planted = Set("src3", "src7", "src11")
+    planted.foreach { s =>
+      assert(r(s).getAs[Boolean]("flagged"), s"$s must flag")
+      assert(r(s).getAs[Double]("dup_rate") > 0.2, s"$s dup rate")
+    }
+    (r.keySet -- planted).foreach { s =>
+      assert(!r(s).getAs[Boolean]("flagged"), s"$s must not flag")
+      assert(r(s).getAs[Double]("dup_rate") === 0.0, s"$s has no dups")
+    }
+    // counts are conserved: every doc lands in exactly one source row
+    assert(r.values.map(_.getAs[Long]("n_docs")).sum === 500L)
+  }
+
+  test("QualityClassifier: learns a planted two-register corpus") {
+    import graft.operators.QualityClassifier
+    // two disjoint vocabularies, deterministic round-robin text (no RNG)
+    val ref = Seq("clause", "therefore", "moreover", "concise", "verified")
+    val crawl = Seq("zzz", "clickety", "spam", "w00t", "blarg")
+    val mk = (vocab: Seq[String], id: Long) =>
+      (0 until 12).map(i => vocab(((id + i) % vocab.size).toInt)).mkString(" ")
+    val d = (0L until 600L).map { id =>
+      if (id % 2 == 0) (id, mk(ref, id), 1) else (id, mk(crawl, id), 0)
+    }.toDF("doc_id", "text", "is_ref")
+    val scored = QualityClassifier.trainScore(d, col("is_ref") === 1)
+    val acc = QualityClassifier.heldOutAccuracy(scored)
+    assert(acc >= 0.95, s"held-out accuracy $acc on separable registers")
+    // scores are probabilities and ref rows rank above crawl on average
+    val m = scored.groupBy(col("label")).agg(avg(col("p_ref")).as("p")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(m(1.0) > 0.9 && m(0.0) < 0.1, s"mean p_ref by class: $m")
+  }
+
+  test("QualityClassifier: held-out accuracy on a text-derived register") {
+    import graft.operators.QualityClassifier
+    // the synthetic corpus shares one vocabulary across lang/source, so the
+    // only learnable labels are text-derived; "mentions customer" is
+    // perfectly expressible in hashed-TF space and must separate cleanly
+    val scored = QualityClassifier.trainScore(
+      graft.Tables(spark, sf2, "documents"), col("text").contains("customer"))
+    val acc = QualityClassifier.heldOutAccuracy(scored)
+    assert(acc >= 0.9, s"held-out accuracy $acc on contains(customer) at sf0.01")
+  }
 }
