@@ -188,6 +188,29 @@ object Curation {
         col("dup_rate") > maxDupRate || col("avg_quality") < minAvgQuality)
   }
 
+  /** Cross-source duplicate attribution — for every pair of sources, how
+    * many distinct contents they BOTH carry (mirror sites, syndicated
+    * boilerplate, scraped re-posts). This is the lineage report behind a
+    * dedup policy: it tells you which sources to drop wholesale vs dedup
+    * row-by-row, before any row-level work runs.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (fingerprint, source) —
+    * one hash-agg shuffle of 16-byte digests; the self-join then matches
+    * within fingerprint groups whose size is bounded by the NUMBER OF
+    * SOURCES (a content can appear in at most every source once after the
+    * distinct), so the pair blow-up is sources²·contents, never docs².
+    * Output is one row per sharing source pair.
+    */
+  def crossSourceDups(d: DataFrame): DataFrame = {
+    val fs = d.filter(col("text").isNotNull)
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"), col("source"))
+      .distinct()
+    fs.alias("a").join(fs.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** The curation FUNNEL — the composed report a production pipeline emits:
     * how many documents survive each gate, in gate order (raw → encoding →
     * exact-dedup → quality floor → benchmark decontamination). The count
@@ -295,6 +318,18 @@ object Curation {
           col("doc_id") % 3 =!= 0, lit("shared boilerplate banner text"))
           .otherwise(col("text")))
       sourceStats(planted)
+    }),
+
+    // cross-source shared-content report with two planted syndicated
+    // banners (%23==2 and %23==7 docs collapse to one of two constant
+    // texts, wherever they live) — the sources carrying them must pair up
+    "dedup_cross_source" -> ((s, dir) => {
+      val d = graft.Tables(s, dir, "documents")
+      val planted = d.withColumn("text",
+        when(col("doc_id") % 23 === 2, lit("syndicated banner alpha"))
+          .when(col("doc_id") % 23 === 7, lit("syndicated banner beta"))
+          .otherwise(col("text")))
+      crossSourceDups(planted)
     }),
 
     // PII scrub over the corpus with deterministic planted PII (every 10th
@@ -485,6 +520,21 @@ object Curation {
         |  (ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 4) > 0.2 OR
         |   ROUND(CAST(qsum AS DOUBLE) / n_docs, 4) < 0.3) AS flagged
         |FROM agg""".stripMargin,
+    "dedup_cross_source" ->
+      """WITH planted AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 23 = 2 THEN 'syndicated banner alpha'
+        |         WHEN doc_id % 23 = 7 THEN 'syndicated banner beta'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |fs AS (
+        |  SELECT DISTINCT
+        |    MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |    source
+        |  FROM planted WHERE text IS NOT NULL)
+        |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        |FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY a.source, b.source""".stripMargin,
     "curate_redact" ->
       """WITH planted AS (
         |  SELECT doc_id,

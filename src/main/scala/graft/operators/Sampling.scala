@@ -100,6 +100,75 @@ object Sampling {
 
   private val RateBuckets = 10000
 
+  /** Hashed-bigram feature buckets for [[dsirScores]] — each document's
+    * bigrams mapped to `buckets` hash features (the hashing trick: fixed
+    * dimensionality, no vocabulary build).
+    */
+  def bigramBuckets(textCol: Column, buckets: Int): Column = {
+    val toks = graft.operators.TextAnalysis.tokens(lower(textCol))
+    val len = greatest(size(toks) - 1, lit(0))
+    val bgs = zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
+      (a, b) => concat_ws(" ", a, b))
+    transform(bgs, b => pmod(xxhash64(b), lit(buckets)).cast("int"))
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * pick raw-corpus documents whose hashed-bigram profile resembles a
+    * target corpus. Two add-1-smoothed bag-of-features models are estimated
+    * (target vs raw); each document scores
+    * `log w = Σ_bigram [log p_tgt(b) − log p_raw(b)]`.
+    *
+    * Scale shape: count estimation explodes bigrams but shuffles only
+    * (bucket, partial-count) pairs after map-side combine — bounded by
+    * `buckets`, not the corpus; the two model vectors (≤ `buckets` doubles)
+    * collect to the driver (size-bounded by construction, like the IVF
+    * centroid sync) and re-enter the plan as ONE literal array, so scoring
+    * is a single shuffle-free codegen'd pass — the aggregate() lambda only
+    * touches its arguments and a constant literal, so nothing re-evaluates
+    * per element. No corpus-sized shuffle, join, or UDF anywhere.
+    */
+  def dsirScores(d: DataFrame, isTarget: Column,
+                 buckets: Int = 4096): DataFrame = {
+    val base = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), isTarget.as("is_tgt"),
+        bigramBuckets(col("text"), buckets).as("bs"))
+    val counts = base.select(col("is_tgt"), explode(col("bs")).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("cr"))
+      .collect()
+    val ct = new Array[Long](buckets)
+    val cr = new Array[Long](buckets)
+    counts.foreach { r =>
+      ct(r.getInt(0)) = r.getLong(1); cr(r.getInt(0)) = r.getLong(2)
+    }
+    val totT = ct.sum.toDouble + buckets
+    val totR = cr.sum.toDouble + buckets
+    val logRatio: Seq[Double] = (0 until buckets).map(i =>
+      math.log((ct(i) + 1) / totT) - math.log((cr(i) + 1) / totR))
+    val lr = typedLit(logRatio)
+    base.select(col("doc_id"), col("is_tgt"),
+      round(aggregate(col("bs"), lit(0.0),
+        (acc, b) => acc + element_at(lr, b + 1)), 4).as("log_w"))
+  }
+
+  /** Gumbel top-k resampling over [[dsirScores]] output: keep the k raw
+    * (non-target) documents with the largest `log w + Gumbel noise` — a
+    * without-replacement sample ∝ w, with the noise derived from the row's
+    * md5 bucket so the draw is a pure function of the data (the
+    * deterministic-sampling contract every sampler here keeps). One
+    * TakeOrderedAndProject; no full sort.
+    */
+  def dsirSelect(scored: DataFrame, k: Int): DataFrame = {
+    val u = (hashBucket(col("doc_id"), RateBuckets).cast("double") + lit(0.5)) /
+      RateBuckets
+    scored.filter(!col("is_tgt"))
+      .withColumn("gumbel", round(col("log_w") - log(-log(u)), 4))
+      .orderBy(col("gumbel").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("log_w"), col("gumbel"))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "documents")
 
@@ -132,6 +201,17 @@ object Sampling {
     "sample_reservoir" -> ((s, dir) =>
       reservoirPerStratum(docs(s, dir), col("doc_id"), col("lang"), k = 25)
         .select(col("doc_id"), col("lang"), col("rk"))),
+
+    // DSIR selection: the 'customer'-mentioning register is the target
+    // corpus; the 50 raw documents most resembling it under the hashed-
+    // bigram importance weights are selected. Rows-only (the model
+    // estimation is iterative-free but driver-mediated, not one SQL
+    // expression); ranking/selection behavior is spec-pinned on a planted
+    // two-register corpus
+    "sample_dsir" -> ((s, dir) => {
+      val scored = dsirScores(docs(s, dir), col("text").contains("customer"))
+      dsirSelect(scored, k = 50)
+    }),
 
     // split-level integrity summary: sizes + char volume per (split, lang) —
     // what a pipeline reports before training

@@ -201,6 +201,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     val sel = Mixing.selectByTokenBudget(d, 8000L)
     val selPlan = sel.queryExecution.executedPlan.toString
     assert(selPlan.contains("BroadcastHashJoin"), selPlan.take(2000))
+    // DSIR scoring is one shuffle-free pass (model vector is a plan
+    // literal — no join), and selection is top-k, never a full sort
+    val dsirSel = graft.operators.Sampling.dsirSelect(
+      graft.operators.Sampling.dsirScores(d, col("text").contains("customer")),
+      k = 50)
+    val dsirPlan = dsirSel.queryExecution.executedPlan.toString
+    assert(dsirPlan.contains("TakeOrderedAndProject"), dsirPlan.take(2000))
+    assert(!dsirPlan.contains("Exchange"),
+      "DSIR scoring+selection must not shuffle: " + dsirPlan.take(2000))
+    assert(!dsirPlan.contains("Join"), dsirPlan.take(2000))
   }
 
   // ------------------------------------------------------------ span dedup
@@ -510,6 +520,60 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
     // counts are conserved: every doc lands in exactly one source row
     assert(r.values.map(_.getAs[Long]("n_docs")).sum === 500L)
+  }
+
+  test("Curation.crossSourceDups: shared contents pair sources, hand case") {
+    import graft.operators.Curation
+    val d = Seq(
+      (1L, "x", "s1"), (2L, "x", "s2"), (3L, "x", "s3"), // x in 3 sources
+      (4L, "y", "s1"), (5L, "y", "s2"),                  // y in 2
+      (6L, "y", "s1"),                                   // within-source dup collapses
+      (7L, "z", "s3"),                                   // unique content
+      (8L, null.asInstanceOf[String], "s1"),
+      (9L, null.asInstanceOf[String], "s2"))             // nulls ignored
+      .toDF("doc_id", "text", "source")
+    val r = Curation.crossSourceDups(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r === Map(("s1", "s2") -> 2L, ("s1", "s3") -> 1L, ("s2", "s3") -> 1L))
+  }
+
+  // ------------------------------------------------------------------ dsir
+
+  test("Sampling DSIR: ref-like raw docs outrank crawl and dominate selection") {
+    import graft.operators.Sampling
+    // target register (ref vocab) + raw pool hiding 100 ref-like docs among
+    // 400 crawl docs; DSIR must score and select the hidden ref-like ones
+    val ref = Seq("clause", "therefore", "moreover", "concise", "verified")
+    val crawl = Seq("zzz", "clickety", "spam", "w00t", "blarg")
+    val mk = (vocab: Seq[String], id: Long) =>
+      (0 until 12).map(i => vocab(((id + i) % vocab.size).toInt)).mkString(" ")
+    val d = (0L until 600L).map { id =>
+      if (id < 100L) (id, mk(ref, id), true)        // target exemplars
+      else if (id < 200L) (id, mk(ref, id), false)  // ref-like, hidden in raw
+      else (id, mk(crawl, id), false)               // crawl
+    }.toDF("doc_id", "text", "is_tgt_label")
+    val scored = Sampling.dsirScores(d, col("is_tgt_label"))
+    val m = scored.filter(!col("is_tgt"))
+      .groupBy((col("doc_id") < 200).as("reflike"))
+      .agg(avg(col("log_w")).as("w")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(m(true) > m(false) + 5.0,
+      s"ref-like raw docs must outscore crawl decisively: $m")
+    val sel = Sampling.dsirSelect(scored, k = 80).collect()
+    assert(sel.length === 80)
+    val nRef = sel.count(_.getLong(0) < 200L)
+    assert(nRef >= 72, s"$nRef/80 selected docs are ref-like (expect ≥90%)")
+    // the whole path is a pure function of the data: rerun is identical
+    val sel2 = Sampling.dsirSelect(
+      Sampling.dsirScores(d, col("is_tgt_label")), k = 80).collect()
+    assert(sel.map(_.getLong(0)).toSeq === sel2.map(_.getLong(0)).toSeq)
+  }
+
+  test("Sampling DSIR: battery entry shape at sf0.01") {
+    val sel = graft.SparkEntry.queries("sample_dsir")(spark, sf2).collect()
+    assert(sel.length === 50)
+    assert(sel.map(_.getLong(0)).distinct.length === 50)
+    assert(sel.forall(r => !r.getDouble(1).isNaN && !r.getDouble(2).isNaN))
   }
 
   test("QualityClassifier: learns a planted two-register corpus") {
