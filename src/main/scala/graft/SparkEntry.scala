@@ -33,8 +33,52 @@ object SparkEntry {
         count(lit(1)).as("n_items"))
   }
 
+  /** Module registry exposed as DATA so the PlanSpec contract test iterates
+    * this same list: registering a module here IS listing it in the test —
+    * the two can no longer drift (the r6 red-suite lesson).
+    */
+  def queryModules: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
+    graft.operators.Relational.queries,
+    graft.operators.TextAnalysis.queries,
+    graft.operators.Dedup.queries,
+    graft.operators.Similarity.queries,
+    graft.operators.Multimodal.queries,
+    graft.operators.Temporal.queries,
+    graft.operators.Sampling.queries,
+    graft.operators.Decontam.queries,
+    graft.operators.Mixing.queries,
+    graft.operators.SemDedup.queries,
+    graft.operators.SpanDedup.queries,
+    graft.operators.Versioning.queries,
+    graft.operators.Clustering.queries,
+    graft.operators.Packing.queries,
+    graft.operators.Curation.queries,
+    graft.operators.QualityClassifier.queries,
+    graft.streaming.EventStreams.queries,
+    graft.models.ComposedPipeline.queries)
+
+  def oracleModules: Seq[Map[String, String]] = Seq(
+    graft.operators.Relational.oracles,
+    graft.operators.TextAnalysis.oracles,
+    graft.operators.Dedup.oracles,
+    graft.operators.Similarity.oracles,
+    graft.operators.Multimodal.oracles,
+    graft.operators.Temporal.oracles,
+    graft.operators.Sampling.oracles,
+    graft.operators.Decontam.oracles,
+    graft.operators.Mixing.oracles,
+    graft.operators.SemDedup.oracles,
+    graft.operators.SpanDedup.oracles,
+    graft.operators.Versioning.oracles,
+    graft.operators.Clustering.oracles,
+    graft.operators.Packing.oracles,
+    graft.operators.Curation.oracles,
+    graft.operators.QualityClassifier.oracles,
+    graft.streaming.EventStreams.oracles,
+    graft.models.ComposedPipeline.oracles)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // A1: partial+final hash aggregation with decimal-exact sums (TPC-H Q1 shape)
     "q1_agg" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "lineitem")
@@ -46,24 +90,7 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           count(lit(1)).as("n_rows"))
     })
-  ) ++ graft.operators.Relational.queries ++
-    graft.operators.TextAnalysis.queries ++
-    graft.operators.Dedup.queries ++
-    graft.operators.Similarity.queries ++
-    graft.operators.Multimodal.queries ++
-    graft.operators.Temporal.queries ++
-    graft.operators.Sampling.queries ++
-    graft.operators.Decontam.queries ++
-    graft.operators.Mixing.queries ++
-    graft.operators.SemDedup.queries ++
-    graft.operators.SpanDedup.queries ++
-    graft.operators.Versioning.queries ++
-    graft.operators.Clustering.queries ++
-    graft.operators.Packing.queries ++
-    graft.operators.Curation.queries ++
-    graft.operators.QualityClassifier.queries ++
-    graft.streaming.EventStreams.queries ++
-    graft.models.ComposedPipeline.queries
+  ) ++ queryModules.reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -75,22 +102,5 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
-  ) ++ graft.operators.Relational.oracles ++
-    graft.operators.TextAnalysis.oracles ++
-    graft.operators.Dedup.oracles ++
-    graft.operators.Similarity.oracles ++
-    graft.operators.Multimodal.oracles ++
-    graft.operators.Temporal.oracles ++
-    graft.operators.Sampling.oracles ++
-    graft.operators.Decontam.oracles ++
-    graft.operators.Mixing.oracles ++
-    graft.operators.SemDedup.oracles ++
-    graft.operators.SpanDedup.oracles ++
-    graft.operators.Versioning.oracles ++
-    graft.operators.Clustering.oracles ++
-    graft.operators.Packing.oracles ++
-    graft.operators.Curation.oracles ++
-    graft.operators.QualityClassifier.oracles ++
-    graft.streaming.EventStreams.oracles ++
-    graft.models.ComposedPipeline.oracles
+  ) ++ oracleModules.reduce(_ ++ _)
 }

@@ -82,22 +82,17 @@ class PlanSpec extends AnyFunSuite {
     val qKeys = SparkEntry.queries.keySet
     val oKeys = SparkEntry.oracleSql.keySet
     assert(oKeys.subsetOf(qKeys), s"orphan oracles: ${oKeys.diff(qKeys)}")
-    // a module accidentally redefining a query name would silently drop one
-    val allNames = Seq(
-      graft.operators.Relational.queries, graft.operators.TextAnalysis.queries,
-      graft.operators.Dedup.queries, graft.operators.Similarity.queries,
-      graft.operators.Multimodal.queries, graft.operators.Temporal.queries,
-      graft.operators.Sampling.queries, graft.operators.Clustering.queries,
-      graft.operators.Packing.queries, graft.operators.Curation.queries,
-      graft.operators.Decontam.queries, graft.operators.Mixing.queries,
-      graft.operators.SemDedup.queries,
-      graft.operators.SpanDedup.queries,
-      graft.operators.Versioning.queries,
-      graft.streaming.EventStreams.queries,
-      graft.models.ComposedPipeline.queries).flatMap(_.keys) :+ "q1_agg"
+    // a module accidentally redefining a query name would silently drop one.
+    // Iterate SparkEntry's own module registry (not a hand-copied list) so
+    // registering a module IS listing it here — r6's 120≠119 drift can't recur.
+    val allNames = SparkEntry.queryModules.flatMap(_.keys) :+ "q1_agg"
     assert(allNames.size === allNames.distinct.size,
       s"duplicate query names: ${allNames.diff(allNames.distinct)}")
     assert(qKeys.size === allNames.size)
+    val allOracleNames = SparkEntry.oracleModules.flatMap(_.keys) :+ "q1_agg"
+    assert(allOracleNames.size === allOracleNames.distinct.size,
+      s"duplicate oracle names: ${allOracleNames.diff(allOracleNames.distinct)}")
+    assert(oKeys.size === allOracleNames.size)
   }
 
   test("pairwise similarity ops parallelize the streamed side") {
