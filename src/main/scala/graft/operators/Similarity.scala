@@ -454,10 +454,77 @@ object Similarity {
       k, nProbe, rerankFactor, dim)
   }
 
+  /** Builds and PERSISTS the IVF×int8 index: k-means training, cell
+    * assignment + int8 codes, written as cell-partitioned parquet segments
+    * next to the centroid matrix — the real production artifact (search
+    * reads only the probed cells' files via partition pruning). Returns the
+    * per-cell segment summary. Splitting build from [[searchIvfIndex]] is
+    * what makes the benchmark honest: the one-time build (k-means passes +
+    * a quantization pass over the corpus) amortizes across every future
+    * query batch, while r6's combined lifecycle entries charged it to every
+    * run and hid the recurring search cost a 100 TB deployment actually
+    * pays.
+    */
+  def buildIvfIndex(e: DataFrame, indexDir: String, cells: Int = 12,
+                    iters: Int = 3,
+                    dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val s = e.sparkSession
+    val cents = kMeansCentroids(e, cells, iters, dim)
+    centroidFrame(s, cents).write.mode("overwrite")
+      .parquet(s"$indexDir/centroids")
+    buildQuantizedIndex(e, cents, dim)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/segments")
+    s.read.parquet(s"$indexDir/segments")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cell"))
+  }
+
+  /** Query-side of the persisted index: reads the centroid matrix (cells
+    * rows — the one driver-side collect) and the stored segments, then runs
+    * the probe → integer-score → exact-rerank pipeline. Identical results
+    * to [[ivfQuantizedTopK]] with the same geometry (spec-pinned); cost is
+    * the recurring per-batch search only.
+    */
+  def searchIvfIndex(full: DataFrame, indexDir: String, k: Int,
+                     nProbe: Int = 9, rerankFactor: Int = 4,
+                     dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val s = full.sparkSession
+    val cents = s.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    searchQuantizedIndex(full, s.read.parquet(s"$indexDir/segments"), cents,
+      k, nProbe, rerankFactor, dim)
+  }
+
+  /** Deterministic scratch location for the persisted-index battery entries,
+    * keyed by the data directory so sf0.01 and sf0.1 never share an index.
+    */
+  private def indexDirFor(dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-ivf-index/$tag"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-10 (oracle-gated; ranks only)
     "ann_brute_topk" -> ((s, dir) =>
       bruteForceTopK(emb(s, dir), k = 10, dim = Some(graft.Tables.EmbeddingDim))),
+    // one-time index build: train + quantize + persist cell-partitioned
+    // segments; returns the per-cell summary (rows-only — k-means)
+    "ann_ivf_index_build" -> ((s, dir) =>
+      buildIvfIndex(emb(s, dir), indexDirFor(dir), cells = 12, iters = 3)),
+    // recurring search against the PERSISTED index — the cost a deployed
+    // ANN service pays per query batch (rows-only; result-equivalence to
+    // ivf_quantized and recall vs brute spec-pinned). Builds the index
+    // first only if this entry runs in isolation (alphabetical suite order
+    // runs the build entry first; min-of-N sampling then measures the
+    // warm-index search).
+    "ann_ivf_index_search" -> ((s, dir) => {
+      val idx = indexDirFor(dir)
+      if (!new java.io.File(s"$idx/segments/_SUCCESS").exists())
+        buildIvfIndex(emb(s, dir), idx, cells = 12, iters = 3).count()
+      searchIvfIndex(emb(s, dir), idx, k = 10, nProbe = 9)
+    }),
     // LSH-bucketed ANN (approximate — rows-only check)
     "ann_lsh_topk" -> ((s, dir) => lshTopK(emb(s, dir), k = 10)),
     // IVF ANN with k-means-trained cells, probing 3/10 (approximate —

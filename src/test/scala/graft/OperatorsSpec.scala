@@ -153,6 +153,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Similarity: persisted-index search ≡ the in-memory composed tier") {
+    // build/search lifecycle split (r7): the index written as
+    // cell-partitioned parquet + centroid matrix, then searched cold, must
+    // return EXACTLY the in-memory ivfQuantizedTopK result with the same
+    // geometry — the parquet round trip (int8 codes, double norms, partition
+    // column) and the centroid reload change nothing. Deterministic
+    // (xxhash64-seeded k-means), so equality, not a recall floor.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = graft.Tables(spark, s"/root/testdata/$sf", "embeddings")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Int]("rank"))).toSet
+      val dir = java.nio.file.Files.createTempDirectory("ivf-index-spec").toString
+      val summary = Similarity.buildIvfIndex(e, dir, cells = 12, iters = 3)
+        .collect().map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n_vectors"))
+      assert(summary.map(_._2).sum === e.count(), "index lost vectors")
+      val fromIndex = rows(Similarity.searchIvfIndex(e, dir, k = 10, nProbe = 9))
+      val inMemory = rows(Similarity.ivfQuantizedTopK(e, 10,
+        cells = 12, nProbe = 9, iters = 3))
+      assert(fromIndex === inMemory,
+        s"persisted-index search drifted at $sf: " +
+          s"missing=${(inMemory -- fromIndex).take(3)} extra=${(fromIndex -- inMemory).take(3)}")
+    }
+  }
+
   test("Similarity: appended IVF×int8 index keeps recall; batch rows findable") {
     // centroids trained on 90% of the corpus, the vec_id%10==0 batch
     // appended without retraining. Recall floors against brute over the
