@@ -799,8 +799,17 @@ object Dedup {
     * deserialize round trip of the whole bitmap at startup.
     */
   def corpusFingerprintBloomFilter(corpus: DataFrame, expectedItems: Long,
-                                   fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
-    val proj = corpusFps64(corpus).filter(col("fp64").isNotNull)
+                                   fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    fpsBloomFilter(corpusFps64(corpus), expectedItems, fpp)
+
+  /** [[corpusFingerprintBloomFilter]] over an ALREADY-PROJECTED fp64 frame —
+    * the rebuild path of the streaming ingest re-sizes its filter from the
+    * fingerprint union it maintains (corpus + admitted deltas) without
+    * re-fingerprinting any text.
+    */
+  private[graft] def fpsBloomFilter(fps: DataFrame, expectedItems: Long,
+                                    fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val proj = fps.select(col("fp64")).filter(col("fp64").isNotNull)
     // Spark's stat.bloomFilter NPEs on a zero-row frame (the aggregate
     // yields null and the wrapper calls readFrom(null)). A fresh corpus is
     // a legitimate ingest state, so catch that and build the empty filter —
@@ -915,7 +924,8 @@ object Dedup {
     */
   private[graft] def bloomAdmitIds(corpusFps: DataFrame, batchFps: DataFrame,
                                    bloom: Array[Byte],
-                                   maxBroadcastFps: Long): DataFrame = {
+                                   maxBroadcastFps: Long,
+                                   onRoute: (Long, Boolean) => Unit = (_, _) => ()): DataFrame = {
     // one batch scan total: fingerprint + route flag, materialized batch-
     // sized (two longs + bool per row) for its three consumers below
     // null fingerprint (null text) → "definitely new": the anti-join form
@@ -927,8 +937,11 @@ object Dedup {
       .localCheckpoint()
     val definite = flagged.filter(!col("maybe"))
     val maybe = flagged.filter(col("maybe"))
+    val maybeCount = maybe.count()
+    val broadcastRoute = maybeCount <= maxBroadcastFps
+    onRoute(maybeCount, broadcastRoute)
     val survivors =
-      if (maybe.count() <= maxBroadcastFps) {
+      if (broadcastRoute) {
         maybe.join(broadcast(bloomVerifiedHits(corpusFps, maybe)),
           Seq("fp64"), "left_anti")
       } else {

@@ -69,9 +69,16 @@ object DocIngest {
     * that headroom degrade fpp toward 1, which silently turns every batch
     * into the broadcast-verify (or, past `maxBroadcastFps`, the full
     * shuffle anti-join the tier exists to avoid). Correctness never
-    * depends on the filter, so this is a LOUD warning, not an error — the
-    * occupancy estimate (distinct corpus fingerprints + every putLong since
-    * startup) crosses 80% once and logs the rebuild advice.
+    * depends on the filter, so occupancy crossing 80% logs a LOUD warning —
+    * and once inserts actually reach the sizing, the state REBUILDS the
+    * filter itself: a fresh filter sized with doubled headroom, filled from
+    * the fingerprint union the state already maintains (corpus + admitted
+    * deltas — one distributed aggregate over 8-byte fingerprints, no text
+    * re-fingerprinting, no driver materialization of the corpus). The
+    * broadcast route therefore keeps serving long-running streams instead
+    * of degrading to the shuffle anti-join the tier exists to avoid;
+    * spec-pinned by driving admissions past the sizing and asserting the
+    * next batch still routes broadcast with an fpp-level maybe set.
     */
   final class BloomIngestState(corpus: DataFrame, expectedRows: Long,
                                fpp: Double = 0.01,
@@ -81,7 +88,9 @@ object DocIngest {
     require(compactEvery >= 2,
       s"compactEvery=$compactEvery would re-checkpoint (nearly) every batch — the quadratic this tier avoids")
     private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    private val bf = Dedup.corpusFingerprintBloomFilter(corpus, expectedRows, fpp)
+    // current sizing — doubles on every saturation rebuild
+    private var sizedFor: Long = expectedRows
+    private var bf = Dedup.corpusFingerprintBloomFilter(corpus, expectedRows, fpp)
     // static corpus fingerprints, materialized once for every batch's
     // verification scan
     private val corpusFps = Dedup.fingerprint64Of(corpus).select("fp64").localCheckpoint()
@@ -101,14 +110,42 @@ object DocIngest {
 
     private def noteInserted(n: Long): Unit = {
       inserted += n
-      if (!saturationWarned && inserted >= expectedRows * 8 / 10) {
+      if (!saturationWarned && inserted >= sizedFor * 8 / 10) {
         saturationWarned = true
-        log.warn(s"bloom ingest filter at ~$inserted of expectedRows=$expectedRows " +
-          "inserts (>=80%): fpp is degrading and batches will increasingly pay the " +
-          "exact verification path. Rebuild the filter from the stored corpus with " +
-          "fresh headroom (restart with a larger expectedRows).")
+        log.warn(s"bloom ingest filter at ~$inserted of sizedFor=$sizedFor " +
+          "inserts (>=80%): fpp is degrading; the filter will be rebuilt with " +
+          "doubled headroom when inserts reach the sizing.")
       }
     }
+
+    /** Saturated-filter rebuild: re-size with doubled headroom and refill
+      * from the maintained fingerprint union (corpus + admitted deltas).
+      * Runs as one distributed bloom aggregate over 8-byte fingerprints —
+      * the corpus text is never re-read, nothing corpus-sized reaches the
+      * driver beyond the filter bitmap itself (the same residency contract
+      * as the original build).
+      */
+    private def rebuildIfSaturated(): Unit = {
+      if (inserted >= sizedFor) {
+        sizedFor = math.max(inserted * 2, sizedFor * 2)
+        val allFps = (corpusFps :: deltas.map(_.select("fp64"))).reduce(_ union _)
+        bf = Dedup.fpsBloomFilter(allFps, sizedFor, fpp)
+        filterBytes = Dedup.serializeBloom(bf)
+        saturationWarned = false
+        rebuilds += 1
+        log.info(s"bloom ingest filter rebuilt: $inserted inserts, new sizing $sizedFor")
+      }
+    }
+
+    /** Rebuild count + current sizing + last routing decision
+      * (maybe-set size, took-broadcast-route) — observability for specs and
+      * stream monitors.
+      */
+    private var rebuilds: Int = 0
+    private var lastRouteState: Option[(Long, Boolean)] = None
+    def rebuildCount: Int = rebuilds
+    def currentSizing: Long = sizedFor
+    def lastRoute: Option[(Long, Boolean)] = lastRouteState
 
     /** Plan arms in the verification base (corpus + pending deltas) —
       * bounded by `compactEvery + 1` for the life of the stream; spec-pinned.
@@ -120,6 +157,7 @@ object DocIngest {
       * admitted (fp64, doc_id) rows (materialized).
       */
     def admitBatch(batch: DataFrame): DataFrame = {
+      rebuildIfSaturated()
       val withFp = Dedup.fingerprint64Of(batch)
       // self-dedup groups NON-NULL fingerprints only: null-text rows are
       // each their own document (null keys never join in the anti-join
@@ -129,7 +167,9 @@ object DocIngest {
         .unionByName(withFp.filter(col("fp64").isNull)
           .select(col("fp64"), col("doc_id")))
       val verifyBase = (corpusFps :: deltas).reduce(_ union _)
-      val admitted = Dedup.bloomAdmitIds(verifyBase, firsts, filterBytes, maxBroadcastFps)
+      val admitted = Dedup.bloomAdmitIds(verifyBase, firsts, filterBytes,
+          maxBroadcastFps,
+          onRoute = (n, bc) => lastRouteState = Some((n, bc)))
         .localCheckpoint()
       val newFps = admitted.select("fp64").collect()
         .collect { case r if !r.isNullAt(0) => r.getLong(0) }

@@ -280,6 +280,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(again === Set.empty[Long])
   }
 
+  test("bloom ingest rebuilds a saturated filter and keeps the broadcast route") {
+    import spark.implicits._
+    // sized with ZERO headroom: the 4-doc corpus alone reaches the sizing,
+    // so the old warn-and-degrade behavior would run every batch with a
+    // filter whose fpp drifts toward 1 — maybe-set ≈ batch size, which at
+    // maxBroadcastFps=3 silently degrades to the full shuffle anti-join the
+    // tier exists to avoid. The rebuild path must instead re-size with
+    // doubled headroom from the maintained fingerprint union, keeping the
+    // maybe set at fpp level and the route broadcast for the stream's life.
+    val corpus = (1 to 4).map(i => (i.toLong, s"corpus seed document $i"))
+      .toDF("doc_id", "text")
+    val state = new graft.streaming.DocIngest.BloomIngestState(
+      corpus, expectedRows = 4, maxBroadcastFps = 3, compactEvery = 8)
+    (1 to 3).foreach { b =>
+      val batch = (1 to 12)
+        .map(i => (b * 100L + i, s"fresh batch-$b document $i topic ${b * 31 + i}"))
+        .toDF("doc_id", "text")
+      val admitted = state.admitBatch(batch).select("doc_id").as[Long].collect()
+      assert(admitted.length === 12, s"batch $b admitted ${admitted.length}")
+      val (maybeN, broadcastRoute) = state.lastRoute.get
+      assert(broadcastRoute, s"batch $b fell off the broadcast route " +
+        s"(maybe=$maybeN > maxBroadcastFps) — filter not rebuilt?")
+      assert(maybeN <= 1, s"batch $b maybe-set $maybeN is saturation, not fpp")
+    }
+    // the sizing actually grew and at least two rebuilds fired (4 → 8 before
+    // batch 1; 16 inserts ≥ 8 → 32 before batch 2; 28 < 32 → none at batch 3)
+    assert(state.rebuildCount >= 2, s"rebuilds=${state.rebuildCount}")
+    assert(state.currentSizing >= 32, s"sizing=${state.currentSizing}")
+    // and the rebuilt filter still carries every prior admission: corpus
+    // dups and batch-1 admissions are rejected, a straggler admits
+    val mixed = Seq(
+      (900L, "corpus seed document 2"),
+      (901L, "fresh batch-1 document 5 topic 36"),
+      (902L, "a never-before-seen straggler")
+    ).toDF("doc_id", "text")
+    val last = state.admitBatch(mixed).select("doc_id").as[Long].collect().toSet
+    assert(last === Set(902L), s"rebuilt filter lost history: $last")
+  }
+
   test("bloom ingest over the real corpus equals the batch tier, any batch slicing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
