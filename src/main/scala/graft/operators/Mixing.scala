@@ -41,7 +41,15 @@ object Mixing {
     val whole = Window.partitionBy()
     val rates = counts
       .withColumn("n_total", sum(col("n_s")).over(whole))
-      .withColumn("sqrt_sum", sum(sqrt(col("n_s"))).over(whole))
+      // Σ√n_s in DECIMAL after round-to-6dp (the embedOutliers contract):
+      // a raw double window sum depends on partition/evaluation order, and
+      // floor(rate·10⁴) can flip membership at a bucket boundary on a
+      // last-bit difference. The decimal sum is exact and order-independent;
+      // it re-enters the double math via one deterministic decimal→double
+      // conversion.
+      .withColumn("sqrt_sum",
+        sum(round(sqrt(col("n_s")), 6).cast("decimal(28,6)")).over(whole)
+          .cast("double"))
       // parenthesization is part of the contract: the oracle repeats it
       // verbatim so every double op happens in the same order
       .withColumn("rate", least(lit(1.0),
@@ -160,7 +168,8 @@ object Mixing {
          |  SELECT lang,
          |    FLOOR(LEAST(1.0,
          |      $MixTargetFrac * (SUM(n_s) OVER ()) * sqrt(n_s) /
-         |        (SUM(sqrt(n_s)) OVER ()) / n_s) * $RateBuckets)::BIGINT AS thr
+         |        CAST(SUM(CAST(ROUND(sqrt(n_s), 6) AS DECIMAL(28,6))) OVER () AS DOUBLE)
+         |        / n_s) * $RateBuckets)::BIGINT AS thr
          |  FROM counts)
          |SELECT doc_id, lang
          |FROM documents JOIN rates USING (lang)

@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   * doubles, row-count-independent; [[Similarity.kMeansAssign]] — one
   * codegen'd pass). The within-cell stage re-blocks each cell with the same
   * Afrati–Ullman scheme as [[Dedup]]'s exact kernels, sized by the LARGEST
-  * cell, so one skewed cell (the k-means failure mode) cannot exceed the
-  * per-task memory budget — it fans out across block-pair tasks instead.
+  * cell against both a per-task byte budget AND a per-task pair-count
+  * budget, so one skewed cell (the k-means failure mode) can bust neither
+  * task memory nor task compute — it fans out across cross-salt-block
+  * tasks, every within-cell pair still meeting exactly once.
   */
 object SemDedup {
 
@@ -30,26 +32,55 @@ object SemDedup {
     else java.math.BigDecimal.valueOf(x)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Afrati–Ullman block count for the within-cell stage, derived from the
+    * LARGEST cell against BOTH task budgets:
+    *
+    *  - bytes (256 MB, via [[Dedup.blockCount]]) — a block pair must fit in
+    *    task memory;
+    *  - pair count (`maxPairsPerTask`) — a skewed k-means cell (the
+    *    real-web-embeddings failure mode) can pack (maxCell/b)² cosines
+    *    into one task while staying comfortably inside the byte budget:
+    *    890k 64-dim vectors fit 256 MB but carry 4·10¹¹ pairs. Requiring
+    *    maxCell/b ≤ √maxPairsPerTask caps per-task compute, so an
+    *    oversized cell fans out across more cross-salt-block tasks
+    *    (semantics unchanged — every within-cell pair still meets exactly
+    *    once) instead of concentrating quadratic work on one core.
+    */
+  private[graft] def deriveBlocks(spark: org.apache.spark.sql.SparkSession,
+                                  maxCell: Long, dim: Int,
+                                  maxPairsPerTask: Long): Int = {
+    val byBytes = Dedup.blockCount(spark, corpusBytes = maxCell * (4L * dim + 32L))
+    val byPairs = math.ceil(maxCell.toDouble / math.sqrt(maxPairsPerTask.toDouble)).toInt
+    math.max(byBytes, byPairs).max(1)
+  }
+
   /** Verified near-dup pairs (id_a < id_b, round4 cosine ≥ τ) found within
     * k-means cells. `blocks` sub-divides every cell Afrati–Ullman-style
-    * (0 = derive from the largest cell's byte estimate and the 256 MB task
-    * budget, exactly like [[Dedup.blockCount]] does for the global kernels).
+    * (0 = derive from the largest cell via [[deriveBlocks]]: the 256 MB
+    * byte budget exactly like [[Dedup.blockCount]], plus the per-task
+    * pair-count budget that keeps a skewed cell from concentrating its
+    * quadratic work).
     */
   def semDedupPairs(e: DataFrame, tau: Double, cells: Int = 10,
                     iters: Int = 3, blocks: Int = 0,
-                    dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+                    dim: Int = graft.Tables.EmbeddingDim,
+                    maxPairsPerTask: Long = 1L << 24): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val cents = Similarity.kMeansCentroids(e, cells, iters, dim)
-    val assigned = Similarity.kMeansAssign(e, cents, dim)
+    val assignedRaw = Similarity.kMeansAssign(e, cents, dim)
       .select(col("cell"), col("vec_id").cast("long"), col("embedding"))
       .as[(Int, Long, Array[Float])]
+    // deriving blocks needs a cell-size pass BEFORE the pair pass — without
+    // a checkpoint the assignment pipeline (a NearestCentroid scan over the
+    // corpus) would run twice
+    val assigned = if (blocks > 0) assignedRaw else assignedRaw.localCheckpoint()
 
     val b = if (blocks > 0) blocks else {
       // size blocks by the biggest cell — the only one that can bust a task
       val maxCell = assigned.groupBy(col("cell")).count()
         .agg(max(col("count"))).head().getLong(0)
-      Dedup.blockCount(spark, corpusBytes = maxCell * (4L * dim + 32L))
+      deriveBlocks(spark, maxCell, dim, maxPairsPerTask)
     }
     val numTasks = cells * (b * (b + 1) / 2)
 
@@ -102,8 +133,9 @@ object SemDedup {
     */
   def semDedupSurvivors(e: DataFrame, tau: Double, cells: Int = 10,
                         iters: Int = 3, blocks: Int = 0,
-                        dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
-    val dropped = semDedupPairs(e, tau, cells, iters, blocks, dim)
+                        dim: Int = graft.Tables.EmbeddingDim,
+                        maxPairsPerTask: Long = 1L << 24): DataFrame = {
+    val dropped = semDedupPairs(e, tau, cells, iters, blocks, dim, maxPairsPerTask)
       .select(col("id_b").as("vec_id")).distinct()
     e.select(col("vec_id").cast("long").as("vec_id"))
       .join(dropped, Seq("vec_id"), "left_anti")

@@ -454,6 +454,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"within-cell pair fraction ${scored / full} — clustering isn't pruning")
   }
 
+  test("SemDedup: a fully-skewed cell stays under the per-task pair budget; " +
+    "survivors unchanged by the re-split") {
+    // cells=1 is the one-giant-cell pathology taken to 100% (every vector in
+    // one cell), deterministically — no dependence on where k-means happens
+    // to put a planted skew. The pair-count budget must fan the cell out
+    // across cross-salt-block tasks without changing semantics: every
+    // within-cell pair still meets exactly once, so survivors are IDENTICAL
+    // to the unsplit (blocks=1) kernel.
+    val e = Dedup.plantEmbeddingNearDups(Tables(spark, sf1, "embeddings"))
+      .localCheckpoint()
+    val n = e.count()
+    val budget = 1024L
+    val b = graft.operators.SemDedup.deriveBlocks(spark, n, Tables.EmbeddingDim, budget)
+    assert(b > 1, s"budget $budget over $n vectors must force a re-split, got b=$b")
+    val perTask = math.pow(math.ceil(n.toDouble / b), 2)
+    assert(perTask <= budget * 1.05,
+      s"per-task pair bound violated: ceil($n/$b)² = $perTask > $budget")
+    def survivors(blocks: Int, budgetOpt: Long) =
+      graft.operators.SemDedup.semDedupSurvivors(e, tau = 0.9, cells = 1,
+        iters = 1, blocks = blocks, maxPairsPerTask = budgetOpt)
+        .collect().map(_.getLong(0)).toSet
+    val split = survivors(blocks = 0, budgetOpt = budget)
+    val unsplit = survivors(blocks = 1, budgetOpt = Long.MaxValue)
+    assert(split === unsplit,
+      s"re-split changed survivors: missing=${(unsplit -- split).take(5)} " +
+        s"extra=${(split -- unsplit).take(5)}")
+    assert(split.size < n, "planted near-dups must actually drop rows")
+  }
+
   // ------------------------------------------------- quality classifier
 
   // ------------------------------------------------- gopher rules / sources
