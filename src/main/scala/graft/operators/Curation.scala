@@ -211,6 +211,50 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Line-level boilerplate removal — the C4/CCNet curation rule: a LINE
+    * occurring in at least `minDocs` distinct documents is boilerplate
+    * (navigation, cookie banners, share buttons, license footers) and is
+    * stripped from every document; surviving lines rejoin in their original
+    * order. This is the complement of [[SpanDedup]]: spans dedup WITHIN a
+    * repetition neighborhood, line dedup removes corpus-global short
+    * repeats that span detection's shingle width never sees.
+    *
+    * Scale shape: the corpus explodes to (doc, pos, line) once; the
+    * boilerplate decision shuffles ONLY 16-byte line digests with a
+    * map-side-combined distinct-doc count (never the line text); the
+    * verdict set (lines occurring ≥ minDocs times — a tiny fraction of
+    * distinct lines) joins back under AQE (broadcast at any realistic
+    * boilerplate cardinality); reassembly is one doc-keyed aggregate whose
+    * collect_list carries only KEPT lines. Docs reduced to nothing stay in
+    * the output with empty text (they are rows a downstream length gate
+    * should see and drop, not silent losses).
+    */
+  def stripBoilerplateLines(d: DataFrame, minDocs: Int = 3,
+                            delim: String = "\n"): DataFrame = {
+    val lines = d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("pos", "line")))
+    val boiler = lines
+      .groupBy(md5(col("line")).as("lh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("lh"), lit(true).as("is_boiler"))
+    lines
+      .join(boiler, md5(col("line")) === boiler("lh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(coalesce(col("is_boiler"), lit(false)), lit(null))
+                .otherwise(struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          delim).as("clean_text"),
+        sum(when(coalesce(col("is_boiler"), lit(false)), 1L).otherwise(0L))
+          .as("n_removed"))
+  }
+
   /** The curation FUNNEL — the composed report a production pipeline emits:
     * how many documents survive each gate, in gate order (raw → encoding →
     * exact-dedup → quality floor → benchmark decontamination). The count
@@ -288,6 +332,23 @@ object Curation {
 
     "curate_embed_outliers" -> ((s, dir) =>
       embedOutliers(graft.Tables(s, dir, "embeddings"))),
+
+    // line-level boilerplate removal. The synthetic corpus has no line
+    // structure (single-line docs), so banners are planted deterministically
+    // (the curate_redact convention — both engines derive identical lines
+    // from doc_id): %5 docs gain a subscribe banner line, %7 docs a license
+    // footer line; each occurs in ≥3 docs and must strip everywhere, while
+    // the original text lines are (at gate scales) unique and survive.
+    "curate_line_dedup" -> ((s, dir) => {
+      val d = graft.Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val planted = d.withColumn("text", concat(
+        when(col("doc_id") % 5 === 0,
+          lit("subscribe to our newsletter for updates\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit("\nall rights reserved contact us for licensing")).otherwise(lit(""))))
+      stripBoilerplateLines(planted, minDocs = 3)
+    }),
 
     // Gopher rule gate with deterministic planted damage (the curate_redact
     // convention — both engines derive identical damage from doc_id) so
@@ -407,6 +468,30 @@ object Curation {
         |UNION ALL SELECT 's2_dedup', s2_dedup FROM agg
         |UNION ALL SELECT 's3_quality', s3_quality FROM agg
         |UNION ALL SELECT 's4_decontam', s4_decontam FROM agg""".stripMargin,
+    "curate_line_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN 'subscribe to our newsletter for updates' || chr(10)
+        |         ELSE '' END
+        |    || text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10) || 'all rights reserved contact us for licensing'
+        |         ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM planted),
+        |boiler AS (
+        |  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3)
+        |SELECT l.doc_id,
+        |  COALESCE(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+        |                      chr(10) ORDER BY l.pos), '') AS clean_text,
+        |  COUNT(b.line) AS n_removed
+        |FROM lines l LEFT JOIN boiler b USING (line)
+        |GROUP BY l.doc_id""".stripMargin,
     "curate_embed_outliers" ->
       """WITH d AS (
         |  SELECT label, unnest(embedding) AS v,

@@ -483,6 +483,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(split.size < n, "planted near-dups must actually drop rows")
   }
 
+  test("Curation.stripBoilerplateLines: hand case — banners strip, order " +
+    "holds, emptied docs stay") {
+    import graft.operators.Curation
+    val d = Seq(
+      (1L, "banner\nunique one\nfooter"),
+      (2L, "banner\nunique two"),
+      (3L, "unique three\nbanner\nfooter"),
+      (4L, "footer\nbanner"), // nothing survives
+      (5L, "unique five"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // banner ×4 docs and footer ×3 docs are boilerplate at minDocs=3;
+    // footer in only-3 sits exactly AT the threshold
+    val r = Curation.stripBoilerplateLines(d, minDocs = 3)
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r.size === 5, "null text filtered, emptied doc kept")
+    assert(r(1L) === (("unique one", 2L)))
+    assert(r(2L) === (("unique two", 1L)))
+    assert(r(3L) === (("unique three", 2L)))
+    assert(r(4L) === (("", 2L)), "fully-boilerplate doc must surface empty, not vanish")
+    assert(r(5L) === (("unique five", 0L)))
+    // multi-line survivors keep original order
+    val ordered = Curation.stripBoilerplateLines(
+      Seq((1L, "z last\nbanner\na first"), (2L, "banner\nmid"), (3L, "banner"))
+        .toDF("doc_id", "text"), minDocs = 3)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(ordered(1L) === "z last\na first", "line order must be positional, not sorted")
+  }
+
   // ------------------------------------------------- quality classifier
 
   // ------------------------------------------------- gopher rules / sources
