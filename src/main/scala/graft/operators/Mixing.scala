@@ -131,9 +131,80 @@ object Mixing {
           .otherwise("middle"))
   }
 
+  /** Per-source dominance cap: keep at most `cap` documents from each
+    * source, preferring quality — the rule that stops one crawl domain from
+    * drowning the mixture while still taking its best pages. Selection order
+    * within a source is (quality desc, md5(key), key): the md5 tiebreak
+    * spreads equal-quality survivors pseudo-randomly instead of
+    * systematically favoring low ids.
+    *
+    * NOT one window over the whole source: a dominant domain at 100 TB would
+    * funnel its entire row set through a single sort partition. Same
+    * decomposition as [[selectByTokenBudget]]: (1) a (source, quality)
+    * bucket aggregate (quality is round-4, so ≤ 10⁴ buckets per source),
+    * (2) a running count over that tiny frame, (3) a per-(source, quality)
+    * rank, which spreads the sort across the cluster. Admission set is
+    * identical to the naive per-source window.
+    */
+  def domainCap(d: DataFrame, sourceCol: String, keyCol: String,
+                cap: Int): DataFrame = {
+    val scored = d.select(col(keyCol), col(sourceCol),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      md5(col(keyCol).cast("string")).as("h"))
+    val buckets = scored.groupBy(col(sourceCol), col("quality"))
+      .agg(count(lit(1)).as("bucket_n"))
+    val before = Window.partitionBy(col(sourceCol))
+      .orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = buckets
+      .withColumn("cum_before", coalesce(sum(col("bucket_n")).over(before), lit(0L)))
+      .select(col(sourceCol), col("quality"), col("cum_before"))
+    val within = Window.partitionBy(col(sourceCol), col("quality"))
+      .orderBy(col("h"), col(keyCol))
+    scored.join(broadcast(cum), Seq(sourceCol, "quality"))
+      .withColumn("rk", col("cum_before") + row_number().over(within))
+      .filter(col("rk") <= cap)
+      .select(col(keyCol), col(sourceCol), col("quality"), col("rk"))
+  }
+
+  /** Global deterministic epoch order: every document gets a unique position
+    * in [1, N] ranked by md5(epoch ‖ key) — the full-corpus shuffle a trainer
+    * replays per epoch (a new epoch seed re-permutes without re-shuffling
+    * any data: position is a pure function of (epoch, key)).
+    *
+    * [[shardAssign]] gives shard-local order; this gives the single TOTAL
+    * order across shards — without the global single-partition sort that
+    * `ROW_NUMBER() OVER (ORDER BY h)` would plan. Two-phase rank: the first
+    * byte of the digest buckets rows into 256 ranges that partition the hash
+    * order; per-bucket counts (256 rows) prefix-sum into bucket offsets and
+    * broadcast back; each bucket then ranks locally by the full digest and
+    * adds its offset. Positions are exactly the global ranks, but the only
+    * corpus-wide movement is one 256-way hash exchange that every node
+    * sorts in parallel.
+    */
+  def epochOrder(d: DataFrame, keyCol: String, epoch: Int): DataFrame = {
+    val h = md5(concat(lit(s"$epoch:"), col(keyCol).cast("string")))
+    val keyed = d.select(col(keyCol), h.as("h"),
+      conv(substring(h, 1, 2), 16, 10).cast("int").as("hb"))
+    val counts = keyed.groupBy(col("hb")).agg(count(lit(1)).as("n"))
+    // 256-row frame: the single-partition window is deliberate (same
+    // bucket-level idiom as temperatureMix / selectByTokenBudget)
+    val before = Window.orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("n")).over(before), lit(0L)))
+      .select(col("hb"), col("off"))
+    val within = Window.partitionBy(col("hb")).orderBy(col("h"), col(keyCol))
+    keyed.join(broadcast(offsets), Seq("hb"))
+      .withColumn("pos", col("off") + row_number().over(within))
+      .select(col(keyCol), col("pos"))
+  }
+
   private val MixTargetFrac = 0.5
   private val TokenBudget = 8000L
   private val Shards = 16
+  private val DomainCapN = 40
+  private val EpochSeed = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // α=1/2 rebalance over the skewed lang distribution — row-level output
@@ -151,7 +222,19 @@ object Mixing {
         shards = Shards)),
 
     "quality_buckets" -> ((s, dir) =>
-      qualityBuckets(graft.Tables(s, dir, "documents"), stratumCol = "source"))
+      qualityBuckets(graft.Tables(s, dir, "documents"), stratumCol = "source")),
+
+    // per-source dominance cap: at most 40 docs per source, best quality
+    // first — row-level output so the oracle checks every admission
+    "mix_domain_cap" -> ((s, dir) =>
+      domainCap(graft.Tables(s, dir, "documents"), sourceCol = "source",
+        keyCol = "doc_id", cap = DomainCapN)),
+
+    // global deterministic epoch order (two-phase rank — no global sort);
+    // oracle recomputes the naive global ROW_NUMBER and must agree exactly
+    "mix_epoch_order" -> ((s, dir) =>
+      epochOrder(graft.Tables(s, dir, "documents"), keyCol = "doc_id",
+        epoch = EpochSeed))
   )
 
   /** md5-bucket expression shared by the mixing oracles (identical to the
@@ -199,6 +282,25 @@ object Mixing {
          |  CAST(${duckBucket(Shards)} AS BIGINT) AS shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY ${duckBucket(Shards)}
          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+         |FROM documents""".stripMargin,
+    "mix_domain_cap" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    ROUND(LEAST(1.0, len(string_split_regex(trim(text), '\\s+')) / 50.0) *
+         |      (1.0 - 0.5 * (CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |          x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS DOUBLE)
+         |        / len(string_split_regex(trim(text), '\\s+')))), 4) AS quality,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents)
+         |SELECT doc_id, source, quality, rk FROM (
+         |  SELECT doc_id, source, quality,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, h, doc_id) AS BIGINT) AS rk
+         |  FROM scored) WHERE rk <= $DomainCapN""".stripMargin,
+    "mix_epoch_order" ->
+      s"""SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (
+         |    ORDER BY md5('$EpochSeed:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
          |FROM documents""".stripMargin,
     "quality_buckets" ->
       s"""WITH scored AS (

@@ -72,6 +72,39 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /** Hard-negative mining — the contrastive-training data builder: for each
+    * query, the k nearest vectors by cosine whose `label` DIFFERS from the
+    * query's (nearest wrong-class examples are the informative negatives;
+    * random negatives are too easy to teach a metric model anything).
+    *
+    * Exact form, oracled: same broadcast-query / streamed-corpus plan as
+    * [[bruteForceTopK]] with the label-mismatch predicate folded into the
+    * broadcast join. At production scale the identical label filter drops
+    * into [[ivfQuantizedTopK]]'s candidate stage instead (filter before the
+    * re-rank); the exact tier is the yardstick the approximate one is
+    * measured against, as everywhere in this module.
+    */
+  def hardNegativesTopK(e: DataFrame, k: Int, dim: Option[Int] = None): DataFrame = {
+    val par = graft.Tuning.fanout(e.sparkSession)
+    val base = e.select(col("vec_id"), col("embedding"), col("label"),
+      normC(col("embedding"), dim).as("nrm"))
+    val corpus = if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+      .withColumn("qnrm", normC(col("q_emb"), dim))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        (dotC(col("q_emb"), col("embedding"), dim) /
+          (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"), col("rank"))
+  }
+
   /** Random-hyperplane LSH ANN: bands × bitsPerBand sign bits; candidates
     * collide in ≥1 band; exact cosine ranks the candidates.
     *
@@ -525,6 +558,11 @@ object Similarity {
         buildIvfIndex(emb(s, dir), idx, cells = 12, iters = 3).count()
       searchIvfIndex(emb(s, dir), idx, k = 10, nProbe = 9)
     }),
+    // exact hard-negative mining: top-10 cosine neighbors with a DIFFERENT
+    // label per query (oracle-gated; contrastive-training data builder)
+    "mine_hard_negatives" -> ((s, dir) =>
+      hardNegativesTopK(emb(s, dir), k = 10,
+        dim = Some(graft.Tables.EmbeddingDim))),
     // LSH-bucketed ANN (approximate — rows-only check)
     "ann_lsh_topk" -> ((s, dir) => lshTopK(emb(s, dir), k = 10)),
     // IVF ANN with k-means-trained cells, probing 3/10 (approximate —
@@ -569,6 +607,22 @@ object Similarity {
         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
         |SELECT q_id, vec_id AS neighbor_id, rank FROM (
         |  SELECT q_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM c) WHERE rank <= 10""".stripMargin,
+    "mine_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (
+        |  SELECT q.q_id, e.vec_id, e.label,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |    (SQRT(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))) *
+        |     SQRT(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id AND e.label <> q.q_label)
+        |SELECT q_id, vec_id AS neighbor_id, label AS neg_label, rank FROM (
+        |  SELECT q_id, vec_id, label,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
         |  FROM c) WHERE rank <= 10""".stripMargin
   )

@@ -297,6 +297,52 @@ object TextAnalysis {
       ratio(regexp_replace(c, "[A-Z]", "")).as("upper_ratio"))
   }
 
+  /** Per-source token-distribution drift: KL(source ‖ rest-of-corpus) over
+    * add-1-smoothed unigram models — the distribution-shift monitor a
+    * pipeline runs when a new crawl snapshot or source lands (a source whose
+    * token mix diverges from the corpus is flagged for review before it
+    * enters the mixture).
+    *
+    * Scale shape: the corpus is touched ONCE — the exploded tokens shuffle
+    * as (source, token) partial counts with map-side combine, bounded by
+    * S×V, never by row count. Everything downstream (token totals, source
+    * totals, the S×V smoothing grid) lives at vocabulary scale; the two
+    * model scalars (V, total tokens) are the same bounded driver sync as
+    * [[bigramLmScore]]'s vocabulary size.
+    *
+    * Determinism: each KL term is rounded to 9 dp and summed in DECIMAL
+    * (exact, order-independent — the [[Mixing.temperatureMix]] contract), so
+    * the per-source sum over the whole vocabulary cannot drift with
+    * partition order; every double op before the round is a correctly-
+    * rounded IEEE primitive evaluated in the same sequence the oracle
+    * spells.
+    */
+  def tokenKlBySource(d: DataFrame): DataFrame = {
+    // (source, token) counts — the one corpus-wide pass; V×S-bounded, reused
+    // three times below (checkpointed so the explode never re-runs)
+    val cst = d.select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+      .localCheckpoint()
+    val ct = cst.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val ns = cst.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val vTot: Long = ct.count()
+    val nTot: Long = ns.agg(sum(col("n_s"))).head().getLong(0)
+    // full V×S grid so unseen (source, token) pairs contribute their
+    // smoothed mass; the source frame broadcasts against the vocabulary
+    val grid = ct.crossJoin(broadcast(ns))
+      .join(cst, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("c_st"))
+    val p = (col("c_st") + lit(1L)).cast("double") /
+      (col("n_s") + lit(vTot)).cast("double")
+    val q = (col("c_t") - col("c_st") + lit(1L)).cast("double") /
+      (lit(nTot) - col("n_s") + lit(vTot)).cast("double")
+    grid.select(col("source"), col("n_s"),
+        round(p * log(p / q), 9).cast("decimal(28,10)").as("contrib"))
+      .groupBy(col("source"), col("n_s"))
+      .agg(round(sum(col("contrib")).cast("double"), 6).as("kl_nats"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("kl_nats"))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "documents")
 
@@ -369,7 +415,11 @@ object TextAnalysis {
           col("e.replacement_ratio"), col("e.digit_ratio"),
           col("e.upper_ratio"))
         .withColumn("keep",
-          col("replacement_ratio") === 0.0 && col("non_ascii_ratio") <= 0.2))
+          col("replacement_ratio") === 0.0 && col("non_ascii_ratio") <= 0.2)),
+
+    // per-source unigram KL drift vs the rest of the corpus (add-1
+    // smoothing; decimal-summed terms so the oracle agrees bit-for-bit)
+    "drift_token_kl" -> ((s, dir) => tokenKlBySource(docs(s, dir)))
   )
 
   private val markerListSql: Map[String, String] =
@@ -502,6 +552,30 @@ object TextAnalysis {
         |SELECT doc_id, term, tf, ROUND(score, 4) AS score, rnk FROM (
         |  SELECT doc_id, term, tf, score,
         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
-        |  FROM scored) WHERE rnk <= 3""".stripMargin
+        |  FROM scored) WHERE rnk <= 3""".stripMargin,
+    "drift_token_kl" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |cst AS (SELECT source, tok, COUNT(*) AS c_st FROM tok GROUP BY source, tok),
+        |ct AS (SELECT tok, SUM(c_st) AS c_t FROM cst GROUP BY tok),
+        |ns AS (SELECT source, SUM(c_st) AS n_s FROM cst GROUP BY source),
+        |tot AS (SELECT SUM(c_t) AS n_tot, COUNT(*) AS v FROM ct),
+        |grid AS (
+        |  SELECT ns.source, ns.n_s, ct.c_t, COALESCE(cst.c_st, 0) AS c_st,
+        |    tot.n_tot, tot.v
+        |  FROM ct CROSS JOIN ns CROSS JOIN tot
+        |  LEFT JOIN cst ON cst.source = ns.source AND cst.tok = ct.tok),
+        |terms AS (
+        |  SELECT source, n_s,
+        |    CAST(ROUND(
+        |      (CAST(c_st + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE)) *
+        |      LN((CAST(c_st + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE)) /
+        |         (CAST(c_t - c_st + 1 AS DOUBLE) / CAST(n_tot - n_s + v AS DOUBLE))), 9)
+        |      AS DECIMAL(28,10)) AS contrib
+        |  FROM grid)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS kl_nats
+        |FROM terms GROUP BY source, n_s""".stripMargin
   )
 }
