@@ -51,23 +51,30 @@ object Bench {
     // cores under load, with identical warm work varying up to 8x run-to-run;
     // min-of-2 can still catch two contended samples, min-of-3 rarely does.
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3).max(1)
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    // A failed entry must NEVER be indistinguishable from a fast one: r7's
+    // six analysis-broken queries appeared in BENCH_r07.json as 0.06–0.10 s
+    // "improvements" because the catch recorded elapsed-to-fail as a timing.
+    // Any failed sample now turns the whole entry into an `errors` record
+    // (a query that fails even once has no trustworthy timing).
+    val results: Seq[(String, Either[String, Double])] = selected.map { case (name, fn) =>
+      var err: Option[String] = None
+      val times = (1 to runs).flatMap { _ =>
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         System.gc()
         Thread.sleep(100)
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          err = Some(e.toString)
+          None
+        }
       }
-      name -> times.min
+      name -> err.toLeft(times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = renderJson(results, sfDir)
     println(line)
     // The record is the gate — make it durable: two consecutive driver
     // captures (BENCH_r05/r06) truncated the stdout tail, hiding ~34 entries
@@ -80,4 +87,33 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
+
+  /** One-line bench record: successful entries under `queries` (seconds),
+    * failed entries under `errors` (message, truncated) with an explicit
+    * `error_count` — pure so a spec can pin that a broken entry can never
+    * surface as a timing.
+    */
+  def renderJson(results: Seq[(String, Either[String, Double])], sf: String): String = {
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val errs = results.collect { case (k, Left(m)) => k -> m }
+    val qs = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val es = errs.map { case (k, m) => s"${jsonQuote(k)}:${jsonQuote(m.take(400))}" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      s""""errors":$es,"error_count":${errs.size},"sf":"$sf"}"""
+  }
+
+  /** JSON string literal: escapes backslash, quote, and all control chars —
+    * exception messages routinely carry newlines and quoted plan fragments.
+    */
+  def jsonQuote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

@@ -35,12 +35,20 @@ object Verify {
           s"${SparkEntry.queries.size} queries (${f.toSeq.sorted.mkString(",")}) — " +
           "NOT a full correctness dump ***")
     }
-    selected
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Failures are collected, not swallowed: in round 7 six analysis-broken
+    // entries silently produced no dump, the driver's correctness file just
+    // omitted them, and the coverage loss was invisible until hand-diffed
+    // against the previous round. Every failure is recorded and any failure
+    // of an ORACLE-GATED query makes the run exit nonzero (after the dump
+    // completes, so the partial artifact stays usable for diagnosis).
+    val failures = selected.toSeq.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        Some(name -> e.toString)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -58,6 +66,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Battery self-check: every selected query must have dumped, and failures
+    // are a durable artifact next to the dump. An oracled entry that failed
+    // is a red gate — exit nonzero so silent coverage loss cannot read green.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), errJson)
     spark.stop()
+    val oracledFailures = failures.collect {
+      case (n, _) if SparkEntry.oracleSql.contains(n) => n
+    }
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} quer(ies) FAILED to dump: " +
+        failures.map(_._1).sorted.mkString(", "))
+      if (oracledFailures.nonEmpty) {
+        System.err.println(s"[verify] ${oracledFailures.size} of them are ORACLE-GATED — " +
+          "this correctness dump is incomplete; exiting nonzero")
+        sys.exit(1)
+      }
+    }
   }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench-record failure contract: a query that throws must surface
+  * in the JSON line's `errors` map and must NOT appear among `queries`
+  * timings — round 7 recorded six analysis-broken entries as 0.06–0.10 s
+  * "improvements" because elapsed-to-fail was recorded as a score.
+  */
+class BenchSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+
+  test("a failed entry is an error record, never a timing") {
+    val line = Bench.renderJson(Seq(
+      "good_query" -> Right(1.234),
+      "broken_query" -> Left("org.apache.spark.sql.AnalysisException: " +
+        "[DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES] \"ts\" has\nmixed types")),
+      "/root/testdata/sf0.1")
+    val node = mapper.readTree(line) // must be valid JSON despite \n and quotes in the message
+    assert(node.get("queries").has("good_query"))
+    assert(!node.get("queries").has("broken_query"))
+    assert(node.get("errors").has("broken_query"))
+    assert(node.get("errors").get("broken_query").asText.contains("DATATYPE_MISMATCH"))
+    assert(node.get("error_count").asInt === 1)
+    assert(math.abs(node.get("value").asDouble - 1.234) < 1e-9)
+  }
+
+  test("a clean run has an empty errors map and zero error_count") {
+    val line = Bench.renderJson(Seq("a" -> Right(0.5), "b" -> Right(0.25)), "sf")
+    val node = mapper.readTree(line)
+    assert(node.get("errors").size === 0)
+    assert(node.get("error_count").asInt === 0)
+    assert(math.abs(node.get("value").asDouble - 0.75) < 1e-9)
+    assert(node.get("queries").size === 2)
+  }
+}
