@@ -530,6 +530,47 @@ object Similarity {
       k, nProbe, rerankFactor, dim)
   }
 
+  /** Ingest-side of the persisted index lifecycle (r8 split — the combined
+    * `ann_ivf_append_topk` entry charged k-means training + TWO index builds
+    * + the search to one headline number): assigns and quantizes ONLY the
+    * new batch against the index's stored centroids — no retrain, no pass
+    * over the base corpus — and overwrites the index's `delta` segment.
+    * Overwrite (not append) keeps the entry idempotent under min-of-N
+    * benchmark sampling; a real deployment would write a fresh
+    * date-stamped segment directory per ingest cycle instead. Returns the
+    * per-cell summary of the delta segment.
+    */
+  def appendToIvfIndex(batch: DataFrame, indexDir: String,
+                       dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val s = batch.sparkSession
+    val cents = s.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    buildQuantizedIndex(batch, cents, dim)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/delta")
+    s.read.parquet(s"$indexDir/delta")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cell"))
+  }
+
+  /** Query-side over base + delta segments: the recurring cost a deployed
+    * ANN service pays per batch AFTER an incremental ingest. The union is a
+    * metadata concatenation of two cell-partitioned parquet reads — probed
+    * cells still prune on the partition column in both segments.
+    */
+  def searchIvfIndexWithDelta(full: DataFrame, indexDir: String, k: Int,
+                              nProbe: Int = 9, rerankFactor: Int = 4,
+                              dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val s = full.sparkSession
+    val cents = s.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val segs = s.read.parquet(s"$indexDir/segments")
+      .unionByName(s.read.parquet(s"$indexDir/delta"))
+    searchQuantizedIndex(full, segs, cents, k, nProbe, rerankFactor, dim)
+  }
+
   /** Deterministic scratch location for the persisted-index battery entries,
     * keyed by the data directory so sf0.01 and sf0.1 never share an index.
     */
@@ -580,16 +621,43 @@ object Similarity {
     // real embedding corpora run far smaller probe ratios.
     "ann_ivf_quantized_topk" -> ((s, dir) =>
       ivfQuantizedTopK(emb(s, dir), k = 10, cells = 12, nProbe = 9, iters = 3)),
-    // incremental append: index trained+built on 90% of the corpus, the
-    // vec_id%10==0 batch assigned into the trained cells without retraining
-    // (approximate — rows-only; recall vs brute over the FULL corpus and
-    // batch-row findability spec-pinned)
+    // incremental append, full in-memory lifecycle in one entry (train on
+    // 90%, quantize both slices, search) — kept as the spec anchor
+    // (recall vs brute over the FULL corpus and batch-row findability
+    // pinned); the recurring costs are priced by the two split entries
+    // below
     "ann_ivf_append_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       ivfAppendedTopK(
         base = e.filter(col("vec_id") % 10 =!= 0),
         batch = e.filter(col("vec_id") % 10 === 0),
         k = 10, cells = 12, nProbe = 9, iters = 3)
+    }),
+    // recurring ingest cost: quantize+assign the vec_id%10==0 batch into the
+    // persisted base index's trained cells — one pass over the BATCH only
+    // (rows-only; lifecycle equality spec-pinned). Prerequisite base index
+    // builds once (guard covers isolated runs; min-of-N then samples the
+    // warm-prerequisite append).
+    "ann_ivf_append_build" -> ((s, dir) => {
+      val idx = indexDirFor(dir) + "-append"
+      val e = emb(s, dir)
+      if (!new java.io.File(s"$idx/segments/_SUCCESS").exists())
+        buildIvfIndex(e.filter(col("vec_id") % 10 =!= 0), idx,
+          cells = 12, iters = 3).count()
+      appendToIvfIndex(e.filter(col("vec_id") % 10 === 0), idx)
+    }),
+    // recurring query cost after an append: probe base+delta segments
+    // (rows-only; exact equality to the in-memory appended tier
+    // spec-pinned)
+    "ann_ivf_append_search" -> ((s, dir) => {
+      val idx = indexDirFor(dir) + "-append"
+      val e = emb(s, dir)
+      if (!new java.io.File(s"$idx/segments/_SUCCESS").exists())
+        buildIvfIndex(e.filter(col("vec_id") % 10 =!= 0), idx,
+          cells = 12, iters = 3).count()
+      if (!new java.io.File(s"$idx/delta/_SUCCESS").exists())
+        appendToIvfIndex(e.filter(col("vec_id") % 10 === 0), idx).count()
+      searchIvfIndexWithDelta(e, idx, k = 10, nProbe = 9)
     })
   )
 

@@ -202,6 +202,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Similarity: persisted append lifecycle ≡ the in-memory appended tier") {
+    // r8 split: base index persisted from 90% of the corpus, the batch
+    // quantized into the stored centroids as a delta segment, then searched
+    // over base+delta — must return EXACTLY ivfAppendedTopK with the same
+    // geometry (deterministic k-means), so the split entries price the same
+    // computation they replaced. Delta segment must hold exactly the batch.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = graft.Tables(spark, s"/root/testdata/$sf", "embeddings")
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+      val batch = e.filter(col("vec_id") % 10 === 0)
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Int]("rank"))).toSet
+      val dir = java.nio.file.Files.createTempDirectory("ivf-append-spec").toString
+      Similarity.buildIvfIndex(base, dir, cells = 12, iters = 3).count()
+      val deltaSummary = Similarity.appendToIvfIndex(batch, dir)
+        .agg(org.apache.spark.sql.functions.sum("n_vectors")).collect()(0).getLong(0)
+      assert(deltaSummary === batch.count(), "delta segment lost batch vectors")
+      val split = pairs(Similarity.searchIvfIndexWithDelta(e, dir, k = 10, nProbe = 9))
+      val inMemory = pairs(Similarity.ivfAppendedTopK(
+        base = base, batch = batch, k = 10, cells = 12, nProbe = 9, iters = 3))
+      assert(split === inMemory,
+        s"split append lifecycle drifted at $sf: " +
+          s"missing=${(inMemory -- split).take(3)} extra=${(split -- inMemory).take(3)}")
+    }
+  }
+
   test("Similarity: IVF×int8 scores ~nProbe/cells of the corpus") {
     // same probe stage as the float IVF, so the scored-candidate fraction is
     // probed-cell mass over corpus — the composition must still prune, not
