@@ -28,53 +28,94 @@ object Temporal {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "events")
 
-  /** As-of join: for each left row, the single most recent right row with
-    * `right.time <= left.time` on the same key (ties: the right row wins —
-    * i.e. a right row AT the left timestamp matches, like DuckDB/kdb ASOF).
+  /** As-of join, pandas-`merge_asof`/kdb-complete: for each left row, the
+    * single nearest right row on the same key in the requested `direction`
+    * — `"backward"` (most recent `right.time <= left.time`, the default),
+    * `"forward"` (earliest `right.time >= left.time`), or `"nearest"`
+    * (closer of the two; ties go backward, like pandas). A right row AT the
+    * left timestamp matches in every direction (DuckDB/kdb ASOF ties).
+    * `tolerance` (same units as `time`) bounds the match distance — a
+    * candidate farther than the tolerance yields null, exactly like a
+    * missing match.
     *
     * `carry` = right columns to surface (values at the matched row); output
-    * = left columns + carried columns (null when no preceding right row).
+    * = left columns + carried columns (null when no qualifying right row).
     *
     * Implementation: right rows sort BEFORE left rows at equal time via the
-    * side tag (right=0, left=1), and ALL carried columns travel in one
-    * struct that is non-null exactly on right rows — `last(struct,
-    * ignoreNulls)` then picks the latest right ROW atomically. (Carrying
+    * side tag (right=0, left=1), and ALL carried columns — plus the matched
+    * row's own time, needed for tolerance/nearest decisions — travel in one
+    * struct that is non-null exactly on right rows; `last(struct,
+    * ignoreNulls)` then picks the nearest right ROW atomically. (Carrying
     * each column with its own `last(_, ignoreNulls)` would skip genuinely
-    * null values on the matched row and fill them from OLDER right rows —
-    * mixed-row output no ASOF semantics allows.)
+    * null values on the matched row and fill them from OTHER right rows —
+    * mixed-row output no ASOF semantics allows.) The forward scan is the
+    * same window over descending time; `"nearest"` evaluates both window
+    * frames over ONE shuffle (two sorts, same hash partitioning on the
+    * key) — still never a nested-loop join, still one exchange total at
+    * any scale.
     */
   def asOfJoin(left: DataFrame, right: DataFrame,
                key: String, time: String,
-               carry: Map[String, String]): DataFrame = {
+               carry: Map[String, String],
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asOfJoin direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns.toSeq
     val nullOf: String => Column = c => lit(null).cast(left.schema(c).dataType)
     val carrySrc = carry.keys.toSeq
-    val rowStruct = struct(carrySrc.map(c => col(s"__c_$c").as(c)): _*)
+    val timeType = right.schema(time).dataType
+    val rowStruct = struct(col("__c___t").as("__t") +:
+      carrySrc.map(c => col(s"__c_$c").as(c)): _*)
     val nullRow = lit(null).cast(
-      org.apache.spark.sql.types.StructType(carrySrc.map(c =>
-        org.apache.spark.sql.types.StructField(c, right.schema(c).dataType))))
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__t", timeType) +:
+          carrySrc.map(c =>
+            org.apache.spark.sql.types.StructField(c, right.schema(c).dataType))))
     // union-aligned projections: left keeps its columns, right contributes
     // only the carried sources (renamed), each side nulls the other's slots
     val lTagged = left.select(
       (leftCols.map(col) :+ lit(1).as("__side")) ++
-        carrySrc.map(c => lit(null).cast(right.schema(c).dataType).as(s"__c_$c")): _*)
+        (lit(null).cast(timeType).as("__c___t") +:
+          carrySrc.map(c => lit(null).cast(right.schema(c).dataType).as(s"__c_$c"))): _*)
     val rTagged = right.select(
       (leftCols.map(c =>
         (if (c == key || c == time) col(c) else nullOf(c)).as(c)) :+
         lit(0).as("__side")) ++
-        carrySrc.map(c => col(c).as(s"__c_$c")): _*)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lTagged.unionByName(rTagged)
-      .select(
-        (leftCols.map(col) :+ col("__side")) :+
-          last(when(col("__side") === 0, rowStruct).otherwise(nullRow),
-            ignoreNulls = true).over(w).as("__carried"): _*)
+        (col(time).as("__c___t") +: carrySrc.map(c => col(c).as(s"__c_$c"))): _*)
+    def carried(ord: Column*): Column =
+      last(when(col("__side") === 0, rowStruct).otherwise(nullRow),
+        ignoreNulls = true).over(
+        Window.partitionBy(col(key)).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // only materialize the window frame(s) the direction needs — backward/
+    // forward pay one sort; nearest pays two over the same exchange
+    val carriedCols =
+      (if (direction != "forward")
+        Seq(carried(col(time), col("__side")).as("__b")) else Nil) ++
+      (if (direction != "backward")
+        Seq(carried(col(time).desc, col("__side")).as("__f")) else Nil)
+    val stepped = lTagged.unionByName(rTagged)
+      .select((leftCols.map(col) :+ col("__side")) ++ carriedCols: _*)
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ carry.toSeq.map { case (src, out) =>
-        col(s"__carried.$src").as(out)
-      }: _*)
+    val lt = col(time)
+    def gate(c: Column, dist: Column => Column): Column = tolerance match {
+      case Some(tol) => when(dist(c.getField("__t")) <= tol, c)
+      case None => c
+    }
+    val chosen = direction match {
+      case "backward" => gate(col("__b"), lt - _)
+      case "forward"  => gate(col("__f"), _ - lt)
+      case "nearest"  =>
+        val b = gate(col("__b"), lt - _)
+        val f = gate(col("__f"), _ - lt)
+        when(b.isNotNull &&
+          (f.isNull || (lt - b.getField("__t")) <= (f.getField("__t") - lt)), b)
+          .otherwise(f)
+    }
+    stepped.select(leftCols.map(col) ++ carry.toSeq.map { case (src, out) =>
+      chosen.getField(src).as(out)
+    }: _*)
   }
 
   /** Interval join via time bucketing: events ⋈ intervals on
@@ -128,6 +169,55 @@ object Temporal {
           coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
     }),
 
+    // forward as-of: each click attributed to the user's NEXT purchase at
+    // or after it — the "time-to-conversion" shape (same µs-grain and -1
+    // sentinel notes as asof_last_purchase)
+    "asof_next_purchase" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      asOfJoin(clicks, purchases, key = "user_id", time = "ts_us",
+          carry = Map("ts_us" -> "purchase_us"), direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("click_us"),
+          coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
+    }),
+
+    // bounded-lookback as-of: most recent purchase within 30 minutes before
+    // the click; a staler match nulls out exactly like no match (pandas
+    // merge_asof tolerance semantics)
+    "asof_tolerance_attrib" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      asOfJoin(clicks, purchases, key = "user_id", time = "ts_us",
+          carry = Map("ts_us" -> "purchase_us"),
+          tolerance = Some(AttribWindowNs / 1000))
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("click_us"),
+          coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
+    }),
+
+    // nearest as-of: the purchase closest to each click in either
+    // direction, ties to the preceding one (pandas direction='nearest') —
+    // both window frames ride ONE shuffle
+    "asof_nearest_purchase" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      asOfJoin(clicks, purchases, key = "user_id", time = "ts_us",
+          carry = Map("ts_us" -> "purchase_us"), direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("click_us"),
+          coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
+    }),
+
     // range join: clicks landing in (purchase, purchase + 30min] per user,
     // aggregated per purchase — bucketed equi-join, exact-decimal value sum.
     // µs grain on both engines (same truncate-before-compare note as asof).
@@ -163,6 +253,31 @@ object Temporal {
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "asof_next_purchase" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us,
+        |       COALESCE(epoch_us(r.ts), -1) AS purchase_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+    "asof_tolerance_attrib" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us,
+        |  COALESCE(CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 1800000000
+        |    THEN epoch_us(r.ts) END, -1) AS purchase_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "asof_nearest_purchase" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT c.event_id, epoch_us(r.ts) AS bt FROM c
+        |      ASOF LEFT JOIN p r ON c.user_id = r.user_id AND c.ts >= r.ts),
+        |f AS (SELECT c.event_id, epoch_us(r.ts) AS ft FROM c
+        |      ASOF LEFT JOIN p r ON c.user_id = r.user_id AND c.ts <= r.ts)
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+        |  COALESCE(CASE WHEN b.bt IS NOT NULL AND (f.ft IS NULL
+        |      OR epoch_us(c.ts) - b.bt <= f.ft - epoch_us(c.ts))
+        |    THEN b.bt ELSE f.ft END, -1) AS purchase_us
+        |FROM c JOIN b USING (event_id) JOIN f USING (event_id)""".stripMargin,
     "range_join_attrib" ->
       """SELECT p.event_id AS purchase_id,
         |  COUNT(c.user_id) AS n_clicks,

@@ -110,6 +110,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan.take(800))
   }
 
+  test("nearest as-of rides ONE exchange: both window frames share the key partitioning") {
+    // direction="nearest" evaluates an ascending AND a descending frame —
+    // the second frame must cost a sort, not a second shuffle (both windows
+    // hash-partition on the same key). A second Exchange here would double
+    // the network cost of every nearest-attribution at 100 TB.
+    val df = q("asof_nearest_purchase")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(800))
+    // under AQE the plan string repeats the tree in an "Initial Plan"
+    // section — count exchanges only in the final (executed) section
+    val finalSection = plan.split(java.util.regex.Pattern.quote("== Initial Plan =="))(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(exchanges == 1, s"expected 1 key exchange, saw $exchanges:\n${plan.take(1200)}")
+  }
+
   test("range join plans as an equi-join on (key, bucket), never a nested loop") {
     val df = q("range_join_attrib")
     df.collect()

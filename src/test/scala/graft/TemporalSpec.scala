@@ -35,6 +35,49 @@ class TemporalSpec extends AnyFunSuite {
       (4L, None, None)))
   }
 
+  test("asOfJoin directions and tolerance: forward, nearest, bounded lookback") {
+    val left = Seq(
+      (1L, 10L, 100L), // right rows at 50 and 100
+      (2L, 10L, 60L),
+      (3L, 10L, 40L),
+      (4L, 20L, 500L)  // user with no right rows
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 50L, "a"), (10L, 100L, "b"), (30L, 10L, "z")
+    ).toDF("user_id", "ts", "tag")
+    def run(direction: String, tol: Option[Long]) =
+      Temporal.asOfJoin(left, right, "user_id", "ts",
+          carry = Map("tag" -> "m_tag"), direction = direction, tolerance = tol)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(3)))).toSeq
+    // forward: earliest right AT or after; right at the left ts matches
+    assert(run("forward", None) === Seq(
+      (1L, Some("b")), (2L, Some("b")), (3L, Some("a")), (4L, None)))
+    // nearest: closer side wins (60 → back@50 dist 10 beats fwd@100 dist 40;
+    // 40 → only fwd@50 exists); exact-at matches count as distance 0
+    assert(run("nearest", None) === Seq(
+      (1L, Some("b")), (2L, Some("a")), (3L, Some("a")), (4L, None)))
+    // backward tolerance: 60→50 is within 15 but not within 5
+    assert(run("backward", Some(15L)) === Seq(
+      (1L, Some("b")), (2L, Some("a")), (3L, None), (4L, None)))
+    assert(run("backward", Some(5L)) === Seq(
+      (1L, Some("b")), (2L, None), (3L, None), (4L, None)))
+    // forward tolerance: 60→100 (dist 40) nulls under 30; 40→50 survives
+    assert(run("forward", Some(30L)) === Seq(
+      (1L, Some("b")), (2L, None), (3L, Some("a")), (4L, None)))
+    // nearest tolerance gates each side BEFORE choosing: at tol=30 the
+    // backward candidate for 60 (dist 10) survives, forward (dist 40) dies
+    assert(run("nearest", Some(30L)) === Seq(
+      (1L, Some("b")), (2L, Some("a")), (3L, Some("a")), (4L, None)))
+    // tie at equal distance goes backward (pandas): left@75 between 50 and
+    // 100 — equidistant 25 → backward 'a'
+    val tieLeft = Seq((9L, 10L, 75L)).toDF("event_id", "user_id", "ts")
+    val tie = Temporal.asOfJoin(tieLeft, right, "user_id", "ts",
+        carry = Map("tag" -> "m_tag"), direction = "nearest")
+      .collect().map(r => Option(r.get(3))).toSeq
+    assert(tie === Seq(Some("a")))
+  }
+
   test("asOfJoin: a null carried value on the matched row stays null (atomic row carry)") {
     // right@100 has tag=NULL; carrying columns independently would fill the
     // tag from the OLDER right@50 row — all carried values must come from
