@@ -142,6 +142,36 @@ object Temporal {
       .drop("__b")
   }
 
+  /** Interval-OVERLAP join (both sides intervals — the shape rangeJoinBucketed
+    * can't express): pairs with `a.start < b.end AND b.start < a.end` on a
+    * shared key, as an EQUI-join on (key, bucket). Both sides explode to the
+    * buckets they cover; an overlapping pair shares every bucket between
+    * `max(a.start, b.start) div w` and the earlier end, so the join keeps a
+    * pair only in its OWNER bucket — `greatest(a.start div w, b.start div w)`
+    * — which both sides provably cover (the later-starting side covers its
+    * own start bucket; the earlier side covers it because its end exceeds
+    * the later start). Exact, with NO post-join distinct shuffle; the
+    * replication factor is interval_len/width + 1 per side, and the exact
+    * predicate refilters after the equi-join.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, key: String,
+                          aStart: String, aEnd: String,
+                          bStart: String, bEnd: String,
+                          bucketWidth: Long): DataFrame = {
+    val ae = a.withColumn("__b",
+      explode(sequence(expr(s"`$aStart` div $bucketWidth"),
+        expr(s"`$aEnd` div $bucketWidth"))))
+    val be = b.withColumn("__b",
+      explode(sequence(expr(s"`$bStart` div $bucketWidth"),
+        expr(s"`$bEnd` div $bucketWidth"))))
+    ae.join(be, Seq(key, "__b"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("__b") ===
+        greatest(expr(s"`$aStart` div $bucketWidth"),
+          expr(s"`$bStart` div $bucketWidth")))
+      .drop("__b")
+  }
+
   /** 30 minutes in nanoseconds (events.ts is a nano-epoch long). */
   private val AttribWindowNs = 30L * 60 * 1000 * 1000 * 1000
 
@@ -218,6 +248,27 @@ object Temporal {
           coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
     }),
 
+    // interval-overlap join: purchase attribution windows [ts, ts+30min)
+    // overlapping click engagement windows [ts, ts+5min) per user — both
+    // sides are intervals, bucketed equi-join, owner-bucket dedup-free
+    "interval_overlap_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val pw = AttribWindowNs / 1000          // 30 min in µs
+      val cw = 5L * 60 * 1000 * 1000          // 5 min in µs
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          expr("ts div 1000").as("p_start"),
+          (expr("ts div 1000") + pw).as("p_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          expr("ts div 1000").as("c_start"),
+          (expr("ts div 1000") + cw).as("c_end"))
+      intervalOverlapJoin(purchases, clicks, key = "user_id",
+          aStart = "p_start", aEnd = "p_end",
+          bStart = "c_start", bEnd = "c_end", bucketWidth = pw)
+        .select(col("purchase_id"), col("click_id"))
+    }),
+
     // range join: clicks landing in (purchase, purchase + 30min] per user,
     // aggregated per purchase — bucketed equi-join, exact-decimal value sum.
     // µs grain on both engines (same truncate-before-compare note as asof).
@@ -278,6 +329,13 @@ object Temporal {
         |      OR epoch_us(c.ts) - b.bt <= f.ft - epoch_us(c.ts))
         |    THEN b.bt ELSE f.ft END, -1) AS purchase_us
         |FROM c JOIN b USING (event_id) JOIN f USING (event_id)""".stripMargin,
+    "interval_overlap_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND epoch_us(p.ts) < epoch_us(c.ts) + 300000000
+        | AND epoch_us(c.ts) < epoch_us(p.ts) + 1800000000""".stripMargin,
     "range_join_attrib" ->
       """SELECT p.event_id AS purchase_id,
         |  COUNT(c.user_id) AS n_clicks,

@@ -42,6 +42,44 @@ object Versioning {
       .filter(col("status") =!= "unchanged")
   }
 
+  /** Delta WITH payload — the materialized artifact [[applyDiff]] consumes:
+    * [[corpusDiff]]'s (doc_id, status) rows plus the NEW-side row content
+    * for added/changed documents (data columns null on removed rows).
+    *
+    * Scale shape: statuses come from the digest-only diff; payload text is
+    * then fetched by an id join against the delta-sized status set — AQE
+    * broadcasts the small side, so corpus text is read once and never
+    * shuffles. Between adjacent snapshots the delta is a sliver of the
+    * corpus; the expensive side stays a scan.
+    */
+  def corpusDiffRows(oldV: DataFrame, newV: DataFrame): DataFrame = {
+    val dataCols = newV.columns.toSeq.filterNot(_ == "doc_id")
+    val d = corpusDiff(oldV, newV)
+    val payload = newV.join(d.filter(col("status") =!= "removed"), Seq("doc_id"))
+      .select(col("doc_id") +: col("status") +: dataCols.map(col): _*)
+    val removed = d.filter(col("status") === "removed")
+      .select(col("doc_id") +: col("status") +: dataCols.map(c =>
+        lit(null).cast(newV.schema(c).dataType).as(c)): _*)
+    payload.unionByName(removed)
+  }
+
+  /** Inverse of [[corpusDiffRows]]: reconstruct the new snapshot from the
+    * old one plus a delta — the incremental-snapshot primitive that lets a
+    * pipeline store full corpora sparsely (one base + small deltas) and
+    * re-materialize any version. `applyDiff(v1, corpusDiffRows(v1, v2)) ≡
+    * v2` exactly (oracle- and spec-pinned).
+    *
+    * Scale shape: untouched documents pass through an anti-join against the
+    * delta-sized id set (broadcast under AQE — the corpus never shuffles);
+    * added/changed rows stream in from the delta by union. One scan of
+    * each input, no wide exchange.
+    */
+  def applyDiff(oldV: DataFrame, delta: DataFrame): DataFrame = {
+    val kept = oldV.join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+    val incoming = delta.filter(col("status") =!= "removed").drop("status")
+    kept.unionByName(incoming.select(oldV.columns.toSeq.map(col): _*))
+  }
+
   /** The battery's simulated version pair, derived from doc_id so the
     * oracle re-creates both sides bit-for-bit: v1 lacks the %13==0 docs
     * (→ added), v2 revises the text of %11==0 docs (→ changed; %11∩%13
@@ -57,6 +95,20 @@ object Versioning {
           when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
             .otherwise(col("text")))
       corpusDiff(v1, v2)
+    }),
+
+    // snapshot round trip: v2 rebuilt from v1 + the payload delta must be
+    // v2 itself — the oracle constructs v2 directly, so any drift in diff,
+    // payload fetch, or apply breaks the hash
+    "corpus_diff_apply" -> ((s, dir) => {
+      val d = graft.Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val v1 = d.filter(col("doc_id") % 13 =!= 0)
+      val v2 = d.filter(col("doc_id") % 17 =!= 4)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      applyDiff(v1, corpusDiffRows(v1, v2))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -76,5 +128,9 @@ object Versioning {
         |         WHEN v1.fp IS DISTINCT FROM v2.fp THEN 'changed'
         |         ELSE 'unchanged' END AS status
         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
-        |SELECT doc_id, status FROM j WHERE status <> 'unchanged'""".stripMargin)
+        |SELECT doc_id, status FROM j WHERE status <> 'unchanged'""".stripMargin,
+    "corpus_diff_apply" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+        |FROM documents WHERE doc_id % 17 <> 4""".stripMargin)
 }

@@ -361,6 +361,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out === Map(2L -> "removed", 3L -> "changed", 5L -> "added"))
   }
 
+  test("Versioning.applyDiff ∘ corpusDiffRows reconstructs the new snapshot exactly") {
+    import graft.operators.Versioning
+    val v1 = Seq(
+      (1L, "stable content here"),
+      (2L, "will be removed"),
+      (3L, "original text"),
+      (4L, "spaced    out   text")
+    ).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "stable content here"),
+      (3L, "revised text"),
+      (4L, "spaced out text"),
+      (5L, "brand new doc")
+    ).toDF("doc_id", "text")
+    // the delta carries payload for added/changed only; removed rows are a
+    // null-text tombstone
+    val delta = Versioning.corpusDiffRows(v1, v2).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(delta === Set(
+      (2L, "removed", None),
+      (3L, "changed", Some("revised text")),
+      (5L, "added", Some("brand new doc"))))
+    // round trip on the hand case: whitespace-unchanged doc 4 keeps its V1
+    // byte form (fingerprint-identity means it never entered the delta)
+    val rebuilt = Versioning.applyDiff(v1, Versioning.corpusDiffRows(v1, v2))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt === Map(1L -> "stable content here", 3L -> "revised text",
+      4L -> "spaced    out   text", 5L -> "brand new doc"))
+    // round trip on the real corpus with byte-level (non-normalizing) edits
+    val d = Tables(spark, sf2, "documents").select(col("doc_id"), col("text"))
+    val r1 = d.filter(col("doc_id") % 7 =!= 0)
+    val r2 = d.filter(col("doc_id") % 5 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    val got = Versioning.applyDiff(r1, Versioning.corpusDiffRows(r1, r2))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = r2.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want)
+  }
+
   test("Sampling.reservoirPerStratum: exactly k, deterministic, dense ranks") {
     import graft.operators.Sampling
     val d = Tables(spark, sf2, "documents")

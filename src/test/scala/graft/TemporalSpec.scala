@@ -318,6 +318,32 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("intervalOverlapJoin agrees with a naive inequality join, any bucket width") {
+    val rnd = new scala.util.Random(23)
+    val as = Seq.tabulate(60)(i =>
+      (i.toLong, (rnd.nextInt(4) + 1).toLong, rnd.nextInt(5000).toLong))
+      .map { case (id, k, s) => (id, k, s, s + 100L + rnd.nextInt(1200)) }
+    val bs = Seq.tabulate(80)(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(6000).toLong))
+      .map { case (id, k, s) => (id, k, s, s + 50L + rnd.nextInt(700)) }
+    val want = (for {
+      (ai, ak, astart, aend) <- as
+      (bi, bk, bstart, bend) <- bs
+      if ak == bk && astart < bend && bstart < aend
+    } yield (ai, bi)).toSet
+    // exactness (incl. the owner-bucket dedup) must hold for widths smaller
+    // than, comparable to, and larger than the interval lengths
+    for (w <- Seq(64L, 500L, 4096L)) {
+      val got = Temporal.intervalOverlapJoin(
+          as.toDF("a_id", "k", "a_s", "a_e"), bs.toDF("b_id", "k", "b_s", "b_e"),
+          key = "k", aStart = "a_s", aEnd = "a_e",
+          bStart = "b_s", bEnd = "b_e", bucketWidth = w)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"width $w produced duplicate pairs")
+      assert(got.toSet === want, s"width $w drifted from the naive join")
+    }
+  }
+
   test("binPackFFD: budget respected, overflow isolated, deterministic") {
     val d = Seq(
       (1L, "en", 300), (2L, "en", 300), (3L, "en", 200), (4L, "en", 200),
