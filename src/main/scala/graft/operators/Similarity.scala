@@ -541,15 +541,18 @@ object Similarity {
     * per-cell summary of the delta segment.
     */
   def appendToIvfIndex(batch: DataFrame, indexDir: String,
-                       dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+                       dim: Int = graft.Tables.EmbeddingDim,
+                       segment: String = "delta"): DataFrame = {
+    require(segment.startsWith("delta"),
+      s"delta segments must be named delta* so searches discover them, got '$segment'")
     val s = batch.sparkSession
     val cents = s.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
     buildQuantizedIndex(batch, cents, dim)
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/delta")
-    s.read.parquet(s"$indexDir/delta")
+      .parquet(s"$indexDir/$segment")
+    s.read.parquet(s"$indexDir/$segment")
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cell"))
   }
@@ -566,8 +569,17 @@ object Similarity {
     val cents = s.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
-    val segs = s.read.parquet(s"$indexDir/segments")
-      .unionByName(s.read.parquet(s"$indexDir/delta"))
+    // discover every landed delta segment (single batch appends write
+    // `delta`, streaming ingest writes `delta_b<batchId>` per micro-batch)
+    // via the Hadoop FS API — the index lives on HDFS/S3 in production,
+    // never behind java.io.File
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val deltaDirs = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta"))
+      .map(_.getPath.toString).sorted
+    val segs = (s"$indexDir/segments" +: deltaDirs)
+      .map(p => s.read.parquet(p)).reduce(_ unionByName _)
     searchQuantizedIndex(full, segs, cents, k, nProbe, rerankFactor, dim)
   }
 

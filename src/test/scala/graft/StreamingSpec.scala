@@ -385,4 +385,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.nonEmpty && batch.keys.map(_._1).toSet.size === 4) // 4 hours
     } finally q.stop()
   }
+
+  test("streaming IVF ingest: per-batch delta segments compose to the batch append path") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-stream-spec").toString
+    Similarity.buildIvfIndex(base, dir, cells = 12, iters = 3).count()
+    val input = MemoryStream[(Long, Array[Float])]
+    var landed = List.empty[(Long, Long)]
+    val q = graft.streaming.VectorIngest.ivfIngestStream(
+      input.toDF().toDF("vec_id", "embedding"), dir) {
+      (id, n) => landed ::= (id, n)
+    }
+    try {
+      val rows = batch.select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect()
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      assert(landed.map(_._2).sum === rows.length,
+        s"delta segments lost vectors: $landed")
+      assert(landed.size === 2, s"expected 2 delta segments, saw $landed")
+    } finally q.stop()
+    // search over base + the two streamed deltas ≡ the single-shot batch
+    // append (quantization is per-row, so micro-batching must not matter)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val streamed = pairs(Similarity.searchIvfIndexWithDelta(e, dir, k = 10, nProbe = 9))
+    val inMemory = pairs(Similarity.ivfAppendedTopK(
+      base = base, batch = batch, k = 10, cells = 12, nProbe = 9, iters = 3))
+    assert(streamed === inMemory,
+      s"streamed index drifted: missing=${(inMemory -- streamed).take(3)} " +
+        s"extra=${(streamed -- inMemory).take(3)}")
+  }
 }
