@@ -54,6 +54,7 @@ object SparkEntry {
     graft.operators.Packing.queries,
     graft.operators.Curation.queries,
     graft.operators.QualityClassifier.queries,
+    graft.operators.Bpe.queries,
     graft.streaming.EventStreams.queries,
     graft.models.ComposedPipeline.queries)
 
@@ -74,6 +75,7 @@ object SparkEntry {
     graft.operators.Packing.oracles,
     graft.operators.Curation.oracles,
     graft.operators.QualityClassifier.oracles,
+    graft.operators.Bpe.oracles,
     graft.streaming.EventStreams.oracles,
     graft.models.ComposedPipeline.oracles)
 

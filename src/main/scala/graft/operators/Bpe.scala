@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Character-level byte-pair encoding (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the subword tokenizer a training-data pipeline runs
+  * over every document it ships: vocabulary induction (merge learning) and
+  * corpus encoding, both shaped for 100 TB.
+  *
+  * Scale design — training never re-scans the corpus per merge:
+  *   - Spark reduces the corpus to its WORD-FREQUENCY table in one
+  *     vocabulary-bounded shuffle ([[wordFreqs]]); at web scale the distinct
+  *     vocabulary is millions of rows where the corpus is trillions of
+  *     tokens, so this is the only corpus-wide pass;
+  *   - the classic greedy merge loop ([[learnMerges]]) runs over those
+  *     counts with vocabulary-sized state — the same single-node training
+  *     shape sentencepiece/fastText use; each iteration is O(vocab) pair
+  *     recount, trivially affordable off-cluster;
+  *   - encoding ([[encode]]) broadcasts the rank table (merge list — KBs to
+  *     low MBs) and applies per row in one map-side pass: no shuffle, no
+  *     corpus-wide state. The per-word merge loop is genuinely iterative
+  *     data-dependent logic no builtin expresses — the documented UDF
+  *     exception (vs. the engine's otherwise builtin/codegen-expression
+  *     discipline).
+  */
+object Bpe {
+
+  /** End-of-word sentinel appended to each word's final symbol, so merges
+    * distinguish word-internal from word-final pairs ("es" vs "es</w>").
+    */
+  val EndOfWord = "</w>"
+
+  /** Corpus word-frequency table: (word, n), lower-cased whitespace words —
+    * the ONLY corpus-wide pass in BPE training.
+    */
+  def wordFreqs(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** A word as its initial symbol sequence: characters, with [[EndOfWord]]
+    * glued to the final one.
+    */
+  private def initialSymbols(word: String): Vector[String] = {
+    val cs = word.map(_.toString).toVector
+    cs.init :+ (cs.last + EndOfWord)
+  }
+
+  /** Greedy merge learning over a word-frequency table: `numMerges` rounds
+    * of "count all adjacent symbol pairs weighted by word frequency, merge
+    * the most frequent" (ties broken lexicographically so the result is
+    * deterministic across runs and partitionings). Stops early when no pair
+    * occurs twice.
+    */
+  def learnMerges(wordCounts: Seq[(String, Long)],
+                  numMerges: Int): Seq[(String, String)] = {
+    var vocab = wordCounts.filter(_._1.nonEmpty)
+      .map { case (w, n) => initialSymbols(w) -> n }
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
+          i += 1
+        }
+      }
+      val best = pairCounts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case Some((pair, n)) if n >= 2 =>
+          merges += pair
+          vocab = vocab.map { case (syms, cnt) => mergePair(syms, pair) -> cnt }
+        case _ => done = true
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  /** One left-to-right pass replacing every non-overlapping occurrence of
+    * `pair` with its concatenation.
+    */
+  private def mergePair(syms: Vector[String],
+                        pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Encode one word under a rank table (merge → training round): repeatedly
+    * apply the LOWEST-ranked applicable merge — the standard BPE inference
+    * order, which reproduces training segmentation on training words.
+    */
+  def encodeWord(word: String,
+                 ranks: Map[(String, String), Int]): Vector[String] = {
+    if (word.isEmpty) return Vector.empty
+    var syms = initialSymbols(word)
+    var continue = true
+    while (continue && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPair = (syms(i), syms(i + 1)) }
+        i += 1
+      }
+      if (bestPair == null) continue = false
+      else syms = mergePair(syms, bestPair)
+    }
+    syms
+  }
+
+  /** Corpus encoding: per-doc subword tokens under the broadcast rank
+    * table. Output: (doc_id, n_words, n_subwords, subwords_per_word) —
+    * the fertility statistic a tokenizer budget planner needs per doc.
+    */
+  def encode(d: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = d.sparkSession
+    val ranksB = spark.sparkContext.broadcast(
+      merges.zipWithIndex.toMap)
+    val subwordCount = udf { (words: Seq[String]) =>
+      val ranks = ranksB.value
+      var n = 0L
+      words.foreach { w => if (w.nonEmpty) n += encodeWord(w, ranks).length }
+      n
+    }
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("text"))).as("words"))
+      .select(col("doc_id"),
+        size(filter(col("words"), w => w =!= "")).cast("long").as("n_words"),
+        subwordCount(col("words")).as("n_subwords"))
+      .withColumn("subwords_per_word",
+        when(col("n_words") > 0,
+          round(col("n_subwords").cast("double") / col("n_words"), 4))
+          .otherwise(lit(null).cast("double")))
+  }
+
+  /** Battery wiring: learn merges from the corpus' top words (count-desc,
+    * word-asc — deterministic), then encode every document. The learned
+    * table is vocabulary-derived, so the entry is reproducible bit-for-bit
+    * across partitionings.
+    */
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "text_bpe_encode" -> ((s, dir) => {
+      val d = graft.Tables(s, dir, "documents")
+      val top = wordFreqs(d)
+        .orderBy(col("n").desc, col("word")).limit(2000)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      encode(d, learnMerges(top, numMerges = 40))
+    }))
+
+  def oracles: Map[String, String] = Map.empty
+}

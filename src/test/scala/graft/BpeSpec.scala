@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+/** Character-level BPE specs: the classic Sennrich corpus learns the
+  * canonical merge sequence, inference reproduces training segmentation,
+  * every encoding concatenates back to its word (losslessness), and more
+  * merges never increase the corpus token count.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val paperVocab = Seq(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  test("learnMerges reproduces the canonical first merges on the paper corpus") {
+    // weighted pair counts: (e,s)=9 ties (s,t</w>)=9 → lexicographic; then
+    // (es,t</w>)=9, (l,o)=7, and the 6-count tie resolves to (e,w)
+    val merges = Bpe.learnMerges(paperVocab, numMerges = 4)
+    assert(merges === Seq(
+      ("e", "s"), ("es", "t</w>"), ("l", "o"), ("e", "w")))
+  }
+
+  test("encodeWord segments an unseen word with learned merges, losslessly") {
+    val ranks = Bpe.learnMerges(paperVocab, numMerges = 4).zipWithIndex.toMap
+    assert(Bpe.encodeWord("lowest", ranks) === Vector("lo", "w", "est</w>"))
+    // losslessness holds for any word, in- or out-of-vocabulary
+    for (w <- Seq("low", "lower", "newest", "widest", "lowest", "wide", "xyz")) {
+      val joined = Bpe.encodeWord(w, ranks).mkString
+      assert(joined === w + Bpe.EndOfWord, s"lossy encoding of '$w': $joined")
+    }
+    // zero merges degenerate to characters
+    assert(Bpe.encodeWord("abc", Map.empty) === Vector("a", "b", "c</w>"))
+  }
+
+  test("full-merge training segments training words back to whole words") {
+    // with enough rounds every training word collapses to a single symbol —
+    // the fixed point that proves inference follows training order
+    val ranks = Bpe.learnMerges(paperVocab, numMerges = 100).zipWithIndex.toMap
+    for ((w, _) <- paperVocab)
+      assert(Bpe.encodeWord(w, ranks) === Vector(w + Bpe.EndOfWord), w)
+  }
+
+  test("corpus encoding: fertility bounds and monotone compression in merges") {
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val top = Bpe.wordFreqs(d).orderBy(col("n").desc, col("word")).limit(500)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    def totalSubwords(numMerges: Int): Long =
+      Bpe.encode(d, Bpe.learnMerges(top, numMerges))
+        .agg(sum("n_subwords")).head().getLong(0)
+    val Seq(m0, m20, m60) = Seq(0, 20, 60).map(totalSubwords)
+    assert(m0 > m20 && m20 > m60,
+      s"more merges must compress: $m0 → $m20 → $m60")
+    // fertility floor: a subword count can never drop below the word count
+    val viol = Bpe.encode(d, Bpe.learnMerges(top, 60))
+      .filter(col("n_subwords") < col("n_words")).count()
+    assert(viol === 0L)
+  }
+}
