@@ -277,6 +277,23 @@ object Relational {
           ntile(4).over(w).as("quartile"))
     }),
 
+    // time-RANGE window frame (beyond): sliding 1-hour lookback per user —
+    // a RangeFrame, physically distinct from w2's RowFrame (peers at equal
+    // ts all enter the frame; frame bounds move by VALUE, not row count).
+    // µs grain + decimal sum for engine-exact compare.
+    "w5_time_range_window" -> ((s, dir) => {
+      val hourUs = 3600L * 1000 * 1000
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-hourUs, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("v_1h"))
+    }),
+
     // multi-dimensional aggregates (absent in the reference — exceed parity).
     "a8_rollup" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -593,6 +610,13 @@ object Relational {
         |  NTILE(4) OVER w AS quartile
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+    "w5_time_range_window" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_1h
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "a8_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
