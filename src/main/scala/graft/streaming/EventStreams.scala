@@ -160,6 +160,85 @@ object EventStreams {
       .select(col("purchase_id"), col("click_id"))
   }
 
+  final case class EventT(event_id: Long, ts: Long, user_id: Long,
+                          event_type: String, value: Double,
+                          event_time: java.sql.Timestamp)
+  final case class AsOfState(clicks: List[Event], purchaseTs: List[Long])
+  final case class Attribution(event_id: Long, user_id: Long,
+                               click_ts: Long, purchase_ts: Long)
+
+  /** Streaming as-of attribution — the streaming twin of
+    * [[graft.operators.Temporal.asOfJoin]] (backward direction): each click
+    * attributes to the user's most recent purchase at-or-before it,
+    * tolerating out-of-order arrival up to the watermark delay. The
+    * stream-stream interval join above can't express this ("most recent",
+    * not "all within a window"), and Spark has no built-in streaming as-of
+    * join — this is the flatMapGroupsWithState custom-state path.
+    *
+    * Protocol, per user key:
+    *   - clicks buffer until the watermark passes their event time
+    *     STRICTLY (only then can no on-time purchase at-or-before them
+    *     still arrive — a purchase AT the click timestamp ties and must be
+    *     waited for), then emit exactly once, in (ts, event_id) order;
+    *   - purchases fold into a sorted ts list pruned by dominance: every
+    *     purchase at-or-after the watermark survives, plus ONLY the latest
+    *     one before it (older past purchases can never win an as-of match
+    *     for any future-matured click — same pruning a 100 TB deployment
+    *     needs to keep state horizon-bounded);
+    *   - an event-time timeout at the earliest pending click (+1 ms for
+    *     the ms-grain timeout clock) drains matured clicks for users whose
+    *     groups receive no further input;
+    *   - state is capped at `maxBuffer` pending clicks / retained
+    *     purchases: overflow clicks force-emit with current knowledge and
+    *     the oldest surplus purchases drop — the documented bounded-state
+    *     tradeoff, same as [[sessionize]].
+    *
+    * Unmatched clicks emit `purchase_ts = -1` (the battery's sentinel
+    * convention). Other event types pass through the state machine as
+    * no-ops but still advance the watermark.
+    */
+  def asOfAttributionStream(events: DataFrame, watermark: String = "1 hour",
+                            maxBuffer: Int = 100000)
+                           (implicit spark: SparkSession): Dataset[Attribution] = {
+    import spark.implicits._
+    val typed = withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("event_time"))
+      .as[EventT]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, Attribution](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[EventT], state: GroupState[AsOfState]) =>
+          val wmNs = state.getCurrentWatermarkMs() * 1000000L
+          val st = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          val incoming = it.toList
+          val clicks = st.clicks ++ incoming
+            .filter(_.event_type == "click")
+            .map(e => Event(e.event_id, e.ts, e.user_id, e.event_type, e.value))
+          val purchases = (st.purchaseTs ++
+            incoming.filter(_.event_type == "purchase").map(_.ts)).sorted
+          val (matured, pendingAll) = clicks.partition(_.ts < wmNs)
+          val pendingSorted = pendingAll.sortBy(e => (e.ts, e.event_id))
+          val overflow = math.max(0, pendingSorted.size - maxBuffer)
+          val (forced, pending) = pendingSorted.splitAt(overflow)
+          val out = (matured ++ forced).sortBy(e => (e.ts, e.event_id)).map { c =>
+            val atOrBefore = purchases.takeWhile(_ <= c.ts)
+            Attribution(c.event_id, userId, c.ts,
+              if (atOrBefore.nonEmpty) atOrBefore.last else -1L)
+          }
+          val (past, future) = purchases.partition(_ < wmNs)
+          val keptPurchases = (past.lastOption.toList ++ future).takeRight(maxBuffer)
+          if (pending.isEmpty && keptPurchases.isEmpty) state.remove()
+          else {
+            state.update(AsOfState(pending, keptPurchases))
+            pending.headOption.foreach(c =>
+              state.setTimeoutTimestamp(c.ts / 1000000L + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Windowed per-source document-quality monitor — the live gauge a
     * streaming ingest runs beside [[DocIngest]]: per (hour-window, source),
     * document count and exact-decimal quality mass (sum of the round4

@@ -386,6 +386,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of attribution: out-of-order purchases attribute before maturity") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    val attrib = EventStreams.asOfAttributionStream(
+      input.toDF().withColumn("ts", org.apache.spark.sql.functions.col("ts") * 1000),
+      watermark = "60 minutes")
+    val q = attrib.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_stream").start()
+    try {
+      // clicks arrive FIRST in processing time; their purchase comes later
+      input.addData(ev(1, 100, 1, "click"), ev(2, 40, 1, "click"))
+      q.processAllAvailable()
+      // watermark (100-60=40 min) has not passed any click strictly → no
+      // premature emission (emitting now would miss the late purchase)
+      assert(spark.table("asof_stream").count() === 0)
+      // the purchase at minute 60 is processing-late but event-time-on-time
+      input.addData(ev(3, 60, 1, "purchase"), ev(4, 90, 2, "click"),
+        ev(5, 80, 2, "purchase"))
+      q.processAllAvailable()
+      // a far-future event advances the watermark; pending clicks mature
+      input.addData(ev(6, 400, 99, "view"))
+      q.processAllAvailable()
+      val out = spark.table("asof_stream").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("purchase_ts")).toMap
+      val minNs = 60L * 1000 * 1000 * 1000
+      assert(out === Map(1L -> 60 * minNs, 2L -> -1L, 4L -> 80 * minNs))
+    } finally q.stop()
+  }
+
+  test("streaming as-of attribution ≡ the batch as-of join on shuffled arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val rnd = new scala.util.Random(7)
+    val evs = (1 to 240).map { i =>
+      val typ = Seq("click", "purchase", "view")(rnd.nextInt(3))
+      ev(i.toLong, 10 + rnd.nextInt(600).toLong, 1 + rnd.nextInt(5).toLong, typ)
+    }
+    val input = MemoryStream[EventStreams.Event]
+    val attrib = EventStreams.asOfAttributionStream(
+      input.toDF().withColumn("ts", col("ts") * 1000),
+      watermark = "30 minutes")
+    val q = attrib.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_stream_rnd").start()
+    try {
+      input.addData(rnd.shuffle(evs): _*)
+      q.processAllAvailable()
+      input.addData(ev(9999, 5000, 98, "view")) // watermark past everything
+      q.processAllAvailable()
+      val streamed = spark.table("asof_stream_rnd").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("purchase_ts")).toMap
+      val all = evs.toDF().withColumn("ts", col("ts") * 1000)
+      val batch = graft.operators.Temporal.asOfJoin(
+          all.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          all.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts")),
+          key = "user_id", time = "ts", carry = Map("ts" -> "purchase_ts"))
+        .select(col("event_id"), coalesce(col("purchase_ts"), lit(-1L)).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === batch,
+        s"stream drifted from batch: ${(batch.toSet -- streamed.toSet).take(3)} / " +
+          s"${(streamed.toSet -- batch.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming IVF ingest: per-batch delta segments compose to the batch append path") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
