@@ -269,6 +269,31 @@ object Temporal {
         .select(col("purchase_id"), col("click_id"))
     }),
 
+    // time-grid resample with LOCF gap-fill: each user's value series
+    // downsampled to a 6-hour grid, every grid point carrying the most
+    // recent at-or-before observation — the composition asOfJoin exists
+    // for (grid = explode(sequence(...)), so generation is parallel per
+    // user, then ONE shuffle for the as-of). Events at an identical µs
+    // pre-reduce to max(value): asOfJoin's "latest right row" is otherwise
+    // tie-ambiguous between engines at equal time.
+    "resample_locf" -> ((s, dir) => {
+      val stepUs = 6L * 3600 * 1000 * 1000
+      val ev = events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("g_us"), col("value"))
+      val pts = ev.groupBy(col("user_id"), col("g_us"))
+        .agg(max(col("value")).as("value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("g_us")).as("mn"), max(col("g_us")).as("mx"))
+        .filter(expr(s"(mn + ${stepUs - 1}) div $stepUs") <= expr(s"mx div $stepUs"))
+        .select(col("user_id"),
+          explode(sequence(expr(s"(mn + ${stepUs - 1}) div $stepUs"),
+            expr(s"mx div $stepUs"))).as("g"))
+        .select(col("user_id"), (col("g") * stepUs).as("g_us"))
+      asOfJoin(grid, pts, key = "user_id", time = "g_us",
+          carry = Map("value" -> "value"))
+        .select(col("user_id"), col("g_us"), col("value"))
+    }),
+
     // range join: clicks landing in (purchase, purchase + 30min] per user,
     // aggregated per purchase — bucketed equi-join, exact-decimal value sum.
     // µs grain on both engines (same truncate-before-compare note as asof).
@@ -336,6 +361,17 @@ object Temporal {
         |  ON p.user_id = c.user_id
         | AND epoch_us(p.ts) < epoch_us(c.ts) + 300000000
         | AND epoch_us(c.ts) < epoch_us(p.ts) + 1800000000""".stripMargin,
+    "resample_locf" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |p AS (SELECT user_id, ts_us, MAX(value) AS value FROM e GROUP BY 1, 2),
+        |b AS (SELECT user_id, MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM e GROUP BY 1),
+        |g AS (SELECT user_id,
+        |    UNNEST(range((mn + 21599999999) // 21600000000,
+        |                 mx // 21600000000 + 1)) * 21600000000 AS g_us
+        |  FROM b
+        |  WHERE (mn + 21599999999) // 21600000000 <= mx // 21600000000)
+        |SELECT g.user_id, g.g_us, p.value
+        |FROM g ASOF JOIN p ON g.user_id = p.user_id AND g.g_us >= p.ts_us""".stripMargin,
     "range_join_attrib" ->
       """SELECT p.event_id AS purchase_id,
         |  COUNT(c.user_id) AS n_clicks,

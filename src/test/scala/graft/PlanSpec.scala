@@ -128,11 +128,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("range join plans as an equi-join on (key, bucket), never a nested loop") {
-    val df = q("range_join_attrib")
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
-      plan.take(800))
+    // covers the point-in-interval form, the interval×interval overlap form,
+    // and the grid-resample composition — every bucketed temporal shape must
+    // stay an equi-join
+    for (name <- Seq("range_join_attrib", "interval_overlap_join", "resample_locf")) {
+      val df = q(name)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+        s"$name:\n${plan.take(800)}")
+    }
   }
 
   test("top-k-per-group plans partial+final WindowGroupLimit (map-side pruning)") {
