@@ -85,6 +85,35 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
+  /** Weighted sampling WITHOUT replacement, exactly `k` per stratum
+    * (Efraimidis–Spirakis, Inf. Process. Lett. 97(5), 2006): each row draws
+    * a deterministic uniform u from its md5 bucket and ranks by
+    * ln(u)/weight descending — the top k are a weighted sample where a row's
+    * inclusion odds scale with its weight, with no replacement and no
+    * global coin flips. The distributed form is exactly the paper's A-ES:
+    * per-partition top-k (the window's partial WindowGroupLimit) then one
+    * stratum-partitioned shuffle.
+    *
+    * Engine portability: u = (bucket + 0.5) / 2^32 is exact in a double;
+    * ln() may differ between runtimes in the last ulp, so the rank key
+    * rounds to 6 decimals and ties (including rounding-created ones) break
+    * on the sample key — both engines then sort identical values. The
+    * rounding perturbs inclusion odds by ~1e-6 relative; the determinism it
+    * buys is what makes the sample reproducible across engines.
+    */
+  def weightedSamplePerStratum(df: DataFrame, key: Column, stratum: Column,
+                               weight: Column, k: Int): DataFrame = {
+    val bucket = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (bucket.cast("double") + 0.5) / 4294967296.0
+    val esKey = round(log(u) / weight, 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(esKey.desc, key)
+    df.filter(weight > 0)
+      .withColumn("es_rk", row_number().over(w).cast("long"))
+      .filter(col("es_rk") <= k)
+  }
+
   /** Importance (quality-weighted) sampling: each row's keep probability IS
     * its weight in [0,1] — the soft alternative to a hard quality floor
     * (a 0.9-quality doc survives 9× as often as a 0.1 one, but nothing is
@@ -202,6 +231,13 @@ object Sampling {
       reservoirPerStratum(docs(s, dir), col("doc_id"), col("lang"), k = 25)
         .select(col("doc_id"), col("lang"), col("rk"))),
 
+    // Efraimidis–Spirakis weighted k-sample per language, length-weighted —
+    // longer docs proportionally likelier, no replacement, md5-deterministic
+    "sample_weighted" -> ((s, dir) =>
+      weightedSamplePerStratum(docs(s, dir), col("doc_id"), col("lang"),
+          col("n_chars").cast("double"), k = 25)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("es_rk"))),
+
     // DSIR selection: the 'customer'-mentioning register is the target
     // corpus; the 50 raw documents most resembling it under the hashed-
     // bigram importance weights are selected. Rows-only (the model
@@ -252,6 +288,19 @@ object Sampling {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
         |  FROM documents) WHERE rk <= 25""".stripMargin,
+    "sample_weighted" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROUND(ln(
+        |        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+        |          / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE), 6) AS es_key
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, lang, n_chars, es_rk FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY es_key DESC, doc_id) AS BIGINT) AS es_rk
+        |  FROM s) WHERE es_rk <= 25""".stripMargin,
     "sample_split_stats" ->
       """WITH s AS (
         |  SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 80 THEN 'train'

@@ -402,6 +402,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("Sampling.weightedSamplePerStratum: exactly k, weight-biased, partition-invariant") {
+    import graft.operators.Sampling
+    val d = Tables(spark, sf2, "documents")
+    val out = Sampling.weightedSamplePerStratum(
+      d, col("doc_id"), col("lang"), col("n_chars").cast("double"), k = 25)
+    val rows = out.select(col("lang"), col("doc_id"), col("n_chars"), col("es_rk"))
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.length === 25, s"$lang: ${rs.length}")
+      assert(rs.map(_.getLong(3)).sorted.toSeq === (1L to 25L), s"$lang ranks")
+    }
+    // length weighting must bias the sample long: the sampled mean n_chars
+    // exceeds the corpus mean (weights here span ~an order of magnitude)
+    val sampleMean = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    val corpusMean = d.agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"no weight bias: sample $sampleMean vs corpus $corpusMean")
+    // pure function of (key, weight): any physical layout draws the same rows
+    val again = Sampling.weightedSamplePerStratum(
+      d.repartition(13, col("source")), col("doc_id"), col("lang"),
+      col("n_chars").cast("double"), k = 25)
+      .select(col("doc_id"), col("es_rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === rows.map(r => (r.getLong(1), r.getLong(3))).toSet)
+  }
+
   test("Sampling.reservoirPerStratum: exactly k, deterministic, dense ranks") {
     import graft.operators.Sampling
     val d = Tables(spark, sf2, "documents")
