@@ -583,6 +583,33 @@ object Similarity {
     searchQuantizedIndex(full, segs, cents, k, nProbe, rerankFactor, dim)
   }
 
+  /** Fold every landed `delta*` segment into the base `segments` store and
+    * remove the deltas — the periodic maintenance a streaming-ingested
+    * index runs to bound file-listing overhead. Deltas compose
+    * associatively (cell assignment and quantization are per-row), so
+    * compaction is a pure rewrite: searches return identical results
+    * before and after (spec-pinned). The rewrite goes through a temp
+    * directory + rename so a crashed compaction never leaves a partial
+    * `segments` store.
+    */
+  def compactIvfDeltas(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val deltas = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta"))
+      .map(_.getPath)
+    if (deltas.isEmpty) return
+    val all = (s"$indexDir/segments" +: deltas.map(_.toString))
+      .map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir, "segments_compacting")
+    all.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    val seg = new org.apache.hadoop.fs.Path(indexDir, "segments")
+    fs.delete(seg, true)
+    fs.rename(tmp, seg)
+    deltas.foreach(fs.delete(_, true))
+  }
+
   /** Deterministic scratch location for the persisted-index battery entries,
     * keyed by the data directory so sf0.01 and sf0.1 never share an index.
     */

@@ -492,5 +492,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === inMemory,
       s"streamed index drifted: missing=${(inMemory -- streamed).take(3)} " +
         s"extra=${(streamed -- inMemory).take(3)}")
+    // compaction folds the deltas into the base store: identical results,
+    // no delta directories left behind
+    Similarity.compactIvfDeltas(spark, dir)
+    val remaining = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("delta"))
+    assert(remaining.isEmpty, remaining.map(_.getName).mkString(","))
+    val compacted = pairs(Similarity.searchIvfIndexWithDelta(e, dir, k = 10, nProbe = 9))
+    assert(compacted === streamed, "compaction changed search results")
   }
 }
