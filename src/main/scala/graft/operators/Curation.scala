@@ -34,6 +34,34 @@ object Curation {
       .select(col("doc_id"), col("quality"), col("split"))
   }
 
+  /** The full "raw corpus → training shards" pre-training dataflow as ONE
+    * declarative composition Catalyst optimizes jointly: exact-dedup
+    * survivors → quality/language gate ([[curateCorpus]]) → benchmark
+    * decontamination ([[Decontam.contaminated]] as an anti-join) →
+    * temperature-balanced source mixing ([[Mixing.temperatureMix]]) →
+    * deterministic shard layout ([[Mixing.shardAssign]]). Every stage is an
+    * already-oracled operator; composing them under one end-to-end hash
+    * gate is the point — an inter-stage contract drift (column rename, a
+    * stage reordering that changes membership) breaks THIS entry even if
+    * every per-stage gate stays green.
+    *
+    * Scale: each stage keeps its documented shape — digest-only dedup
+    * shuffle, per-row scoring, broadcast bench shingles, metadata-sized mix
+    * rates, per-shard windows — and nothing materializes between stages.
+    * Output: (doc_id, shard, pos) — the epoch order a trainer reads.
+    */
+  def curateToShards(d: DataFrame, bench: DataFrame,
+                     minQuality: Double = 0.5, lang: String = "en",
+                     targetFrac: Double = 0.5, shards: Int = 16): DataFrame = {
+    val curated = d.join(
+      curateCorpus(d, minQuality, lang).select(col("doc_id")), Seq("doc_id"))
+    val hits = Decontam.contaminated(curated, bench).select(col("doc_id"))
+    val clean = curated.join(hits, Seq("doc_id"), "left_anti")
+    val mixed = Mixing.temperatureMix(clean,
+      stratumCol = "source", keyCol = "doc_id", targetFrac)
+    Mixing.shardAssign(mixed, "doc_id", shards)
+  }
+
   /** PII surface patterns, applied in this order (email first so an
     * address is one `<EMAIL>`, not an email husk plus an `<IP>` hit on its
     * host part). Deliberately restricted to regex features with identical
@@ -311,6 +339,16 @@ object Curation {
       curateCorpus(graft.Tables(s, dir, "documents"),
         minQuality = 0.5, lang = "en")),
 
+    // the full raw-corpus → training-shards dataflow (dedup → quality/lang
+    // → decontaminate vs the mod-7 bench → temperature mix → shards) under
+    // one end-to-end hash
+    "e2e_training_shards" -> ((s, dir) => {
+      val docs = graft.Tables(s, dir, "documents")
+      curateToShards(
+        d = docs.filter(col("doc_id") % 7 =!= 0),
+        bench = docs.filter(col("doc_id") % 7 === 0))
+    }),
+
     // the composed funnel over the documents table, with the mod-7 docs as
     // the stand-in external benchmark (same convention as `decontaminate`).
     // The synthetic corpus is clean ASCII with no exact dups, so two gates
@@ -550,6 +588,66 @@ object Curation {
         |       ELSE 'test' END AS split
         |FROM q
         |WHERE quality >= 0.5 AND lang_guess = 'en'""".stripMargin,
+    "e2e_training_shards" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+        |surv AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM corpus
+        |  GROUP BY MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g')))),
+        |scored AS (
+        |  SELECT d.doc_id, d.source,
+        |    len(string_split_regex(trim(d.text), '\s+')) AS n_tokens,
+        |    len(list_filter(string_split_regex(trim(d.text), '\s+'),
+        |        x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS n_stop,
+        |    len(list_filter(string_split_regex(trim(d.text), '\s+'),
+        |        x -> list_contains(['the','and','of','is','with','that'], x))) AS s_en,
+        |    len(list_filter(string_split_regex(trim(d.text), '\s+'),
+        |        x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+        |    len(list_filter(string_split_regex(trim(d.text), '\s+'),
+        |        x -> list_contains(['le','les','une','est','dans','pour'], x))) AS s_fr,
+        |    len(list_filter(string_split_regex(trim(d.text), '\s+'),
+        |        x -> list_contains(['el','los','las','es','por','como'], x))) AS s_es
+        |  FROM corpus d JOIN surv USING (doc_id)),
+        |curated AS (
+        |  SELECT doc_id, source FROM (
+        |    SELECT doc_id, source,
+        |      ROUND(LEAST(1.0, n_tokens / 50.0) *
+        |            (1.0 - 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)), 4) AS quality,
+        |      CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |           WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |           WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_guess
+        |    FROM scored)
+        |  WHERE quality >= 0.5 AND lang_guess = 'en'),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest([md5(array_to_string(toks[i:i+4], ' '))
+        |              for i in range(1, len(toks) - 3)]) AS shingle
+        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |          FROM documents))),
+        |hits AS (
+        |  SELECT DISTINCT s.doc_id FROM sh s
+        |  JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0) b USING (shingle)
+        |  WHERE s.doc_id % 7 <> 0),
+        |clean AS (
+        |  SELECT c.doc_id, c.source FROM curated c
+        |  ANTI JOIN hits h ON c.doc_id = h.doc_id),
+        |counts AS (SELECT source, COUNT(*) AS n_s FROM clean GROUP BY source),
+        |rates AS (
+        |  SELECT source,
+        |    FLOOR(LEAST(1.0,
+        |      0.5 * (SUM(n_s) OVER ()) * sqrt(n_s) /
+        |        CAST(SUM(CAST(ROUND(sqrt(n_s), 6) AS DECIMAL(28,6))) OVER () AS DOUBLE)
+        |        / n_s) * 10000)::BIGINT AS thr
+        |  FROM counts),
+        |mixed AS (
+        |  SELECT doc_id FROM clean JOIN rates USING (source)
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 < thr)
+        |SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 16 AS BIGINT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 16
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+        |FROM mixed""".stripMargin,
     "curate_gopher_rules" ->
       ("""WITH planted AS (
         |  SELECT doc_id,

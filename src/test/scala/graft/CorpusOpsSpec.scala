@@ -361,6 +361,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out === Map(2L -> "removed", 3L -> "changed", 5L -> "added"))
   }
 
+  test("curateToShards: dense shard positions, bench-disjoint, stages only shrink") {
+    import graft.operators.{Curation, Decontam}
+    val docs = Tables(spark, sf2, "documents")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val out = Curation.curateToShards(corpus, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // every selected doc is a corpus doc (never a bench doc)
+    assert(out.forall(_._1 % 7 != 0))
+    // positions are dense 1..n per shard — the trainer's epoch-order contract
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length), s"shard $shard")
+    }
+    // decontamination really dropped every contaminated survivor
+    val hitIds = Decontam.contaminated(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => !hitIds.contains(r._1)))
+    // composition can only shrink the curated set
+    val curatedN = Curation.curateCorpus(corpus, 0.5, "en").count()
+    assert(out.length <= curatedN)
+  }
+
   test("Versioning.applyDiff ∘ corpusDiffRows reconstructs the new snapshot exactly") {
     import graft.operators.Versioning
     val v1 = Seq(
