@@ -154,13 +154,37 @@ object Bpe {
     * table is vocabulary-derived, so the entry is reproducible bit-for-bit
     * across partitionings.
     */
+  /** Learn the corpus' merge table from its top words (count-desc,
+    * word-asc — deterministic) — the shared train step of both entries.
+    */
+  private def corpusMerges(d: DataFrame): Seq[(String, String)] = {
+    val top = wordFreqs(d)
+      .orderBy(col("n").desc, col("word")).limit(2000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    learnMerges(top, numMerges = 40)
+  }
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "text_bpe_encode" -> ((s, dir) => {
       val d = graft.Tables(s, dir, "documents")
-      val top = wordFreqs(d)
-        .orderBy(col("n").desc, col("word")).limit(2000)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-      encode(d, learnMerges(top, numMerges = 40))
+      encode(d, corpusMerges(d))
+    }),
+
+    // tokenizer-accurate budget selection: greedy best-quality-first under
+    // a budget of BPE SUBWORDS — what a training run actually spends —
+    // composed from encode() counts and the bucket-prefix-sum selector
+    // (rows-only: BPE counts are not SQL-expressible; admission semantics
+    // spec-pinned against the naive global-window greedy)
+    "budget_select_bpe" -> ((s, dir) => {
+      val d = graft.Tables(s, dir, "documents")
+      val scored = d
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .join(encode(d, corpusMerges(d))
+          .select(col("doc_id"), col("n_subwords").as("n_tokens")), Seq("doc_id"))
+      Mixing.selectByTokenBudgetScored(
+        scored.select(col("doc_id"), col("quality"), col("n_tokens")),
+        budget = 20000L)
     }))
 
   def oracles: Map[String, String] = Map.empty

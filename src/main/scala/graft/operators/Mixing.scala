@@ -73,10 +73,20 @@ object Mixing {
     * window partitioned by quality, which spreads buckets across the
     * cluster. Identical admission set to the naive global window.
     */
-  def selectByTokenBudget(d: DataFrame, budget: Long): DataFrame = {
-    val scored = d.select(col("doc_id"),
-      TextAnalysis.qualityScore(col("text")).as("quality"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+  def selectByTokenBudget(d: DataFrame, budget: Long): DataFrame =
+    selectByTokenBudgetScored(
+      d.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      budget)
+
+  /** [[selectByTokenBudget]] over an externally-scored frame
+    * (doc_id, quality, n_tokens) — the seam that makes the budget
+    * TOKENIZER-accurate: a training run budgets in its tokenizer's tokens
+    * (e.g. [[Bpe.encode]]'s subword counts), not whitespace words. Same
+    * bucket-prefix-sum shape, same admission semantics.
+    */
+  def selectByTokenBudgetScored(scored: DataFrame, budget: Long): DataFrame = {
     val buckets = scored.groupBy(col("quality"))
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
     val before = Window.orderBy(col("quality").desc)

@@ -45,6 +45,29 @@ class BpeSpec extends AnyFunSuite {
       assert(Bpe.encodeWord(w, ranks) === Vector(w + Bpe.EndOfWord), w)
   }
 
+  test("BPE-token budget selection ≡ the naive global-window greedy") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Bpe, Mixing, TextAnalysis}
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val top = Bpe.wordFreqs(d).orderBy(col("n").desc, col("word")).limit(500)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val scored = d
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .join(Bpe.encode(d, Bpe.learnMerges(top, 40))
+        .select(col("doc_id"), col("n_subwords").as("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+    val budget = 5000L
+    val got = Mixing.selectByTokenBudgetScored(scored, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val w = Window.orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = scored.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got === ref)
+    assert(got.nonEmpty && got.values.max <= budget)
+  }
+
   test("corpus encoding: fertility bounds and monotone compression in merges") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     val top = Bpe.wordFreqs(d).orderBy(col("n").desc, col("word")).limit(500)
