@@ -212,6 +212,19 @@ class PlanSpec extends AnyFunSuite {
       s"groups×dims centroid frame shuffled the corpus:\n${plan.take(1200)}")
   }
 
+  test("e2e training shards: bench shingles broadcast, never a cartesian") {
+    // the five-stage composition must keep each stage's scale shape when
+    // Catalyst plans them jointly — in particular the decontamination
+    // anti-join probes a BROADCAST bench-shingle set (the corpus never
+    // shuffles on the shingle key)
+    val df = q("e2e_training_shards")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
   test("span dedup and curation funnel never nested-loop or cartesian") {
     // the survivor/contamination joins are id-to-id (legitimately shuffled
     // at scale — AQE broadcasts them at gate scale); what must NEVER appear
