@@ -333,6 +333,24 @@ object Relational {
         .agg(approx_count_distinct(col("l_partkey")).as("n_parts_approx"))
     }),
 
+    // MERGEABLE distinct-count sketches (Datasketches HLL): per-type user
+    // sketches plus a global row that UNIONS the per-type sketches instead
+    // of re-scanning — the re-aggregatable rollup architecture a 100 TB
+    // metrics store needs (store sketch bytes per cell; any rollup is a
+    // register-wise union, never a second pass over raw data). Rows-only:
+    // sketch binaries are engine-internal; the union ≡ one-scan identity
+    // and the accuracy floor are spec-pinned.
+    "a16_hll_mergeable" -> ((s, dir) => {
+      val sk = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      sk.select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("n_users_approx"))
+        .unionByName(sk
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users_approx"))
+          .select(lit("__all__").as("event_type"), col("n_users_approx")))
+    }),
+
     // exact interpolated percentiles (matches DuckDB quantile_cont). ONE
     // percentile agg with an array of fractions: three scalar percentile
     // aggs each build and merge their own value→count map over the same

@@ -361,6 +361,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out === Map(2L -> "removed", 3L -> "changed", 5L -> "added"))
   }
 
+  test("HLL mergeable sketches: union of per-type sketches ≡ one-scan sketch, within 5% of exact") {
+    val ev = Tables(spark, sf2, "events")
+    val sk = ev.groupBy(col("event_type")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val viaUnion = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    val oneScan = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))).head().getLong(0)
+    // register-wise max makes union-of-sketches EXACTLY the one-scan sketch
+    assert(viaUnion === oneScan)
+    val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+    assert(math.abs(viaUnion - exact).toDouble / exact <= 0.05,
+      s"estimate $viaUnion vs exact $exact")
+    // per-type estimates also track their exact counts
+    val per = sk.select(col("event_type"), hll_sketch_estimate(col("sk")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perExact = ev.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perExact.foreach { case (t, n) =>
+      assert(math.abs(per(t) - n).toDouble / n <= 0.05, s"$t: ${per(t)} vs $n")
+    }
+  }
+
   test("curateToShards: dense shard positions, bench-disjoint, stages only shrink") {
     import graft.operators.{Curation, Decontam}
     val docs = Tables(spark, sf2, "documents")
