@@ -318,6 +318,43 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("asOfJoin directions agree with a brute-force reference on random data") {
+    val rnd = new scala.util.Random(41)
+    val left = Seq.tabulate(150)(i =>
+      (i.toLong, (rnd.nextInt(6) + 1).toLong, rnd.nextInt(1000).toLong))
+    val right = Seq.tabulate(120)(i =>
+      ((rnd.nextInt(7) + 1).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val lDF = left.toDF("event_id", "user_id", "ts")
+    val rDF = right.toDF("user_id", "ts", "tag")
+    val tol = 80L
+    def brute(direction: String, tolerance: Option[Long]): Map[Long, Option[Long]] =
+      left.map { case (id, k, t) =>
+        val cands = right.filter(_._1 == k)
+        val b: Option[Long] = cands.map(_._2).filter(_ <= t)
+          .filter(v => tolerance.forall(tl => t - v <= tl)).sorted.lastOption
+        val f: Option[Long] = cands.map(_._2).filter(_ >= t)
+          .filter(v => tolerance.forall(tl => v - t <= tl)).sorted.headOption
+        val m: Option[Long] = direction match {
+          case "backward" => b
+          case "forward"  => f
+          case "nearest"  => (b, f) match {
+            case (Some(bb), Some(ff)) => if (t - bb <= ff - t) Some(bb) else Some(ff)
+            case (x, y) => x.orElse(y)
+          }
+        }
+        id -> m
+      }.toMap
+    for (direction <- Seq("backward", "forward", "nearest");
+         tolerance <- Seq(None, Some(tol))) {
+      val got = Temporal.asOfJoin(lDF, rDF, "user_id", "ts",
+          carry = Map("ts" -> "m_ts"), direction = direction, tolerance = tolerance)
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toMap
+      assert(got === brute(direction, tolerance), s"$direction tol=$tolerance")
+    }
+  }
+
   test("intervalOverlapJoin agrees with a naive inequality join, any bucket width") {
     val rnd = new scala.util.Random(23)
     val as = Seq.tabulate(60)(i =>
