@@ -379,6 +379,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     perExact.foreach { case (t, n) =>
       assert(math.abs(per(t) - n).toDouble / n <= 0.05, s"$t: ${per(t)} vs $n")
     }
+    // the metrics-store pattern: sketch BYTES persist to parquet and later
+    // roll-ups aggregate from storage, never from raw data — the binary
+    // must survive the round trip and union to the same estimate
+    val dir = java.nio.file.Files.createTempDirectory("hll-store").toString
+    sk.write.mode("overwrite").parquet(dir)
+    val fromStore = spark.read.parquet(dir)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    assert(fromStore === viaUnion, "sketch bytes drifted through parquet")
   }
 
   test("curateToShards: dense shard positions, bench-disjoint, stages only shrink") {
