@@ -48,7 +48,7 @@ final case class Incremental(watermarkColumn: String) extends Materialization
 final case class Bucketed(bucketBy: Seq[String], numBuckets: Int = 32)
   extends Materialization
 
-final class ModelGraph(models: Seq[Model]) {
+final class ModelGraph(val models: Seq[Model]) {
   private val byName = models.map(m => m.name -> m).toMap
   require(byName.size == models.size, "duplicate model names")
 

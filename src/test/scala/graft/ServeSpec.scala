@@ -198,4 +198,47 @@ class ServeSpec extends AnyFunSuite {
     assert(spec("v") === e.NumericRange)
     assert(spec("id") === e.NumericRange)
   }
+
+  test("pipeline runs: trigger/poll lifecycle, per-model states, failure surfacing") {
+    import graft.graph.{Model, ModelGraph}
+    import graft.serve.PipelineRuns
+    implicit val s = spark
+    import s.implicits._
+    val src = Map("src" -> Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val graph = new ModelGraph(Seq(
+      Model("stg", Seq("src"), reg => reg("src")),
+      Model("slow", Seq("stg"), reg => {
+        started.countDown()
+        gate.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        reg("stg").filter(col("id") > 0)
+      }),
+      Model("out", Seq("slow"), reg => reg("slow"))))
+    val pr = new PipelineRuns
+    val runId = pr.trigger(graph, src, conf = Map("year_quarter" -> "2024Q1"))
+    // mid-flight poll: the run is running, upstream done, the gated model
+    // running, downstream still queued
+    assert(started.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    val mid = pr.status(runId).get
+    assert(mid.state === "running")
+    assert(mid.models("slow") === "running")
+    assert(mid.models("out") === "queued")
+    assert(mid.conf === Map("year_quarter" -> "2024Q1"))
+    gate.countDown()
+    val done = pr.awaitTerminal(runId)
+    assert(done.state === "success")
+    assert(done.models.values.toSet === Set("success"))
+    // failure path: the error message reaches the poller, states stay honest
+    val bad = new ModelGraph(Seq(
+      Model("boom", Seq("src"), _ => throw new RuntimeException("synthetic failure"))))
+    val badId = pr.trigger(bad, src)
+    val failed = pr.awaitTerminal(badId)
+    assert(failed.state === "failed")
+    assert(failed.error.exists(_.contains("synthetic failure")))
+    assert(failed.models("boom") !== "success")
+    // unknown id is the 404 analog; listing is newest-first
+    assert(pr.status("run_99999").isEmpty)
+    assert(pr.list().map(_.runId) === Seq(badId, runId))
+  }
 }
