@@ -55,6 +55,7 @@ object SparkEntry {
     graft.operators.Curation.queries,
     graft.operators.QualityClassifier.queries,
     graft.operators.Bpe.queries,
+    graft.operators.Viz.queries,
     graft.streaming.EventStreams.queries,
     graft.models.ComposedPipeline.queries)
 
@@ -76,6 +77,7 @@ object SparkEntry {
     graft.operators.Curation.oracles,
     graft.operators.QualityClassifier.oracles,
     graft.operators.Bpe.oracles,
+    graft.operators.Viz.oracles,
     graft.streaming.EventStreams.oracles,
     graft.models.ComposedPipeline.oracles)
 

@@ -294,6 +294,21 @@ object Relational {
             .cast("double").as("v_1h"))
     }),
 
+    // 2-D density grid (the heatmap/scatter-density reduction behind the
+    // reference frontend's plots): day × value-decile cell counts + exact
+    // decimal mass. The plot-side data op — a renderer draws cells, the
+    // engine never ships raw points. Shuffle is bounded by #cells.
+    "a17_density_grid" -> ((s, dir) => {
+      val dayUs = 86400L * 1000 * 1000
+      t(s, dir, "events")
+        .select(expr(s"(ts div 1000) div $dayUs").as("day_idx"),
+          floor(col("value") / 10.0).cast("long").as("value_decile"),
+          col("value"))
+        .groupBy(col("day_idx"), col("value_decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("mass"))
+    }),
+
     // multi-dimensional aggregates (absent in the reference — exceed parity).
     "a8_rollup" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -635,6 +650,12 @@ object Relational {
         |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "a17_density_grid" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |  CAST(FLOOR(value / 10.0) AS BIGINT) AS value_decile,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS mass
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "a8_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
