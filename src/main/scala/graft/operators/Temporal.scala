@@ -58,9 +58,21 @@ object Temporal {
                key: String, time: String,
                carry: Map[String, String],
                direction: String = "backward",
-               tolerance: Option[Long] = None): DataFrame = {
+               tolerance: Option[Long] = None): DataFrame =
+    asOfJoinKeys(left, right, Seq(key), time, carry, direction, tolerance)
+
+  /** Multi-key as-of join (pandas `merge_asof(by=[...])`): identical
+    * semantics with a composite equality key — the shuffle partitions on
+    * all key columns, everything else is unchanged.
+    */
+  def asOfJoinKeys(left: DataFrame, right: DataFrame,
+                   keys: Seq[String], time: String,
+                   carry: Map[String, String],
+                   direction: String = "backward",
+                   tolerance: Option[Long] = None): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"asOfJoin direction must be backward|forward|nearest, got '$direction'")
+    require(keys.nonEmpty, "asOfJoin needs at least one equality key")
     val leftCols = left.columns.toSeq
     val nullOf: String => Column = c => lit(null).cast(left.schema(c).dataType)
     val carrySrc = carry.keys.toSeq
@@ -80,13 +92,13 @@ object Temporal {
           carrySrc.map(c => lit(null).cast(right.schema(c).dataType).as(s"__c_$c"))): _*)
     val rTagged = right.select(
       (leftCols.map(c =>
-        (if (c == key || c == time) col(c) else nullOf(c)).as(c)) :+
+        (if (keys.contains(c) || c == time) col(c) else nullOf(c)).as(c)) :+
         lit(0).as("__side")) ++
         (col(time).as("__c___t") +: carrySrc.map(c => col(c).as(s"__c_$c"))): _*)
     def carried(ord: Column*): Column =
       last(when(col("__side") === 0, rowStruct).otherwise(nullRow),
         ignoreNulls = true).over(
-        Window.partitionBy(col(key)).orderBy(ord: _*)
+        Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     // only materialize the window frame(s) the direction needs — backward/
     // forward pay one sort; nearest pays two over the same exchange
@@ -195,6 +207,27 @@ object Temporal {
       asOfJoin(clicks, purchases, key = "user_id", time = "ts_us",
           carry = Map("ts_us" -> "purchase_us"))
         .select(col("event_id"), col("user_id"),
+          col("ts_us").as("click_us"),
+          coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
+    }),
+
+    // multi-key as-of (merge_asof by=[user, day]): most recent purchase
+    // at-or-before the click WITHIN the same UTC day — a composite
+    // equality key, one shuffle on both columns
+    "asof_same_day_purchase" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val dayUs = 86400L * 1000 * 1000
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          expr(s"(ts div 1000) div $dayUs").as("day_idx"),
+          expr("ts div 1000").as("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr(s"(ts div 1000) div $dayUs").as("day_idx"),
+          expr("ts div 1000").as("ts_us"))
+      asOfJoinKeys(clicks, purchases, keys = Seq("user_id", "day_idx"),
+          time = "ts_us", carry = Map("ts_us" -> "purchase_us"))
+        .select(col("event_id"), col("user_id"), col("day_idx"),
           col("ts_us").as("click_us"),
           coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
     }),
@@ -329,6 +362,16 @@ object Temporal {
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "asof_same_day_purchase" ->
+      """SELECT l.event_id, l.user_id,
+        |  epoch_us(l.ts) // 86400000000 AS day_idx,
+        |  epoch_us(l.ts) AS click_us,
+        |  COALESCE(epoch_us(r.ts), -1) AS purchase_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND epoch_us(l.ts) // 86400000000 = epoch_us(r.ts) // 86400000000
+        | AND l.ts >= r.ts""".stripMargin,
     "asof_next_purchase" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us,
         |       COALESCE(epoch_us(r.ts), -1) AS purchase_us

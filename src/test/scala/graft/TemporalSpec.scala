@@ -318,6 +318,23 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("asOfJoinKeys: composite key — same-user other-day rows never match") {
+    val left = Seq(
+      (1L, 10L, 5L, 100L), // user 10, day 5 → right@(10,5,50)
+      (2L, 10L, 6L, 100L), // same user, day 6 → only right@(10,6,90)
+      (3L, 10L, 7L, 100L)  // same user, day 7: no right rows → null
+    ).toDF("event_id", "user_id", "day", "ts")
+    val right = Seq(
+      (10L, 5L, 50L, "d5"), (10L, 6L, 90L, "d6"), (20L, 5L, 10L, "z")
+    ).toDF("user_id", "day", "ts", "tag")
+    val out = Temporal.asOfJoinKeys(left, right, keys = Seq("user_id", "day"),
+        time = "ts", carry = Map("tag" -> "m_tag"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(4)))).toSeq
+    assert(out === Seq(
+      (1L, Some("d5")), (2L, Some("d6")), (3L, None)))
+  }
+
   test("asOfJoin directions agree with a brute-force reference on random data") {
     val rnd = new scala.util.Random(41)
     val left = Seq.tabulate(150)(i =>
