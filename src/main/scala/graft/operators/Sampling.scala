@@ -95,18 +95,21 @@ object Sampling {
     * stratum-partitioned shuffle.
     *
     * Engine portability: u = (bucket + 0.5) / 2^32 is exact in a double;
-    * ln() may differ between runtimes in the last ulp, so the rank key
-    * rounds to 6 decimals and ties (including rounding-created ones) break
-    * on the sample key — both engines then sort identical values. The
-    * rounding perturbs inclusion odds by ~1e-6 relative; the determinism it
-    * buys is what makes the sample reproducible across engines.
+    * ln() may differ between runtimes in the last ulp, so the rank key is
+    * the SCALED LONG round(ln(u)/w × 1e12) — integer comparison is exact in
+    * both engines, and the 5e-13 absolute quantization stays ≤ ~1e-8
+    * relative even for the largest weights in the corpus (ln(u)/w shrinks
+    * toward 0 as w grows, so a fixed absolute grid must sit far below the
+    * smallest key magnitude — 6 decimals did not: at w≈5000 it was ~1e-3
+    * relative and broke ties systematically toward low doc_id). Ties on the
+    * long key (ulp-level collisions only) still break on the sample key.
     */
   def weightedSamplePerStratum(df: DataFrame, key: Column, stratum: Column,
                                weight: Column, k: Int): DataFrame = {
     val bucket = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("long")
     val u = (bucket.cast("double") + 0.5) / 4294967296.0
-    val esKey = round(log(u) / weight, 6)
+    val esKey = round(log(u) / weight * 1e12).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(esKey.desc, key)
     df.filter(weight > 0)
@@ -291,10 +294,10 @@ object Sampling {
     "sample_weighted" ->
       """WITH s AS (
         |  SELECT doc_id, lang, n_chars,
-        |    ROUND(ln(
+        |    CAST(ROUND(ln(
         |        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
         |          / 4294967296.0)
-        |      / CAST(n_chars AS DOUBLE), 6) AS es_key
+        |      / CAST(n_chars AS DOUBLE) * 1e12) AS BIGINT) AS es_key
         |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, lang, n_chars, es_rk FROM (
         |  SELECT doc_id, lang, n_chars,

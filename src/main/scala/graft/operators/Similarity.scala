@@ -546,6 +546,23 @@ object Similarity {
     require(segment.startsWith("delta"),
       s"delta segments must be named delta* so searches discover them, got '$segment'")
     val s = batch.sparkSession
+    // a lingering fold manifest from a crashed compaction cleanup must not
+    // blacklist this segment name: scrub it (and the folded leftover dir)
+    // before writing, or the new rows would be invisible to searches and
+    // deleted as "orphans" by the next compaction
+    val fs = hadoopFs(s, indexDir)
+    val mfPath = new org.apache.hadoop.fs.Path(s"$indexDir/segments/$FoldedManifest")
+    val folded = readFoldedManifest(fs, mfPath.toString)
+    if (folded(segment)) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$segment"), true)
+      val rest = folded - segment
+      if (rest.isEmpty) fs.delete(mfPath, false)
+      else {
+        val out = fs.create(mfPath, true)
+        try out.write(rest.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
     val cents = s.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
@@ -569,45 +586,138 @@ object Similarity {
     val cents = s.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
-    // discover every landed delta segment (single batch appends write
-    // `delta`, streaming ingest writes `delta_b<batchId>` per micro-batch)
-    // via the Hadoop FS API — the index lives on HDFS/S3 in production,
-    // never behind java.io.File
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-    val deltaDirs = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta"))
-      .map(_.getPath.toString).sorted
-    val segs = (s"$indexDir/segments" +: deltaDirs)
+    val segs = resolveSegmentDirs(s, indexDir)
       .map(p => s.read.parquet(p)).reduce(_ unionByName _)
     searchQuantizedIndex(full, segs, cents, k, nProbe, rerankFactor, dim)
   }
 
-  /** Fold every landed `delta*` segment into the base `segments` store and
+  /** Name of the manifest a compacted `segments` store carries: the delta
+    * directories it folded, one per line. The underscore prefix makes the
+    * parquet reader skip it (same convention as `_SUCCESS`).
+    */
+  private val FoldedManifest = "_FOLDED_DELTAS"
+
+  private def hadoopFs(s: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+
+  /** `_SUCCESS`-style existence probe through the Hadoop FS API — the index
+    * lives on HDFS/S3 in production, never behind java.io.File, so battery
+    * guards and readers must use the same filesystem the writers do.
+    */
+  def indexPathExists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Discover the consistent (base ++ live-delta) view of a possibly
+    * mid-compaction index. Single batch appends write `delta`, streaming
+    * ingest writes `delta_b<batchId>` per micro-batch; [[compactIvfDeltas]]
+    * folds them into the base. Its swap protocol guarantees exactly one
+    * consistent view at every crash point:
+    *   - `segments` present → authoritative base; live deltas are those NOT
+    *     named in its [[FoldedManifest]] (the manifest lands atomically with
+    *     the folded base, so a delta dir that survived a crashed
+    *     post-commit cleanup is never double-counted);
+    *   - `segments` absent, deltas present → crash between the base
+    *     swap-out and the commit rename: `segments_old` (the pre-compaction
+    *     base) plus the deltas;
+    *   - `segments` absent, no deltas → `segments_compacting` holds the
+    *     fully-folded store.
+    */
+  private def resolveSegmentDirs(s: SparkSession, indexDir: String): Seq[String] = {
+    val fs = hadoopFs(s, indexDir)
+    def deltasUnder(base: String): Seq[String] = {
+      val folded = readFoldedManifest(fs, s"$base/$FoldedManifest")
+      fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta"))
+        .map(_.getPath.getName).filterNot(folded).sorted
+        .map(n => s"$indexDir/$n")
+    }
+    if (fs.exists(new org.apache.hadoop.fs.Path(indexDir, "segments"))) {
+      s"$indexDir/segments" +: deltasUnder(s"$indexDir/segments")
+    } else {
+      val live = deltasUnder(s"$indexDir/segments_old")
+      if (live.nonEmpty) s"$indexDir/segments_old" +: live
+      else Seq(s"$indexDir/segments_compacting")
+    }
+  }
+
+  private def readFoldedManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  /** Fold every live `delta*` segment into the base `segments` store and
     * remove the deltas — the periodic maintenance a streaming-ingested
     * index runs to bound file-listing overhead. Deltas compose
     * associatively (cell assignment and quantization are per-row), so
     * compaction is a pure rewrite: searches return identical results
-    * before and after (spec-pinned). The rewrite goes through a temp
-    * directory + rename so a crashed compaction never leaves a partial
-    * `segments` store.
+    * before and after (spec-pinned).
+    *
+    * Crash safety: a multi-directory store cannot flip atomically with
+    * renames alone (swapping the base BEFORE deleting deltas double-counts
+    * them; deleting deltas first loses them if the swap never lands), so
+    * the commit point is a single atomic rename whose payload carries its
+    * own invalidation list: the compacted store is staged in
+    * `segments_compacting` together with a [[FoldedManifest]] naming the
+    * deltas it absorbed, the old base is swapped out to `segments_old`, and
+    * the stage is renamed into place — from that instant readers see the
+    * folded base and skip exactly the manifest-listed deltas, so the
+    * post-commit deletes (deltas, then `segments_old`) are pure cleanup
+    * that can crash at any point without corrupting or double-counting.
+    * A fresh [[compactIvfDeltas]] run first completes any crashed swap it
+    * finds ([[resolveSegmentDirs]] names the consistent view).
     */
   def compactIvfDeltas(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val deltas = fs.listStatus(root).toSeq
+    val fs = hadoopFs(spark, indexDir)
+    def p(name: String) = new org.apache.hadoop.fs.Path(indexDir, name)
+    // recover a crashed prior swap: restore the consistent view under
+    // `segments`, then proceed (or return) from a clean state
+    if (!fs.exists(p("segments"))) {
+      val view = resolveSegmentDirs(spark, indexDir)
+      if (view.head.endsWith("segments_old")) {
+        fs.delete(p("segments_compacting"), true) // stale, never committed
+        fs.rename(p("segments_old"), p("segments"))
+      } else {
+        fs.rename(p("segments_compacting"), p("segments"))
+        fs.delete(p("segments_old"), true)
+      }
+    }
+    val folded = readFoldedManifest(fs, s"$indexDir/segments/$FoldedManifest")
+    val deltas = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta"))
-      .map(_.getPath)
+      .map(_.getPath).filterNot(d => folded(d.getName))
+    // cleanup debt from a crashed prior run: folded-but-undeleted deltas,
+    // the swapped-out base, and the spent manifest (once its dirs are gone
+    // it must not linger — a later append reusing a listed name would be
+    // silently blacklisted)
+    fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).toSeq
+      .filter(st => st.isDirectory && folded(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true))
+    fs.delete(p("segments_old"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/segments/$FoldedManifest"), false)
     if (deltas.isEmpty) return
     val all = (s"$indexDir/segments" +: deltas.map(_.toString))
-      .map(p => spark.read.parquet(p)).reduce(_ unionByName _)
-    val tmp = new org.apache.hadoop.fs.Path(indexDir, "segments_compacting")
+      .map(q => spark.read.parquet(q)).reduce(_ unionByName _)
+    val tmp = p("segments_compacting")
     all.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    val seg = new org.apache.hadoop.fs.Path(indexDir, "segments")
-    fs.delete(seg, true)
-    fs.rename(tmp, seg)
-    deltas.foreach(fs.delete(_, true))
+    val mf = fs.create(new org.apache.hadoop.fs.Path(tmp, FoldedManifest), true)
+    try mf.write(deltas.map(_.getName).sorted.mkString("\n").getBytes("UTF-8"))
+    finally mf.close()
+    fs.rename(p("segments"), p("segments_old"))
+    fs.rename(tmp, p("segments"))             // atomic commit
+    deltas.foreach(fs.delete(_, true))        // cleanup: idempotent from here
+    fs.delete(p("segments_old"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/segments/$FoldedManifest"), false)
   }
 
   /** Deterministic scratch location for the persisted-index battery entries,
@@ -634,7 +744,7 @@ object Similarity {
     // warm-index search).
     "ann_ivf_index_search" -> ((s, dir) => {
       val idx = indexDirFor(dir)
-      if (!new java.io.File(s"$idx/segments/_SUCCESS").exists())
+      if (!indexPathExists(s, s"$idx/segments/_SUCCESS"))
         buildIvfIndex(emb(s, dir), idx, cells = 12, iters = 3).count()
       searchIvfIndex(emb(s, dir), idx, k = 10, nProbe = 9)
     }),
@@ -680,7 +790,7 @@ object Similarity {
     "ann_ivf_append_build" -> ((s, dir) => {
       val idx = indexDirFor(dir) + "-append"
       val e = emb(s, dir)
-      if (!new java.io.File(s"$idx/segments/_SUCCESS").exists())
+      if (!indexPathExists(s, s"$idx/segments/_SUCCESS"))
         buildIvfIndex(e.filter(col("vec_id") % 10 =!= 0), idx,
           cells = 12, iters = 3).count()
       appendToIvfIndex(e.filter(col("vec_id") % 10 === 0), idx)
@@ -691,10 +801,10 @@ object Similarity {
     "ann_ivf_append_search" -> ((s, dir) => {
       val idx = indexDirFor(dir) + "-append"
       val e = emb(s, dir)
-      if (!new java.io.File(s"$idx/segments/_SUCCESS").exists())
+      if (!indexPathExists(s, s"$idx/segments/_SUCCESS"))
         buildIvfIndex(e.filter(col("vec_id") % 10 =!= 0), idx,
           cells = 12, iters = 3).count()
-      if (!new java.io.File(s"$idx/delta/_SUCCESS").exists())
+      if (!indexPathExists(s, s"$idx/delta/_SUCCESS"))
         appendToIvfIndex(e.filter(col("vec_id") % 10 === 0), idx).count()
       searchIvfIndexWithDelta(e, idx, k = 10, nProbe = 9)
     })

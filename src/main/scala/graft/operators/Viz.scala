@@ -20,9 +20,12 @@ object Viz {
     */
   def lttb(pts: IndexedSeq[(Double, Double)], k: Int): IndexedSeq[(Double, Double)] = {
     val n = pts.length
+    if (n == 0 || k <= 0) return IndexedSeq.empty
     if (k >= n) return pts
-    if (n == 0) return IndexedSeq.empty
-    if (k <= 2) return IndexedSeq(pts.head, pts.last)
+    // degenerate budgets honor the ≤k contract exactly: a 1-point budget
+    // keeps the first point; a 2-point budget keeps the endpoints
+    if (k == 1) return IndexedSeq(pts.head)
+    if (k == 2) return IndexedSeq(pts.head, pts.last)
     val out = IndexedSeq.newBuilder[(Double, Double)]
     out += pts(0)
     var a = 0

@@ -26,11 +26,22 @@ import graft.graph.{Model, ModelGraph}
   * inside [[ModelGraph.run]] on the shared SparkSession, so a trigger is
   * "submit and watch", never a blocked caller.
   */
-final class PipelineRuns {
+final class PipelineRuns(maxRetainedRuns: Int = 1000) {
   import PipelineRuns._
 
   private val runs = new ConcurrentHashMap[String, RunStatus]()
   private val counter = new AtomicLong(0)
+
+  /** Evict the oldest TERMINAL runs beyond the retention cap — a long-lived
+    * service otherwise grows the registry without bound (the Airflow analog
+    * prunes dag-run history the same way). In-flight runs never evict.
+    */
+  private def evictBeyondCap(): Unit = {
+    val terminal = runs.values().toArray(Array.empty[RunStatus])
+      .filter(s => Terminal(s.state)).sortBy(seqOf)
+    val excess = runs.size() - maxRetainedRuns
+    if (excess > 0) terminal.take(excess).foreach(s => runs.remove(s.runId))
+  }
   private val pool = Executors.newCachedThreadPool(r => {
     val t = new Thread(r, "pipeline-run"); t.setDaemon(true); t
   })
@@ -46,6 +57,7 @@ final class PipelineRuns {
     val runId = f"run_${counter.incrementAndGet()}%05d"
     runs.put(runId, RunStatus(runId, "queued", conf,
       graph.models.map(_.name -> "queued").toMap, None))
+    evictBeyondCap()
     // wrap each model: build marks it running, materialization marks success
     val wrapped = new ModelGraph(graph.models.map { m =>
       m.copy(build = reg => {
@@ -75,9 +87,12 @@ final class PipelineRuns {
   /** Poll one run; None for an unknown id (the 404 of the REST analog). */
   def status(runId: String): Option[RunStatus] = Option(runs.get(runId))
 
-  /** All runs, newest first — the dagRuns listing. */
+  /** All runs, newest first — the dagRuns listing. Ordered by the numeric
+    * trigger sequence, not the id string: the zero-padding is 5 digits, so a
+    * lexicographic sort would misorder run 100000 after run 10000.
+    */
   def list(): Seq[RunStatus] =
-    runs.values().toArray(Array.empty[RunStatus]).sortBy(_.runId).reverse.toSeq
+    runs.values().toArray(Array.empty[RunStatus]).sortBy(seqOf).reverse.toSeq
 
   /** The reference's polling loop with a deadline: returns the first
     * terminal status, or the latest non-terminal one if the timeout lapses.
@@ -97,6 +112,9 @@ final class PipelineRuns {
 
 object PipelineRuns {
   val Terminal: Set[String] = Set("success", "failed")
+
+  /** Numeric trigger sequence encoded in the run id. */
+  private def seqOf(s: RunStatus): Long = s.runId.stripPrefix("run_").toLong
 
   /** One run's poll answer: overall state, per-model states, conf echo,
     * and the error message when failed.

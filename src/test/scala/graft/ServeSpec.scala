@@ -241,4 +241,27 @@ class ServeSpec extends AnyFunSuite {
     assert(pr.status("run_99999").isEmpty)
     assert(pr.list().map(_.runId) === Seq(badId, runId))
   }
+
+  test("pipeline runs: numeric ordering and terminal-run eviction") {
+    import graft.graph.{Model, ModelGraph}
+    import graft.serve.PipelineRuns
+    implicit val s = spark
+    import s.implicits._
+    val src = Map("src" -> Seq((1L, "x")).toDF("id", "v"))
+    val g = new ModelGraph(Seq(Model("m", Seq("src"), reg => reg("src"))))
+    val pr = new PipelineRuns(maxRetainedRuns = 3)
+    val ids = (1 to 6).map { _ =>
+      val id = pr.trigger(g, src); pr.awaitTerminal(id); id
+    }
+    // retention cap holds: only the newest terminal runs survive, ordered
+    // by the numeric trigger sequence (not the zero-padded id string —
+    // lexicographic order breaks past 99999)
+    val listed = pr.list()
+    assert(listed.size <= 3, s"eviction failed: ${listed.map(_.runId)}")
+    assert(listed.map(_.runId) ===
+      listed.map(_.runId).sortBy(_.stripPrefix("run_").toLong).reverse)
+    assert(listed.map(_.runId).forall(ids.takeRight(4).contains),
+      s"evicted newest instead of oldest: ${listed.map(_.runId)}")
+    assert(pr.status(ids.head).isEmpty, "oldest terminal run not evicted")
+  }
 }

@@ -501,4 +501,53 @@ class StreamingSpec extends AnyFunSuite {
     val compacted = pairs(Similarity.searchIvfIndexWithDelta(e, dir, k = 10, nProbe = 9))
     assert(compacted === streamed, "compaction changed search results")
   }
+
+  test("IVF compaction crash points leave a consistent, non-duplicating view") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = e.filter(col("vec_id") % 10 >= 2)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    val batch2 = e.filter(col("vec_id") % 10 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-crash-spec").toString
+    Similarity.buildIvfIndex(base, dir, cells = 12, iters = 3).count()
+    Similarity.appendToIvfIndex(batch, dir).count()
+    def pairs() = Similarity.searchIvfIndexWithDelta(e, dir, k = 10, nProbe = 9)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val baseline = pairs()
+    def f(n: String) = new java.io.File(dir, n)
+
+    // crash A: base swapped out to segments_old, commit rename never landed —
+    // readers must see segments_old + the live delta, ignore the stale stage
+    assert(f("segments").renameTo(f("segments_old")))
+    assert(f("segments_compacting").mkdir())
+    assert(pairs() === baseline, "crash-A read drifted")
+    Similarity.compactIvfDeltas(spark, dir) // recovers, then completes the fold
+    assert(pairs() === baseline, "post-recovery search drifted")
+    assert(!f("segments_old").exists && !f("segments_compacting").exists &&
+      !f("delta").exists && !f("segments/_FOLDED_DELTAS").exists)
+
+    // crash B: commit landed but delta cleanup crashed — a leftover dir named
+    // in the fold manifest must be skipped, never double-counted
+    Similarity.appendToIvfIndex(batch, dir).count()
+    java.nio.file.Files.write(f("segments/_FOLDED_DELTAS").toPath,
+      "delta".getBytes("UTF-8"))
+    assert(pairs() === baseline, "crash-B double-counted the folded delta")
+
+    // a fresh append of NEW rows REUSING the folded name scrubs the
+    // blacklist entry so its rows are visible (no silent data loss): some
+    // top-10 result must now cite a batch2 (vec_id%10==1) neighbor
+    Similarity.appendToIvfIndex(batch2, dir).count()
+    assert(!f("segments/_FOLDED_DELTAS").exists, "manifest not scrubbed")
+    val withNew = pairs()
+    assert(withNew.exists(_._2 % 10 === 1), "re-appended rows invisible after scrub")
+
+    // the next compaction folds the live delta and clears every debt
+    // artifact, without changing results
+    Similarity.compactIvfDeltas(spark, dir)
+    assert(pairs() === withNew, "final compaction drifted")
+    assert(!f("delta").exists && !f("segments_old").exists &&
+      !f("segments/_FOLDED_DELTAS").exists)
+  }
 }

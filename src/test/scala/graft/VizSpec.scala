@@ -37,6 +37,12 @@ class VizSpec extends AnyFunSuite {
     assert(Viz.lttb(pts, 1000) === pts)
     assert(Viz.lttb(pts.take(1), 5) === pts.take(1))
     assert(Viz.lttb(IndexedSeq.empty, 5) === IndexedSeq.empty)
+    // degenerate budgets never exceed k (k∈{0,1} used to return 2 points)
+    assert(Viz.lttb(pts, 2) === IndexedSeq(pts.head, pts.last))
+    assert(Viz.lttb(pts, 1) === IndexedSeq(pts.head))
+    assert(Viz.lttb(pts, 0) === IndexedSeq.empty)
+    assert(Viz.lttb(pts, -3) === IndexedSeq.empty)
+    assert(Viz.lttb(pts.take(1), 0) === IndexedSeq.empty)
   }
 
   test("downsampleSeries: per-series k, points from the series, order by x") {
