@@ -28,6 +28,16 @@ object Tables {
     // vectorized reader unless read as raw nanos (queries treat ts as a
     // nano-epoch long).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (name == "events") {
+      // literal time predicates on the normalized `ts` must still reach the
+      // parquet scan as PushedFilters on timestamp vintages — install the
+      // rewrite alongside the normalization it undoes (idempotent; sessions
+      // wired via GraftExtensions already carry it)
+      val rules = spark.experimental.extraOptimizations
+      if (!rules.contains(graft.plans.EventTsPushdownRewrite))
+        spark.experimental.extraOptimizations =
+          rules :+ graft.plans.EventTsPushdownRewrite
+    }
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") normalizeEventTs(df) else df
   }

@@ -78,6 +78,7 @@ object GraftFunctions {
         builder))
     }
     e.injectOptimizerRule(_ => graft.plans.IntersectSizeRewrite)
+    e.injectOptimizerRule(_ => graft.plans.EventTsPushdownRewrite)
   }
 }
 

@@ -1,9 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect, ArraySort, Expression, LambdaFunction, Literal, NamedLambdaVariable, Size, SortArray}
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect, ArraySort, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LambdaFunction, LessThan, LessThanOrEqual, Literal, Multiply, NamedLambdaVariable, Size, SortArray, TimestampDiff, UnixMicros}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.apache.spark.sql.types.{ArrayType, LongType, TimestampNTZType, TimestampType}
 
 import graft.functions.{NgramShingleHashes, SortedIntersectSize}
 
@@ -84,5 +84,89 @@ object IntersectSizeRewrite extends Rule[LogicalPlan] {
       // while the kernel is null-intolerant like the modern form.
       case Size(ArrayIntersect(l, r), false) if sortedDistinct(l) && sortedDistinct(r) =>
         SortedIntersectSize(l, r)
+    }
+}
+
+/** Restores parquet predicate pushdown on timestamp-vintage `events.ts`.
+  *
+  * [[graft.Tables.normalizeEventTs]] presents every `ts` vintage as a
+  * nano-epoch long via a derived projection, so a time predicate like
+  * `ts >= <watermark-nanos>` — the one column an incremental pipeline prunes
+  * by — reaches the scan as a comparison on
+  * `timestampdiff(MICROSECOND, epoch, ts) * 1000` (or
+  * `unix_micros(ts) * 1000`), which the parquet source cannot push: no
+  * PushedFilters, no row-group skipping, a full scan of exactly the data an
+  * incremental run exists to avoid. This rule rewrites such comparisons
+  * against a LITERAL nano bound into the equivalent comparison on the
+  * NATIVE timestamp column with exact integer-bound arithmetic
+  * (×1000 ≥ L ⟺ micros ≥ ⌈L/1000⌉, etc.), turning the predicate into the
+  * plain attribute-vs-literal shape the datasource pushes into row-group
+  * statistics. Null semantics are preserved (a null `ts` yields null on
+  * both forms); equality rewrites only when the bound is whole microseconds
+  * (otherwise it cannot hold and is left for the post-scan filter to
+  * reject). The raw-long vintage needs no help — its `ts` IS the stored
+  * column.
+  */
+object EventTsPushdownRewrite extends Rule[LogicalPlan] {
+
+  /** Matches the nano-normalization shapes of `Tables.normalizeEventTs` AS
+    * THE ANALYZER LEAVES THEM, yielding the native timestamp attribute
+    * underneath. The NTZ vintage's `timestampdiff(MICROSECOND, ntz-epoch,
+    * ts)` is coerced by the analyzer to TIMESTAMP operands — the epoch
+    * literal becomes instant 0 and `ts` gains a `cast(... as timestamp)` in
+    * the session zone — so the match accepts that form, but ONLY when the
+    * zone is a fixed zero offset (the cast is then micros-preserving and
+    * the native-column bound is exact; under a DST zone the cast is not
+    * invertible at gap/overlap instants, so the rewrite stands down).
+    */
+  private object NanosOfNativeTs {
+    private def isZeroOffset(tz: String): Boolean =
+      try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+
+    def unapply(e: Expression): Option[Expression] = e match {
+      case Multiply(TimestampDiff(unit, Literal(0L, TimestampType),
+          Cast(ts, TimestampType, _, _), Some(tz)), Literal(1000L, LongType), _)
+          if unit.equalsIgnoreCase("MICROSECOND") &&
+            ts.dataType == TimestampNTZType && isZeroOffset(tz) =>
+        Some(ts)
+      case Multiply(TimestampDiff(unit, Literal(0L, TimestampNTZType), ts, _),
+          Literal(1000L, LongType), _)
+          if unit.equalsIgnoreCase("MICROSECOND") &&
+            ts.dataType == TimestampNTZType =>
+        Some(ts)
+      case Multiply(UnixMicros(ts), Literal(1000L, LongType), _) => Some(ts)
+      case _ => None
+    }
+  }
+
+  private def floorDiv(l: Long): Long = Math.floorDiv(l, 1000L)
+  private def ceilDiv(l: Long): Long = -Math.floorDiv(-l, 1000L)
+  private def asNative(micros: Long, ts: Expression): Literal =
+    Literal(micros, ts.dataType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case GreaterThanOrEqual(NanosOfNativeTs(ts), Literal(l: Long, LongType)) =>
+        GreaterThanOrEqual(ts, asNative(ceilDiv(l), ts))
+      case GreaterThan(NanosOfNativeTs(ts), Literal(l: Long, LongType)) =>
+        GreaterThan(ts, asNative(floorDiv(l), ts))
+      case LessThanOrEqual(NanosOfNativeTs(ts), Literal(l: Long, LongType)) =>
+        LessThanOrEqual(ts, asNative(floorDiv(l), ts))
+      case LessThan(NanosOfNativeTs(ts), Literal(l: Long, LongType)) =>
+        LessThan(ts, asNative(ceilDiv(l), ts))
+      // literal-first spellings mirror to the same native bounds
+      case GreaterThanOrEqual(Literal(l: Long, LongType), NanosOfNativeTs(ts)) =>
+        LessThanOrEqual(ts, asNative(floorDiv(l), ts))
+      case GreaterThan(Literal(l: Long, LongType), NanosOfNativeTs(ts)) =>
+        LessThan(ts, asNative(ceilDiv(l), ts))
+      case LessThanOrEqual(Literal(l: Long, LongType), NanosOfNativeTs(ts)) =>
+        GreaterThanOrEqual(ts, asNative(ceilDiv(l), ts))
+      case LessThan(Literal(l: Long, LongType), NanosOfNativeTs(ts)) =>
+        GreaterThan(ts, asNative(floorDiv(l), ts))
+      case EqualTo(NanosOfNativeTs(ts), Literal(l: Long, LongType)) if l % 1000 == 0 =>
+        EqualTo(ts, asNative(l / 1000, ts))
+      case EqualTo(Literal(l: Long, LongType), NanosOfNativeTs(ts)) if l % 1000 == 0 =>
+        EqualTo(asNative(l / 1000, ts), ts)
     }
 }

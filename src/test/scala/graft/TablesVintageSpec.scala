@@ -63,6 +63,33 @@ class TablesVintageSpec extends AnyFunSuite {
     tsSets.foreach { case (k, s) => assert(s === ref, s"vintage $k ts values differ") }
   }
 
+  test("literal ts watermark predicates reach PushedFilters on every vintage") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // a watermark an incremental run would carry over: cuts the 400-row
+    // fixture at row 100 (whole-µs instants, so the nano bound is exact)
+    val wmNanos = (1700000000000000L + 100L * 137000L) * 1000L
+    val results = dirs.map { case (k, d) =>
+      val df = Tables(spark, d, "events").filter(col("ts") >= lit(wmNanos))
+        .select(col("event_id"), col("ts"))
+      val pushed = df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f.metadata("PushedFilters") }
+        .mkString
+      assert(pushed.contains("GreaterThanOrEqual(ts,"),
+        s"vintage $k lost ts pushdown: $pushed\n${df.queryExecution.optimizedPlan}")
+      k -> df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    val ref = results("long_nanos")
+    assert(ref.size === 300, s"watermark cut wrong: ${ref.size}")
+    results.foreach { case (k, s) => assert(s === ref, s"vintage $k rows differ") }
+    // non-whole-µs bounds still prune correctly (exact integer-bound
+    // rounding: ≥ takes the ceiling, so the row AT the bound survives ÷1000)
+    val offBound = wmNanos + 1
+    val offCounts = dirs.map { case (k, d) =>
+      k -> Tables(spark, d, "events").filter(col("ts") >= lit(offBound)).count()
+    }
+    offCounts.foreach { case (k, n) => assert(n === 299L, s"vintage $k: $n") }
+  }
+
   test("event pipelines produce identical results on every vintage") {
     val pipelines = Seq(
       "asof_last_purchase", "range_join_attrib",
