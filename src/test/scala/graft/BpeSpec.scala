@@ -68,6 +68,20 @@ class BpeSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.max <= budget)
   }
 
+  test("persisted merge table: train/encode split ≡ the one-shot path") {
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val td = java.nio.file.Files.createTempDirectory("bpe-table-spec").toString + "/merges"
+    Bpe.trainBpe(d, td, topWords = 500, numMerges = 40).count()
+    // the artifact round-trips the merge list exactly, in training order
+    val persisted = Bpe.loadMerges(spark, td)
+    val oneShot = Bpe.corpusMerges(d, topWords = 500, numMerges = 40)
+    assert(persisted === oneShot)
+    // and the frozen-tokenizer encode is row-identical to the one-shot path
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Bpe.encodeWithTable(d, td)) === rows(Bpe.encode(d, oneShot)))
+  }
+
   test("corpus encoding: fertility bounds and monotone compression in merges") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     val top = Bpe.wordFreqs(d).orderBy(col("n").desc, col("word")).limit(500)
