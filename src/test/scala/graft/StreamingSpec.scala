@@ -550,4 +550,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(!f("delta").exists && !f("segments_old").exists &&
       !f("segments/_FOLDED_DELTAS").exists)
   }
+
+  test("bloom ingest durable state survives restart: dedup history, snapshot fast-path, batch replay") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("bloom-state").toString
+    val corpus = Seq((0L, "seed document in the corpus")).toDF("doc_id", "text")
+
+    // FIRST process: snapshot after every admitting batch so the restore
+    // path below exercises the bitmap fast-path, not just delta folding
+    val s1 = new graft.streaming.DocIngest.BloomIngestState(
+      corpus, expectedRows = 1000, compactEvery = 8,
+      stateDir = Some(stateDir), snapshotEveryAdmits = 1)
+    assert(!s1.restoredFromSnapshot && s1.replayableSeqs.isEmpty)
+    val a0 = s1.admitBatch(Seq((10L, "first unique doc"), (11L, "second unique doc"))
+      .toDF("doc_id", "text"), Some(0L)).select("doc_id").as[Long].collect().toSet
+    assert(a0 === Set(10L, 11L))
+    val a1 = s1.admitBatch(Seq((12L, "third unique doc"), (13L, "first unique doc"))
+      .toDF("doc_id", "text"), Some(1L)).select("doc_id").as[Long].collect().toSet
+    assert(a1 === Set(12L), "in-process cross-batch dup slipped through")
+
+    // SECOND process (restart): restores from the snapshot, replays the
+    // retried last batchId verbatim, and still rejects every prior admission
+    val s2 = new graft.streaming.DocIngest.BloomIngestState(
+      corpus, expectedRows = 1000, compactEvery = 8,
+      stateDir = Some(stateDir), snapshotEveryAdmits = 1)
+    assert(s2.restoredFromSnapshot, "snapshot not restored — corpus filter rebuilt")
+    assert(s2.replayableSeqs === Set(0L, 1L))
+    val replay = s2.admitBatch(Seq((99L, "third unique doc")) // content irrelevant on replay
+      .toDF("doc_id", "text"), Some(1L)).select("doc_id").as[Long].collect().toSet
+    assert(replay === Set(12L), s"retried batch not replayed from disk: $replay")
+    val a2 = s2.admitBatch(Seq(
+      (20L, "first unique doc"),            // admitted before the "crash"
+      (21L, "seed document in the corpus"), // corpus dup
+      (22L, "a brand new straggler")
+    ).toDF("doc_id", "text"), Some(2L)).select("doc_id").as[Long].collect().toSet
+    assert(a2 === Set(22L), s"restart lost admission history: $a2")
+
+    // THIRD process with the filter snapshots REMOVED (crash between delta
+    // write and snapshot write at every point): delta folding alone must
+    // restore the same history
+    val filterDir = new java.io.File(stateDir, "filter")
+    filterDir.listFiles().foreach(f => assert(f.delete()))
+    val s3 = new graft.streaming.DocIngest.BloomIngestState(
+      corpus, expectedRows = 1000, compactEvery = 8,
+      stateDir = Some(stateDir), snapshotEveryAdmits = 1)
+    assert(!s3.restoredFromSnapshot)
+    assert(s3.replayableSeqs === Set(0L, 1L, 2L))
+    val a3 = s3.admitBatch(Seq(
+      (30L, "a brand new straggler"),  // admitted only in seq 2's delta
+      (31L, "genuinely fresh content")
+    ).toDF("doc_id", "text"), Some(3L)).select("doc_id").as[Long].collect().toSet
+    assert(a3 === Set(31L), s"delta-only restore lost history: $a3")
+  }
 }
