@@ -56,6 +56,7 @@ object SparkEntry {
     graft.operators.QualityClassifier.queries,
     graft.operators.Bpe.queries,
     graft.operators.Viz.queries,
+    graft.operators.Scd.queries,
     graft.streaming.EventStreams.queries,
     graft.models.ComposedPipeline.queries)
 
@@ -78,6 +79,7 @@ object SparkEntry {
     graft.operators.QualityClassifier.oracles,
     graft.operators.Bpe.oracles,
     graft.operators.Viz.oracles,
+    graft.operators.Scd.oracles,
     graft.streaming.EventStreams.oracles,
     graft.models.ComposedPipeline.oracles)
 

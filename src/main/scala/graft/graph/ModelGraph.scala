@@ -47,6 +47,19 @@ final case class Incremental(watermarkColumn: String) extends Materialization
   */
 final case class Bucketed(bucketBy: Seq[String], numBuckets: Int = 32)
   extends Materialization
+/** dbt incremental `merge` strategy (Snowflake's default): each batch
+  * upserts by `keys` — matched rows replaced, new rows inserted, source
+  * tombstone rows deleted ([[graft.operators.Scd.mergeUpsert]] semantics).
+  * With `partitionBy`, the target is hive-partitioned and a merge batch
+  * rewrites ONLY the partitions its feed touches — the 100 TB shape: merge
+  * cost scales with the change set's partition footprint, never the table.
+  * Keys must then be partition-stable (a key never moves partitions), the
+  * standard hive-merge precondition.
+  */
+final case class MergeInc(keys: Seq[String],
+                          partitionBy: Option[String] = None,
+                          deleteColumn: Option[String] = None)
+  extends Materialization
 
 final class ModelGraph(val models: Seq[Model]) {
   private val byName = models.map(m => m.name -> m).toMap

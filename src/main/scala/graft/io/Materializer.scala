@@ -3,7 +3,7 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.{Bucketed, Incremental, Materialization, Model, Partitioned, Table, View}
+import graft.graph.{Bucketed, Incremental, Materialization, MergeInc, Model, Partitioned, Table, View}
 
 /** Model materializer: dbt materializations → Spark write paths
   * (reference: masterfindata/dbt_project.yml:26-45, fct_balanceSheet.sql:1-6).
@@ -61,6 +61,52 @@ final class Materializer(spark: SparkSession, warehouseDir: String,
           .format("parquet")
           .saveAsTable(name)
         spark.table(name)
+      case MergeInc(keys, partitionByOpt, deleteColOpt) =>
+        val target = path(name)
+        val tpath = new org.apache.hadoop.fs.Path(target)
+        val fs = tpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val delCol = deleteColOpt.map(col)
+        val back = (fs.exists(tpath), partitionByOpt) match {
+          case (false, partOpt) =>
+            // first batch: tombstones have nothing to delete; feed metadata
+            // (the delete flag) never lands in the table
+            val seed0 = delCol.map(c => df.filter(!coalesce(c, lit(false)))).getOrElse(df)
+            val seed = deleteColOpt.map(seed0.drop(_)).getOrElse(seed0)
+            val w = seed.write.mode("overwrite")
+            partOpt.fold(w)(p => w.partitionBy(p)).parquet(target)
+            spark.read.parquet(target)
+          case (true, Some(p)) =>
+            // partition-scoped merge: only the feed's partitions are read,
+            // merged, and dynamically overwritten — untouched partitions'
+            // files are never opened, let alone rewritten
+            val touched = df.select(col(p)).distinct().collect().map(_.get(0))
+            val existingSlice = spark.read.parquet(target)
+              .filter(col(p).isin(touched: _*))
+            val merged = graft.operators.Scd
+              .mergeUpsert(existingSlice, df, keys, deleteWhen = delCol)
+              // break lineage to the target files before overwriting them
+              // (self-overwrite is otherwise rejected at analysis)
+              .localCheckpoint()
+            merged.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy(p).parquet(target)
+            // dynamic overwrite only replaces partitions PRESENT in the
+            // output: a touched partition whose rows were all deleted writes
+            // nothing and would silently survive — drop its directory
+            val written = merged.select(col(p)).distinct().collect().map(_.get(0)).toSet
+            touched.filterNot(written).foreach { v =>
+              fs.delete(new org.apache.hadoop.fs.Path(tpath, s"$p=$v"), true)
+            }
+            spark.read.parquet(target)
+          case (true, None) =>
+            val merged = graft.operators.Scd
+              .mergeUpsert(spark.read.parquet(target), df, keys, deleteWhen = delCol)
+              .localCheckpoint()
+            merged.write.mode("overwrite").parquet(target)
+            spark.read.parquet(target)
+        }
+        back.createOrReplaceTempView(name)
+        back
       case Incremental(wmCol) =>
         val target = path(name)
         val exists = new java.io.File(target).exists() ||
