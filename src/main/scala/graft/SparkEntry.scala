@@ -57,6 +57,9 @@ object SparkEntry {
     graft.operators.Bpe.queries,
     graft.operators.Viz.queries,
     graft.operators.Scd.queries,
+    graft.operators.Retrieval.queries,
+    graft.operators.Layout.queries,
+    graft.operators.Linkage.queries,
     graft.streaming.EventStreams.queries,
     graft.models.ComposedPipeline.queries)
 
@@ -80,6 +83,9 @@ object SparkEntry {
     graft.operators.Bpe.oracles,
     graft.operators.Viz.oracles,
     graft.operators.Scd.oracles,
+    graft.operators.Retrieval.oracles,
+    graft.operators.Layout.oracles,
+    graft.operators.Linkage.oracles,
     graft.streaming.EventStreams.oracles,
     graft.models.ComposedPipeline.oracles)
 

@@ -84,6 +84,48 @@ object Clustering {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** PageRank by power iteration over a directed edge list (src, dst) —
+    * the centrality prior a link-graph corpus curation uses for seed-URL /
+    * domain weighting (cf. Page et al. 1999; the Common-Crawl-style
+    * harmonic/PageRank seed ranking). Fixed iteration count, so the whole
+    * computation is `iters` rounds of (join on src) + (sum by dst) — every
+    * step a key-hash shuffle with partial aggregation; nothing driver-side
+    * but the per-round dangling-mass scalar.
+    *
+    * Dangling nodes (no out-edges) redistribute their mass uniformly — the
+    * standard stochastic-matrix fix, computed as one scalar aggregate per
+    * round, not an N² edge fill. Scores sum to 1 every round (spec-pinned).
+    * No oracle: iterated float sums are engine-order-dependent; correctness
+    * is pinned in spec against hand-computed graphs.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val withDeg = pr.join(outdeg, pr("id") === outdeg("src"), "left")
+        .select(col("id"), col("pr"), col("deg"))
+      // mass parked on dangling nodes, redistributed uniformly this round
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0.0))).head.getDouble(0)
+      val contribs = e.join(withDeg.filter(col("deg").isNotNull),
+          e("src") === col("id"))
+        .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("cin"))
+      pr = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("cin"), lit(0.0)) + lit(dangling / n)))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // near-dup pairs (true-Jaccard ≥ 0.8, the oracle-gated dedup output) →
     // duplicate clusters; cluster_id doubles as the survivor id
@@ -102,7 +144,27 @@ object Clustering {
       connectedComponents(
         Dedup.minhashLshPairs(
           graft.Tables(s, dir, "documents"), threshold = 0.8)
-          .select(col("id_a"), col("id_b"))))
+          .select(col("id_a"), col("id_b")))),
+
+    // PageRank centrality over the customer↔supplier trade graph (edges from
+    // the orders⋈lineitem fact, both directions — a connected bipartite
+    // walk). Top-20 by score. Rows-only (iterated float sums; algorithm
+    // pinned in spec on hand-computed graphs: uniform cycle, star, sum≡1).
+    // Supplier ids are offset out of the customer key space.
+    "graph_pagerank_topk" -> ((s, dir) => {
+      val o = graft.Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = graft.Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + lit(1000000L)).as("supp"))
+      val edges = cs.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(cs.select(col("supp"), col("cust")))
+      pageRank(edges, iters = 5)
+        .orderBy(col("pr").desc, col("id")).limit(20)
+        .select(col("id"), round(col("pr"), 6).as("pr_round"))
+    })
   )
 
   def oracles: Map[String, String] = Map(

@@ -309,6 +309,30 @@ object Relational {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("mass"))
     }),
 
+    // winsorized robust statistics: per-group p05/p95 caps applied to the
+    // measure before aggregating — the outlier-robust profile a fact column
+    // gets before its values feed a model or a dashboard scale. Two passes:
+    // the exact-percentile frame is GROUP-CARDINALITY-sized and broadcast
+    // back over the fact scan (never a fact shuffle for the clamp), then one
+    // partial+final agg. Decimal-exact sum → double for the engine compare.
+    "a18_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val capped = greatest(least(col("l_extendedprice"), col("p95")), col("p05"))
+      val pcts = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("ps"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("p05"), element_at(col("ps"), 2).as("p95"))
+      li.join(broadcast(pcts), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(capped.cast("decimal(28,6)")).cast("double") / count(lit(1)), 4)
+            .as("avg_w"),
+          round(min(capped), 4).as("min_w"),
+          round(max(capped), 4).as("max_w"),
+          round(min(col("p05")), 4).as("cap_lo"),
+          round(min(col("p95")), 4).as("cap_hi"))
+    }),
+
     // multi-dimensional aggregates (absent in the reference — exceed parity).
     "a8_rollup" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -704,6 +728,21 @@ object Relational {
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a18_winsorize" ->
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS p05,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(GREATEST(LEAST(l.l_extendedprice, p.p95), p.p05)
+        |        AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_w,
+        |  ROUND(MIN(GREATEST(LEAST(l.l_extendedprice, p.p95), p.p05)), 4) AS min_w,
+        |  ROUND(MAX(GREATEST(LEAST(l.l_extendedprice, p.p95), p.p05)), 4) AS max_w,
+        |  ROUND(MIN(p.p05), 4) AS cap_lo,
+        |  ROUND(MIN(p.p95), 4) AS cap_hi
+        |FROM lineitem l JOIN p USING (l_returnflag)
+        |GROUP BY l.l_returnflag""".stripMargin,
     "o4_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "set_union" ->

@@ -1,0 +1,305 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Corpus retrieval — the search half of a training-data/RAG pipeline: sparse
+  * lexical ranking (BM25), dense ranking (cosine, via [[Similarity]]'s exact
+  * kernel shape), and reciprocal-rank fusion of multiple rankers. The
+  * reference serves canned lookups (`Frontend/app.py:526-544` SELECT + LIMIT);
+  * a corpus engine needs actual relevance ranking — implemented here
+  * Spark-first with the same discipline as the rest of the library: the
+  * per-document work is map-side over a broadcast query set, and the only
+  * reductions are vocabulary- or query-bounded.
+  *
+  * 100 TB shape (BM25): the corpus is NEVER shuffled on a token key. Term
+  * frequencies for the (tiny, broadcast) query vocabulary are computed
+  * per-document with a codegen'd array `filter`+`size` over the token array —
+  * a map-side pass; document frequency reduces that to |vocabulary| rows;
+  * N/avgdl reduce to ONE row. Scoring is then a second map-side pass joining
+  * only broadcast sides, and the final top-k is a per-query
+  * WindowGroupLimit (partial top-k per partition before the single
+  * query-partitioned exchange). A general inverted index (all terms, not a
+  * query vocabulary) would instead explode to (token, doc) pairs — that shape
+  * is [[TextAnalysis.tokenTopK]]'s; here the query set bounds the work.
+  */
+object Retrieval {
+
+  /** Fixed benchmark queries over the `documents` table's vocabulary:
+    * q1 carries the corpus's one rare term ("dup", df≈5% — high idf), q2/q3
+    * are common-term conjunctions where ranking is tf- and length-driven.
+    */
+  val DefaultQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("dup", "merge"),
+    2 -> Seq("join", "hash", "scan"),
+    3 -> Seq("spark", "window", "slow"))
+
+  /** Whitespace tokens of `text`, lowercased, empties dropped — the same
+    * split the DuckDB oracle applies (`regexp_split_to_array('\s+')`).
+    */
+  private def toks(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Okapi BM25 top-k per query (Robertson & Walker, SIGIR 1994; the
+    * k1/b=1.2/0.75 defaults every production engine ships).
+    *
+    * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  (the "+1" form — never
+    * negative for df close to N, which this corpus's 30-word vocabulary
+    * would otherwise hit constantly).
+    *
+    * Determinism for the hash gate: the per-(query,doc) score sums ≤3 term
+    * weights; both engines evaluate the same double expression tree, the sum
+    * is rounded to 6 decimals BEFORE ranking, and ties break on doc_id.
+    */
+  def bm25TopK(docs: DataFrame,
+               queries: Seq[(Int, Seq[String])] = DefaultQueries,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val d = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    // one-row global stats; broadcast as a literal-free cross join
+    val g = d.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val vocab = qterms.select(col("term")).distinct()
+    // per-doc tf for the query vocabulary only: map-side array scan, no
+    // corpus shuffle (codegen'd filter+size over the token array)
+    val tf = d.crossJoin(broadcast(vocab))
+      .withColumn("tf",
+        size(filter(col("toks"), t => t === col("term"))).cast("double"))
+      .filter(col("tf") > 0)
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    // document frequency: vocabulary-bounded reduction (≤ |vocab| rows out)
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val w = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(g))
+      .join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(w), 6).as("score"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of two
+    * dense rankers over the embedding corpus: cosine similarity and L2
+    * distance. Each arm contributes 1/(c + rank) for its top-`armK`; the
+    * fused top-`k` is returned per query. RRF is the standard hybrid-search
+    * combiner precisely because it consumes only integer RANKS — no score
+    * calibration across arms — which also makes it exactly reproducible in
+    * any engine, hence oracle-gateable where raw-score fusion would not be.
+    *
+    * Plan shape: ONE broadcast-query × corpus pass computes dot, |q|², |e|²;
+    * both arms' ranks derive from that pass (cosine from the quotient, L2
+    * from |q|²+|e|²−2·dot — monotone in the true distance, so ranks are
+    * identical and no sqrt enters the compare). Per-arm top-armK are
+    * WindowGroupLimit-pruned before the single query-partitioned exchange.
+    */
+  def rrfFuseTopK(e: DataFrame, k: Int = 10, armK: Int = 20,
+                  c: Int = 60, dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val par = graft.Tuning.fanout(e.sparkSession)
+    val base = e.select(col("vec_id"), col("embedding"))
+    val corpus = if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val dot = VectorFns.dotN(col("q_emb"), col("embedding"), dim)
+    val qq = VectorFns.l2normN(col("q_emb"), dim)
+    val ee = VectorFns.l2normN(col("embedding"), dim)
+    val pairs = corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot / (qq * ee)).as("cos"),
+        (qq * qq + ee * ee - lit(2.0) * dot).as("l2sq"))
+    val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val wL2 = Window.partitionBy(col("q_id")).orderBy(col("l2sq").asc, col("vec_id"))
+    val byCos = pairs.withColumn("r_cos", row_number().over(wCos))
+      .filter(col("r_cos") <= armK).select(col("q_id"), col("vec_id"), col("r_cos"))
+    val byL2 = pairs.withColumn("r_l2", row_number().over(wL2))
+      .filter(col("r_l2") <= armK).select(col("q_id"), col("vec_id"), col("r_l2"))
+    // both arms are already ≤ armK rows per query — the fuse join is tiny
+    val fused = byCos.join(byL2, Seq("q_id", "vec_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c.toDouble) + col("r_cos")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("r_l2")), lit(0.0)))
+    val wF = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("vec_id"))
+    fused.withColumn("fused_rank", row_number().over(wF).cast("long"))
+      .filter(col("fused_rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("fused_rank"))
+  }
+
+  /** Hybrid lexical×quality ranking: BM25 relevance fused (RRF) with the
+    * corpus-wide document quality ordering ([[TextAnalysis.qualityScore]]) —
+    * the practical "retrieve relevant BUT well-formed" ranking a RAG corpus
+    * serves. Fusing a per-query ranker with a global prior is the textbook
+    * RRF use beyond two-retriever fusion.
+    *
+    * The quality arm needs each CANDIDATE's global quality rank — but never
+    * a global sort: candidates are ≤ armK×|queries| rows, so their ranks are
+    * counted with one broadcast-candidate map-side pass over the corpus
+    * (rank(d) = #docs ordered at-or-before d), with the reduction bounded by
+    * the candidate count. A `Window.orderBy` with no partition key — the
+    * "obvious" spelling — would funnel the whole corpus through one
+    * partition; the counting form is the 100 TB spelling of ROW_NUMBER
+    * restricted to a small candidate set.
+    */
+  def bm25QualityHybrid(docs: DataFrame,
+                        queries: Seq[(Int, Seq[String])] = DefaultQueries,
+                        k: Int = 10, armK: Int = 20, c: Int = 60): DataFrame = {
+    val bm = bm25TopK(docs, queries, k = armK)
+      .withColumnRenamed("rank", "r_rel")
+    val qual = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+    val cand = qual.join(broadcast(bm.select(col("doc_id")).distinct()), "doc_id")
+      .select(col("doc_id").as("c_doc"), col("q").as("cq"))
+    // global quality rank of each candidate, as a count — ordering is
+    // (quality DESC, doc_id ASC), so rank = #docs strictly better + #ties
+    // at-or-before (including self)
+    val rq = qual.join(broadcast(cand),
+        col("q") > col("cq") ||
+          (col("q") === col("cq") && col("doc_id") <= col("c_doc")))
+      .groupBy(col("c_doc").as("doc_id")).agg(count(lit(1)).as("r_q"))
+    val fused = bm.join(rq, "doc_id")
+      .withColumn("rrf",
+        lit(1.0) / (lit(c.toDouble) + col("r_rel")) +
+          lit(1.0) / (lit(c.toDouble) + col("r_q")))
+    val wF = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(wF).cast("long"))
+      .filter(col("fused_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("fused_rank"))
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Okapi BM25 top-10 for the 3 fixed queries (oracle-gated)
+    "retrieval_bm25_topk" -> ((s, dir) => bm25TopK(docs(s, dir))),
+    // RRF fusion of cosine + L2 dense arms (oracle-gated — rank-only math)
+    "retrieval_rrf_fuse" -> ((s, dir) => rrfFuseTopK(emb(s, dir))),
+    // BM25 relevance × global quality prior (oracle-gated)
+    "retrieval_hybrid_quality" -> ((s, dir) => bm25QualityHybrid(docs(s, dir)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "retrieval_bm25_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+        |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dd),
+        |q(query_id, term) AS (VALUES
+        |  (1,'dup'),(1,'merge'),
+        |  (2,'join'),(2,'hash'),(2,'scan'),
+        |  (3,'spark'),(3,'window'),(3,'slow')),
+        |v AS (SELECT DISTINCT term FROM q),
+        |tf AS (
+        |  SELECT dd.doc_id, dd.dl, v.term,
+        |    CAST(len(list_filter(dd.toks, x -> x = v.term)) AS DOUBLE) AS tf
+        |  FROM dd CROSS JOIN v),
+        |tfnz AS (SELECT * FROM tf WHERE tf > 0),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfnz GROUP BY term),
+        |sc AS (
+        |  SELECT q.query_id, tfnz.doc_id,
+        |    ROUND(SUM(
+        |      ln(1.0 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |      (tfnz.tf * 2.2) /
+        |      (tfnz.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfnz.dl / g.avgdl))), 6) AS score
+        |  FROM tfnz JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN g
+        |  GROUP BY q.query_id, tfnz.doc_id)
+        |SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc) WHERE rank <= 10""".stripMargin,
+    "retrieval_rrf_fuse" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+        |p AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+        |    SQRT(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))) AS qq,
+        |    SQRT(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS ee
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+        |m AS (SELECT q_id, vec_id, dot / (qq * ee) AS cos,
+        |        qq * qq + ee * ee - 2.0 * dot AS l2sq FROM p),
+        |a AS (SELECT q_id, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r_cos
+        |      FROM m QUALIFY r_cos <= 20),
+        |b AS (SELECT q_id, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY l2sq ASC, vec_id) AS r_l2
+        |      FROM m QUALIFY r_l2 <= 20),
+        |f AS (
+        |  SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+        |         COALESCE(a.vec_id, b.vec_id) AS vec_id,
+        |         COALESCE(1.0 / (60.0 + a.r_cos), 0.0) +
+        |         COALESCE(1.0 / (60.0 + b.r_l2), 0.0) AS rrf
+        |  FROM a FULL OUTER JOIN b ON a.q_id = b.q_id AND a.vec_id = b.vec_id)
+        |SELECT q_id, vec_id AS neighbor_id, fused_rank FROM (
+        |  SELECT q_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, vec_id) AS fused_rank
+        |  FROM f) WHERE fused_rank <= 10""".stripMargin,
+    "retrieval_hybrid_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+        |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dd),
+        |q(query_id, term) AS (VALUES
+        |  (1,'dup'),(1,'merge'),
+        |  (2,'join'),(2,'hash'),(2,'scan'),
+        |  (3,'spark'),(3,'window'),(3,'slow')),
+        |v AS (SELECT DISTINCT term FROM q),
+        |tf AS (
+        |  SELECT dd.doc_id, dd.dl, v.term,
+        |    CAST(len(list_filter(dd.toks, x -> x = v.term)) AS DOUBLE) AS tf
+        |  FROM dd CROSS JOIN v),
+        |tfnz AS (SELECT * FROM tf WHERE tf > 0),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfnz GROUP BY term),
+        |sc AS (
+        |  SELECT q.query_id, tfnz.doc_id,
+        |    ROUND(SUM(
+        |      ln(1.0 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |      (tfnz.tf * 2.2) /
+        |      (tfnz.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfnz.dl / g.avgdl))), 6) AS score
+        |  FROM tfnz JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN g
+        |  GROUP BY q.query_id, tfnz.doc_id),
+        |rel AS (
+        |  SELECT query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r_rel
+        |  FROM sc QUALIFY r_rel <= 20),
+        |qual AS (
+        |  SELECT doc_id,
+        |    ROUND(LEAST(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) *
+        |      (1.0 - 0.5 * (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))
+        |        AS DOUBLE) / len(string_split_regex(trim(text), '\s+')))), 4) AS quality
+        |  FROM documents),
+        |qr AS (SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS r_q FROM qual),
+        |f AS (
+        |  SELECT rel.query_id, rel.doc_id,
+        |    1.0 / (60.0 + rel.r_rel) + 1.0 / (60.0 + qr.r_q) AS rrf
+        |  FROM rel JOIN qr USING (doc_id))
+        |SELECT query_id, doc_id, fused_rank FROM (
+        |  SELECT query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS fused_rank
+        |  FROM f) WHERE fused_rank <= 10""".stripMargin
+  )
+}

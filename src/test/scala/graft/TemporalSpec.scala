@@ -201,6 +201,31 @@ class TemporalSpec extends AnyFunSuite {
     assert(Clustering.connectedComponents(empty).count() === 0L)
   }
 
+  test("pageRank: uniform on a cycle, mass-conserving, hub-dominant on a star") {
+    // 3-cycle: the stationary distribution is exactly uniform at EVERY
+    // iteration (symmetry), so even a finite power iteration is exact
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val prC = Clustering.pageRank(cycle, iters = 4).as[(Long, Double)].collect().toMap
+    prC.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12, prC))
+    // undirected star 1↔{2,3,4}: the hub holds the most mass; total mass ≡ 1
+    val star = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val prS = Clustering.pageRank(star, iters = 8).as[(Long, Double)].collect().toMap
+    assert(math.abs(prS.values.sum - 1.0) < 1e-9, prS)
+    assert(prS(1L) > prS(2L) && prS(2L) === prS(3L) && prS(3L) === prS(4L), prS)
+    // hand value: hub alternates toward d/(1+d)... pin the closed loop
+    // partially — leaves split the remainder equally
+    assert(math.abs(prS(2L) - (1.0 - prS(1L)) / 3) < 1e-12, prS)
+  }
+
+  test("pageRank: dangling mass is redistributed (sum stays 1)") {
+    // 1→2, 2 is dangling: without the fix, mass drains each round
+    val g = Seq((1L, 2L)).toDF("src", "dst")
+    val pr = Clustering.pageRank(g, iters = 6).as[(Long, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, pr)
+    assert(pr(2L) > pr(1L), pr) // sink receives, source only gets teleport+redistribution
+  }
+
   test("connectedComponents matches union-find on a random 2000-node graph") {
     val rnd = new scala.util.Random(23)
     val n = 2000
