@@ -60,6 +60,7 @@ object SparkEntry {
     graft.operators.Retrieval.queries,
     graft.operators.Layout.queries,
     graft.operators.Linkage.queries,
+    graft.operators.Privacy.queries,
     graft.streaming.EventStreams.queries,
     graft.models.ComposedPipeline.queries)
 
@@ -86,6 +87,7 @@ object SparkEntry {
     graft.operators.Retrieval.oracles,
     graft.operators.Layout.oracles,
     graft.operators.Linkage.oracles,
+    graft.operators.Privacy.oracles,
     graft.streaming.EventStreams.oracles,
     graft.models.ComposedPipeline.oracles)
 
