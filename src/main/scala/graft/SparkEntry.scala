@@ -61,6 +61,7 @@ object SparkEntry {
     graft.operators.Layout.queries,
     graft.operators.Linkage.queries,
     graft.operators.Privacy.queries,
+    graft.operators.Analytics.queries,
     graft.streaming.EventStreams.queries,
     graft.models.ComposedPipeline.queries)
 
@@ -88,6 +89,7 @@ object SparkEntry {
     graft.operators.Layout.oracles,
     graft.operators.Linkage.oracles,
     graft.operators.Privacy.oracles,
+    graft.operators.Analytics.oracles,
     graft.streaming.EventStreams.oracles,
     graft.models.ComposedPipeline.oracles)
 

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+
+/** Hand-computed pins for the funnel / cohort analytics operators. */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (user_id, event_type, ts)
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toDF("user_id", "event_type", "ts")
+
+  test("funnel: ordered, strictly-after, per-stage tolerance window") {
+    val events = ev(
+      // user 1 converts fully: view@10 → click@20 → purchase@25
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 25L),
+      // user 2: click BEFORE the view never counts; no click after → stage 1 only
+      (2L, "click", 5L), (2L, "view", 10L),
+      // user 3: click at exactly the view ts is NOT strictly after → stage 1
+      (3L, "view", 10L), (3L, "click", 10L),
+      // user 4: click beyond tolerance (10+100 < 200) → stage 1 only
+      (4L, "view", 10L), (4L, "click", 200L),
+      // user 5: second view is later but the FIRST view anchors the clock;
+      // click@50 is within 100 of view@10 → stage 2; purchase missing
+      (5L, "view", 10L), (5L, "view", 90L), (5L, "click", 50L),
+      // user 6: purchase skips click → stage 1 only
+      (6L, "view", 10L), (6L, "purchase", 20L))
+    val got = Analytics.funnel(events, Seq("view", "click", "purchase"), 100L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got === Map(1 -> 6L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("funnel: stage clock restarts at the previous stage's entry") {
+    // view@0, click@90 (within 100 of view), purchase@150 (within 100 of
+    // CLICK though 150 > view+100) → converts; purchase tolerance anchors
+    // on the click, not the first stage
+    val events = ev(
+      (1L, "view", 0L), (1L, "click", 90L), (1L, "purchase", 150L))
+    val got = Analytics.funnel(events, Seq("view", "click", "purchase"), 100L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got === Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("cohort retention: day-0 cell is the cohort size, offsets count actives") {
+    val d = graft.Tables.NanosPerDay
+    val events = ev(
+      // users 1,2 first seen day 0; user 1 returns day 2; user 2 never
+      (1L, "view", 0L), (2L, "view", d - 1),
+      (1L, "click", 2 * d + 5),
+      // user 3 first seen day 1, active again day 1 (same-day dedup) + day 3
+      (3L, "view", d), (3L, "click", d + 7), (3L, "purchase", 3 * d))
+    val got = Analytics.cohortRetention(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (0L, 0L) -> 2L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+
+  test("funnel counts are monotone non-increasing on the real corpus") {
+    val events = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    val got = Analytics.funnel(events, Seq("view", "click", "purchase"),
+        72L * 3600 * 1000 * 1000 * 1000)
+      .orderBy(col("stage_idx")).collect().map(_.getLong(2))
+    assert(got.length === 3)
+    assert(got(0) >= got(1) && got(1) >= got(2), got.toSeq)
+    assert(got(0) > 0)
+  }
+}
