@@ -17,16 +17,16 @@ object Analytics {
 
   /** Ordered-funnel conversion: for each user, stage i counts only if an
     * event of stage i's type occurs STRICTLY AFTER the user's stage-(i-1)
-    * entry time and within `toleranceNs` of it; the user's stage-i entry
+    * entry time and within `tolerance` of it; the user's stage-i entry
     * time is the EARLIEST such event. Returns one row per stage with the
     * surviving user count — the classic conversion funnel with per-stage
     * windows (each stage's clock restarts at the previous stage's entry).
     *
-    * `ts` is the nano-epoch long every consumer of the events table sees
-    * ([[graft.Tables.normalizeEventTs]]).
+    * `ts` is an epoch long; `tolerance` is in the same unit. The battery
+    * entry feeds µs (see the grain note below).
     */
   def funnel(events: DataFrame, stages: Seq[String],
-             toleranceNs: Long): DataFrame = {
+             tolerance: Long): DataFrame = {
     require(stages.nonEmpty)
     val byType = events.select(col("user_id"), col("event_type"), col("ts"))
     var entered = byType.filter(col("event_type") === stages.head)
@@ -41,7 +41,7 @@ object Analytics {
       entered = byType.filter(col("event_type") === st)
         .join(broadcast(entered), "user_id")
         .filter(col("ts") > col("t_in") &&
-          col("ts") <= col("t_in") + toleranceNs)
+          col("ts") <= col("t_in") + tolerance)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t_in"))
       counts += stageCount(i + 1, st, entered)
     }
@@ -49,31 +49,42 @@ object Analytics {
   }
 
   /** Day-granular cohort retention: users cohort by their FIRST-ever event
-    * day; each (cohort_day, day_offset) cell counts the distinct cohort
-    * members active that many days later. Day 0 re-derives the cohort size,
-    * so retention curves read directly off the rows.
+    * day; each (cohort_day, day_offset) cell counts the cohort members
+    * active that many days later — the (user, day) frame is already
+    * distinct and a user contributes one row per cell, so a plain count
+    * suffices (countDistinct would add an Expand + extra shuffle for the
+    * identical result). Day 0 re-derives the cohort size, so retention
+    * curves read directly off the rows.
     */
   def cohortRetention(events: DataFrame): DataFrame = {
-    val nsPerDay = graft.Tables.NanosPerDay
     val days = events
-      .select(col("user_id"), expr(s"ts div $nsPerDay").as("day"))
+      .select(col("user_id"),
+        expr(s"(ts div 1000) div $UsPerDay").as("day"))
       .distinct()
     val cohorts = days.groupBy(col("user_id"))
       .agg(min(col("day")).as("cohort_day"))
     days.join(broadcast(cohorts), "user_id")
       .groupBy(col("cohort_day"),
         (col("day") - col("cohort_day")).as("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
-  private val TolNs = 72L * 3600 * 1000 * 1000 * 1000 // 72 h
+  // Events timestamps compare at MICROSECOND grain everywhere in this
+  // module: the events parquet has a TIMESTAMP(NANOS) vintage whose
+  // sub-µs digits DuckDB truncates (same reason stream_sessionize works in
+  // `ts div 1000` — EventStreams.scala), so an epoch_ns oracle would
+  // diverge from Spark exactly at the strictly-after boundaries this
+  // operator is defined by.
+  private val TolUs = 72L * 3600 * 1000 * 1000 // 72 h
+  private val UsPerDay = 86400000000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // view → click → purchase conversion with a 72 h per-stage window
     // (oracle-gated, 3 rows)
     "funnel_conversion" -> ((s, dir) =>
-      funnel(graft.Tables(s, dir, "events"),
-        Seq("view", "click", "purchase"), TolNs)),
+      funnel(graft.Tables(s, dir, "events")
+          .withColumn("ts", expr("ts div 1000")),
+        Seq("view", "click", "purchase"), TolUs)),
     // first-event-day cohorts × active-day offsets (oracle-gated)
     "cohort_retention" -> ((s, dir) =>
       cohortRetention(graft.Tables(s, dir, "events")))
@@ -81,18 +92,18 @@ object Analytics {
 
   def oracles: Map[String, String] = Map(
     "funnel_conversion" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
-        |s1 AS (SELECT user_id, MIN(tns) AS t_in FROM e
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |s1 AS (SELECT user_id, MIN(tus) AS t_in FROM e
         |       WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, MIN(e.tns) AS t_in
+        |s2 AS (SELECT e.user_id, MIN(e.tus) AS t_in
         |       FROM e JOIN s1 USING (user_id)
-        |       WHERE e.event_type = 'click' AND e.tns > s1.t_in
-        |         AND e.tns <= s1.t_in + 259200000000000
+        |       WHERE e.event_type = 'click' AND e.tus > s1.t_in
+        |         AND e.tus <= s1.t_in + 259200000000
         |       GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, MIN(e.tns) AS t_in
+        |s3 AS (SELECT e.user_id, MIN(e.tus) AS t_in
         |       FROM e JOIN s2 USING (user_id)
-        |       WHERE e.event_type = 'purchase' AND e.tns > s2.t_in
-        |         AND e.tns <= s2.t_in + 259200000000000
+        |       WHERE e.event_type = 'purchase' AND e.tus > s2.t_in
+        |         AND e.tus <= s2.t_in + 259200000000
         |       GROUP BY e.user_id)
         |SELECT 1 AS stage_idx, 'view' AS stage, COUNT(*) AS n_users FROM s1
         |UNION ALL
@@ -101,11 +112,11 @@ object Analytics {
         |SELECT 3, 'purchase', COUNT(*) FROM s3""".stripMargin,
     "cohort_retention" ->
       """WITH d AS (
-        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
         |  FROM events),
         |c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
         |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
-        |  COUNT(DISTINCT d.user_id) AS n_users
+        |  COUNT(*) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin
   )

@@ -176,7 +176,9 @@ object Clustering {
     // the orders⋈lineitem fact, both directions — a connected bipartite
     // walk). Top-20 by score. Rows-only (iterated float sums; algorithm
     // pinned in spec on hand-computed graphs: uniform cycle, star, sum≡1).
-    // Supplier ids are offset out of the customer key space.
+    // Supplier ids are offset by 2^40 — beyond any customer key at any
+    // scale factor (a 10^6 offset would collide with custkeys at sf ≥ 7
+    // and silently merge distinct nodes).
     "graph_pagerank_topk" -> ((s, dir) => {
       val o = graft.Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
@@ -186,7 +188,7 @@ object Clustering {
       // selects would plan the orders⋈lineitem join twice)
       val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select(col("o_custkey").as("cust"),
-          (col("l_suppkey") + lit(1000000L)).as("supp"))
+          (col("l_suppkey") + lit(1L << 40)).as("supp"))
         .select(explode(array(
           struct(col("cust").as("src"), col("supp").as("dst")),
           struct(col("supp").as("src"), col("cust").as("dst")))).as("e"))

@@ -19,24 +19,30 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Spread the low 16 bits of `c` to the even bit positions (Morton magic
-    * masks — the classic O(log w) bit-twiddle; public domain constant set).
+  /** Spread the low 31 bits of `c` to the even bit positions (Morton magic
+    * masks — the classic O(log w) bit-twiddle; public domain constant set,
+    * 64-bit variant).
     */
-  private def spread16(c: Column): Column = {
-    val v0 = c.cast("long").bitwiseAND(lit(0xFFFFL))
-    val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
-    val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
-    val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
-    v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+  private def spread31(c: Column): Column = {
+    val v0 = c.cast("long").bitwiseAND(lit(0x7FFFFFFFL))
+    val v1 = v0.bitwiseOR(shiftleft(v0, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val v2 = v1.bitwiseOR(shiftleft(v1, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val v3 = v2.bitwiseOR(shiftleft(v2, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val v4 = v3.bitwiseOR(shiftleft(v3, 2)).bitwiseAND(lit(0x3333333333333333L))
+    v4.bitwiseOR(shiftleft(v4, 1)).bitwiseAND(lit(0x5555555555555555L))
   }
 
-  /** 32-bit Morton (Z-order) key interleaving two 16-bit dimensions: bit i of
-    * x lands at position 2i, bit i of y at 2i+1. Sorting by this key gives
-    * the space-filling-curve layout where a box predicate on (x, y) touches
-    * O(perimeter) files instead of O(all of them).
+  /** 62-bit Morton (Z-order) key interleaving two 31-bit dimensions: bit i of
+    * x lands at position 2i, bit i of y at 2i+1, and the result stays within
+    * the POSITIVE long range so signed ordering is the curve ordering.
+    * Sorting by this key gives the space-filling-curve layout where a box
+    * predicate on (x, y) touches O(perimeter) files instead of O(all of
+    * them). 31 bits per dimension covers keys to 2.1 × 10⁹ (TPC-H partkeys
+    * past sf10000 — a 16-bit spread silently aliased keys above 65535,
+    * which would degrade locality with no error at sf ≥ 0.33).
     */
   def mortonKey(x: Column, y: Column): Column =
-    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+    spread31(x).bitwiseOR(shiftleft(spread31(y), 1))
 
   /** Production write path: cluster `df` by the Z-order of (xCol, yCol) into
     * `targetFiles` range-partitioned, internally-sorted parquet files. No
@@ -103,9 +109,8 @@ object Layout {
 
   // ---- battery ----------------------------------------------------------
 
-  /** Pruning columns for the lineitem battery entries. 16-bit masked (the
-    * Morton budget); the driver corpus keys are far below 65536 at every sf,
-    * so the mask is an invariant, not a truncation.
+  /** Pruning columns for the lineitem battery entries — both fit the 31-bit
+    * Morton budget at any realistic scale factor.
     */
   private def li(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "lineitem")
@@ -144,15 +149,16 @@ object Layout {
     })
   )
 
-  /** DuckDB Morton spread of the low 16 bits of expression `e` (same magic
-    * masks as [[spread16]], spelled with `<<`/`&` on BIGINT).
+  /** DuckDB Morton spread of the low 31 bits of expression `e` (same magic
+    * masks as [[spread31]], spelled with `<<`/`&` on BIGINT).
     */
   private def spreadSql(e: String): String = {
-    val v0 = s"(($e) & 65535)"
-    val v1 = s"((($v0 | ($v0 << 8)) & 16711935))"
-    val v2 = s"((($v1 | ($v1 << 4)) & 252645135))"
-    val v3 = s"((($v2 | ($v2 << 2)) & 858993459))"
-    s"((($v3 | ($v3 << 1)) & 1431655765))"
+    val v0 = s"(($e) & 2147483647)"
+    val v1 = s"((($v0 | ($v0 << 16)) & 281470681808895))"
+    val v2 = s"((($v1 | ($v1 << 8)) & 71777214294589695))"
+    val v3 = s"((($v2 | ($v2 << 4)) & 1085102592571150095))"
+    val v4 = s"((($v3 | ($v3 << 2)) & 3689348814741910323))"
+    s"((($v4 | ($v4 << 1)) & 6148914691236517205))"
   }
 
   private def mortonSql(x: String, y: String): String =

@@ -197,37 +197,44 @@ object Retrieval {
     "retrieval_hybrid_quality" -> ((s, dir) => bm25QualityHybrid(docs(s, dir)))
   )
 
+  /** Shared BM25 scoring CTE chain (→ `sc(query_id, doc_id, score)`) —
+    * interpolated into every oracle that ranks by BM25, so the scoring math
+    * can never drift between entries.
+    */
+  private val bm25ScoredSql: String =
+    """d AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+      |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dd),
+      |q(query_id, term) AS (VALUES
+      |  (1,'dup'),(1,'merge'),
+      |  (2,'join'),(2,'hash'),(2,'scan'),
+      |  (3,'spark'),(3,'window'),(3,'slow')),
+      |v AS (SELECT DISTINCT term FROM q),
+      |tf AS (
+      |  SELECT dd.doc_id, dd.dl, v.term,
+      |    CAST(len(list_filter(dd.toks, x -> x = v.term)) AS DOUBLE) AS tf
+      |  FROM dd CROSS JOIN v),
+      |tfnz AS (SELECT * FROM tf WHERE tf > 0),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfnz GROUP BY term),
+      |sc AS (
+      |  SELECT q.query_id, tfnz.doc_id,
+      |    ROUND(SUM(
+      |      ln(1.0 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+      |      (tfnz.tf * 2.2) /
+      |      (tfnz.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfnz.dl / g.avgdl))), 6) AS score
+      |  FROM tfnz JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN g
+      |  GROUP BY q.query_id, tfnz.doc_id)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "retrieval_bm25_topk" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
-        |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dd),
-        |q(query_id, term) AS (VALUES
-        |  (1,'dup'),(1,'merge'),
-        |  (2,'join'),(2,'hash'),(2,'scan'),
-        |  (3,'spark'),(3,'window'),(3,'slow')),
-        |v AS (SELECT DISTINCT term FROM q),
-        |tf AS (
-        |  SELECT dd.doc_id, dd.dl, v.term,
-        |    CAST(len(list_filter(dd.toks, x -> x = v.term)) AS DOUBLE) AS tf
-        |  FROM dd CROSS JOIN v),
-        |tfnz AS (SELECT * FROM tf WHERE tf > 0),
-        |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfnz GROUP BY term),
-        |sc AS (
-        |  SELECT q.query_id, tfnz.doc_id,
-        |    ROUND(SUM(
-        |      ln(1.0 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
-        |      (tfnz.tf * 2.2) /
-        |      (tfnz.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfnz.dl / g.avgdl))), 6) AS score
-        |  FROM tfnz JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN g
-        |  GROUP BY q.query_id, tfnz.doc_id)
-        |SELECT query_id, doc_id, rank FROM (
-        |  SELECT query_id, doc_id,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-        |  FROM sc) WHERE rank <= 10""".stripMargin,
+      s"""WITH $bm25ScoredSql
+         |SELECT query_id, doc_id, rank FROM (
+         |  SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc) WHERE rank <= 10""".stripMargin,
     "retrieval_rrf_fuse" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
         |p AS (
@@ -258,32 +265,8 @@ object Retrieval {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, vec_id) AS fused_rank
         |  FROM f) WHERE fused_rank <= 10""".stripMargin,
     "retrieval_hybrid_quality" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
-        |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dd),
-        |q(query_id, term) AS (VALUES
-        |  (1,'dup'),(1,'merge'),
-        |  (2,'join'),(2,'hash'),(2,'scan'),
-        |  (3,'spark'),(3,'window'),(3,'slow')),
-        |v AS (SELECT DISTINCT term FROM q),
-        |tf AS (
-        |  SELECT dd.doc_id, dd.dl, v.term,
-        |    CAST(len(list_filter(dd.toks, x -> x = v.term)) AS DOUBLE) AS tf
-        |  FROM dd CROSS JOIN v),
-        |tfnz AS (SELECT * FROM tf WHERE tf > 0),
-        |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfnz GROUP BY term),
-        |sc AS (
-        |  SELECT q.query_id, tfnz.doc_id,
-        |    ROUND(SUM(
-        |      ln(1.0 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
-        |      (tfnz.tf * 2.2) /
-        |      (tfnz.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfnz.dl / g.avgdl))), 6) AS score
-        |  FROM tfnz JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN g
-        |  GROUP BY q.query_id, tfnz.doc_id),
-        |rel AS (
+      raw"""WITH $bm25ScoredSql,
+         |rel AS (
         |  SELECT query_id, doc_id,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r_rel
         |  FROM sc QUALIFY r_rel <= 20),

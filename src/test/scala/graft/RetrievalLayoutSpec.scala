@@ -73,18 +73,24 @@ class RetrievalLayoutSpec extends AnyFunSuite {
 
   // ---- Layout ------------------------------------------------------------
 
-  test("Morton key interleaves bits (known values)") {
+  test("Morton key interleaves bits (known values, incl. beyond 16 bits)") {
     val got = spark.range(1)
       .select(
         Layout.mortonKey(lit(3L), lit(5L)).as("a"),
         Layout.mortonKey(lit(65535L), lit(0L)).as("b"),
         Layout.mortonKey(lit(0L), lit(65535L)).as("c"),
-        Layout.mortonKey(lit(0L), lit(0L)).as("d"))
+        Layout.mortonKey(lit(0L), lit(0L)).as("d"),
+        // 31-bit budget: keys past 65535 must NOT alias (the 16-bit spread
+        // mapped 65536 → 0)
+        Layout.mortonKey(lit(1L << 20), lit(0L)).as("e"),
+        Layout.mortonKey(lit(0x7FFFFFFFL), lit(0x7FFFFFFFL)).as("f"))
       .head
     assert(got.getLong(0) === 39L)          // 3=0b11→0b0101, 5=0b101→0b010001
     assert(got.getLong(1) === 0x55555555L)  // x fills even bits
     assert(got.getLong(2) === 0xAAAAAAAAL)  // y fills odd bits
     assert(got.getLong(3) === 0L)
+    assert(got.getLong(4) === (1L << 40))   // bit 20 of x lands at bit 40
+    assert(got.getLong(5) === 0x3FFFFFFFFFFFFFFFL) // max key stays positive
   }
 
   test("Z-order zone maps prune a box predicate harder than arrival order") {
