@@ -62,6 +62,7 @@ object SparkEntry {
     graft.operators.Linkage.queries,
     graft.operators.Privacy.queries,
     graft.operators.Analytics.queries,
+    graft.operators.Ivm.queries,
     graft.streaming.EventStreams.queries,
     graft.models.ComposedPipeline.queries)
 
@@ -90,6 +91,7 @@ object SparkEntry {
     graft.operators.Linkage.oracles,
     graft.operators.Privacy.oracles,
     graft.operators.Analytics.oracles,
+    graft.operators.Ivm.oracles,
     graft.streaming.EventStreams.oracles,
     graft.models.ComposedPipeline.oracles)
 

@@ -266,6 +266,22 @@ object Relational {
           .cast("decimal(18,4)")).cast("double").as("revenue"))
     }),
 
+    // TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join driver —
+    // the per-order rollup (group-cardinality-sized after its one shuffle)
+    // filters DOWN to the few large orders before any dimension join, so
+    // the customer/orders joins see only qualifying keys. AQE broadcasts
+    // the filtered rollup; at any scale the expensive side streams once.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qsum"))
+        .filter(col("qsum") > 150)
+      t(s, dir, "orders").join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("qsum").cast("double").as("sum_qty"))
+    }),
+
     // ranking family: rank/dense_rank/ntile (beyond the reference's W1).
     "w4_rank_suite" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -660,6 +676,16 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
         |WHERE r_name = 'EUROPE'
         |GROUP BY n_name""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsum
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_custkey, o_orderkey, o_totalprice,
+        |  CAST(qsum AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "w4_rank_suite" ->
       """SELECT c_custkey, c_nationkey,
         |  RANK() OVER w AS rnk,
