@@ -80,6 +80,40 @@ object Layout {
         min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
   }
 
+  /** Zone map of REAL parquet files (the production path): per written file,
+    * row count and min/max of the pruning columns keyed by file name — the
+    * metadata a scan planner consults before opening anything. One map-side
+    * pass grouped by `input_file_name()`; output is file-count-sized. Feed
+    * it [[writeZOrdered]] output and [[pruneCompare]] prices predicates
+    * against the ACTUAL layout on disk rather than a simulated one.
+    */
+  def zoneMapOfFiles(spark: SparkSession, path: String,
+                     xCol: String, yCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
+        min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
+
+  /** Clustering-depth metric (the `SYSTEM$CLUSTERING_INFORMATION` analog the
+    * reference's warehouse exposes for its `cluster_by` models): for each
+    * file, how many files' [min,max] x-ranges overlap it — the number of
+    * files a point lookup inside that file's range must touch. Averaged and
+    * maxed per layout; a perfectly clustered layout scores 1.0, a random
+    * one scores ≈ n_files. Pure metadata: a zone-map self-join bounded by
+    * file count², never a data scan.
+    */
+  def overlapDepth(zm: DataFrame): DataFrame = {
+    val a = zm.select(col("file_id").as("fa"),
+      col("min_x").as("a_lo"), col("max_x").as("a_hi"))
+    val b = zm.select(col("min_x").as("b_lo"), col("max_x").as("b_hi"))
+    a.join(b, col("b_lo") <= col("a_hi") && col("b_hi") >= col("a_lo"))
+      .groupBy(col("fa")).agg(count(lit(1)).as("depth"))
+      .agg(count(lit(1)).as("n_files"),
+        round(sum(col("depth")).cast("double") / count(lit(1)), 6).as("avg_depth"),
+        max(col("depth")).as("max_depth"))
+  }
+
   /** Price a box predicate (x ∈ [x1,x2] ∧ y ∈ [y1,y2]) against one or more
     * layouts from their zone maps alone: a file must be scanned iff its
     * [min,max] ranges overlap the box on BOTH dimensions. Returns one row
@@ -146,6 +180,21 @@ object Layout {
         col("l_suppkey").between(by1, by2)).count()
       pruneCompare(Map("zorder" -> zm, "linear" -> lin), matching,
         bx1, bx2, by1, by2)
+    }),
+    // clustering depth per layout — the metadata health metric a table
+    // optimizer watches to decide WHEN to re-cluster (oracle-gated, 2 rows;
+    // Z-order's avg depth ≪ arrival order's is the point)
+    "layout_overlap_depth" -> ((s, dir) => {
+      val d = li(s, dir)
+      val zm = zoneMap(d,
+        Seq(mortonKey(col("l_partkey"), col("l_suppkey")),
+          col("l_orderkey"), col("l_linenumber")),
+        FileRows, "l_partkey", "l_suppkey")
+      val lin = zoneMap(d, Seq(col("l_orderkey"), col("l_linenumber")),
+        FileRows, "l_partkey", "l_suppkey")
+      overlapDepth(zm).withColumn("layout", lit("zorder"))
+        .unionByName(overlapDepth(lin).withColumn("layout", lit("linear")))
+        .select(col("layout"), col("n_files"), col("avg_depth"), col("max_depth"))
     })
   )
 
@@ -175,6 +224,16 @@ object Layout {
        |  MIN(l_partkey) AS min_x, MAX(l_partkey) AS max_x,
        |  MIN(l_suppkey) AS min_y, MAX(l_suppkey) AS max_y
        |FROM r GROUP BY 1""".stripMargin
+
+  private def depthSql(src: String): String =
+    s"""SELECT COUNT(*) AS n_files,
+       |  ROUND(CAST(SUM(depth) AS DOUBLE) / COUNT(*), 6) AS avg_depth,
+       |  MAX(depth) AS max_depth
+       |FROM (
+       |  SELECT a.file_id, CAST(COUNT(*) AS BIGINT) AS depth
+       |  FROM $src a JOIN $src b
+       |    ON b.min_x <= a.max_x AND b.max_x >= a.min_x
+       |  GROUP BY a.file_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "layout_zonemap_zorder" -> zoneMapSql,
@@ -208,6 +267,23 @@ object Layout {
          |             AND min_y <= $by2 AND max_y >= $by1 THEN n_rows ELSE 0 END) AS BIGINT)
          |  FROM lz)
          |SELECT layout, n_files, files_scanned, rows_scanned, m.rows_matching
-         |FROM priced CROSS JOIN m""".stripMargin
+         |FROM priced CROSS JOIN m""".stripMargin,
+    "layout_overlap_depth" ->
+      s"""WITH zf AS ($zoneMapSql),
+         |lf AS (
+         |  SELECT CAST((ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+         |           // $FileRows AS BIGINT) AS file_id,
+         |    l_partkey, l_suppkey
+         |  FROM lineitem),
+         |lz AS (
+         |  SELECT file_id, COUNT(*) AS n_rows,
+         |    MIN(l_partkey) AS min_x, MAX(l_partkey) AS max_x,
+         |    MIN(l_suppkey) AS min_y, MAX(l_suppkey) AS max_y
+         |  FROM lf GROUP BY 1),
+         |dz AS (${depthSql("zf")}),
+         |dl AS (${depthSql("lz")})
+         |SELECT 'zorder' AS layout, n_files, avg_depth, max_depth FROM dz
+         |UNION ALL
+         |SELECT 'linear', n_files, avg_depth, max_depth FROM dl""".stripMargin
   )
 }

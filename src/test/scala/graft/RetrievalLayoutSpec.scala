@@ -135,6 +135,20 @@ class RetrievalLayoutSpec extends AnyFunSuite {
         s"overlapping z ranges: $a vs $b")
     case _ => ()
     }
+    // production pruning loop: zone maps of the REAL files price a box
+    // predicate; scanned files must cover every matching row and Z-order
+    // must skip at least one file
+    val zmFiles = Layout.zoneMapOfFiles(spark, out, "l_partkey", "l_suppkey")
+      .withColumnRenamed("file", "file_id")
+    val m = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head
+    val (x2, y2) = (m.getLong(0) / 8, m.getLong(1) / 4)
+    val matching = li.filter(col("l_partkey").between(0, x2) &&
+      col("l_suppkey").between(0, y2)).count()
+    val priced = Layout.pruneCompare(Map("real" -> zmFiles), matching,
+      0, x2, 0, y2).head
+    assert(priced.getAs[Long]("files_scanned") < priced.getAs[Long]("n_files"),
+      priced)
+    assert(priced.getAs[Long]("rows_scanned") >= matching, priced)
   }
 
   // ---- Entity resolution -------------------------------------------------

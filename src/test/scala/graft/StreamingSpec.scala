@@ -78,6 +78,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom sessionizer matches Spark's builtin session_window on real events") {
+    // three-way agreement pin: the gap-based semantics implemented twice by
+    // us (batch window form + streaming state machine) must also agree with
+    // the engine's own session_window aggregation. Boundary caveat: the
+    // builtin closes a session at diff >= gap (window end exclusive) while
+    // ours closes at diff > gap — indistinguishable unless two events sit
+    // EXACTLY gap apart at µs grain, which the corpus does not contain.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val evs = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), expr("ts div 1000").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val gap = 30L * 60 * us
+    val custom = EventStreams.sessionizeBatch(evs.as[Event], gap)(spark)
+      .collect().map(x => (x.user_id, x.n_events, x.start_ts, x.end_ts)).toSet
+    val builtin = evs
+      .withColumn("t", timestamp_micros(col("ts")))
+      .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n"),
+        r.getAs[Long]("start_ts"), r.getAs[Long]("end_ts"))).toSet
+    assert(custom === builtin)
+  }
+
   test("sessionizer force-flushes an open session past the state cap") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
