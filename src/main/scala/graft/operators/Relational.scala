@@ -266,6 +266,22 @@ object Relational {
           .cast("decimal(18,4)")).cast("double").as("revenue"))
     }),
 
+    // S8 companion: schema-on-read over an embedded JSON column (the
+    // VARIANT-path access the reference gets from Snowflake's `:` operator).
+    // get_json_object is a codegen'd per-row projection — extraction adds
+    // no shuffle; the only exchange is the group agg. Null-robust: rows
+    // whose path is absent/malformed count separately instead of vanishing.
+    "s8_json_path_agg" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      t(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+    }),
+
     // TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join driver —
     // the per-order rollup (group-cardinality-sized after its one shuffle)
     // filters DOWN to the few large orders before any dimension join, so
@@ -676,6 +692,14 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
         |WHERE r_name = 'EUROPE'
         |GROUP BY n_name""".stripMargin,
+    "s8_json_path_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsum

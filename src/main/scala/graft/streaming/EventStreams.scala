@@ -239,6 +239,79 @@ object EventStreams {
       }
   }
 
+  final case class FunnelProgress(entered: List[Long], emitted: Int,
+                                  pending: List[Event])
+  final case class FunnelEntry(user_id: Long, stage_idx: Int, t_in: Long)
+
+  /** Streaming ordered-funnel conversion — the streaming twin of
+    * [[graft.operators.Analytics.funnel]]: per user, stage i enters at the
+    * EARLIEST event of stage i's type strictly after the stage-(i-1) entry
+    * and within `tolerance` of it, tolerating out-of-order arrival up to
+    * the watermark delay. Spark has no built-in sequential-pattern
+    * operator; this is the flatMapGroupsWithState custom-state path, same
+    * protocol family as [[asOfAttributionStream]]:
+    *
+    *   - relevant events buffer until the watermark passes them, then fold
+    *     through the stage machine in (ts, event_id) order — matured
+    *     events are permanent, so each stage entry is emitted exactly once
+    *     and matches the batch operator on any arrival order;
+    *   - state is `entered` (≤ |stages| timestamps) + `emitted` + the
+    *     immature buffer: per-user state stays stage-bounded forever (a
+    *     completed funnel must RETAIN its marker — removing it would let a
+    *     later event restart stage 1 and double-emit);
+    *   - an event-time timeout at the earliest pending event (+1 ms for
+    *     the ms-grain timeout clock) drains quiet users; `maxBuffer`
+    *     overflow force-folds the oldest surplus with current knowledge —
+    *     the same documented bounded-state trade as [[sessionize]];
+    *   - events arriving later than the watermark allows are outside the
+    *     correctness contract (standard Structured Streaming semantics).
+    *
+    * Emits one row per (user, stage entered): `(user_id, stage_idx 1-based,
+    * t_in)`. Stage counts aggregate downstream exactly like the batch
+    * operator's output (StreamingSpec pins the equivalence on shuffled
+    * arrival).
+    */
+  def funnelStream(events: DataFrame, stages: Seq[String], tolerance: Long,
+                   watermark: String = "1 hour", maxBuffer: Int = 100000)
+                  (implicit spark: SparkSession): Dataset[FunnelEntry] = {
+    import spark.implicits._
+    require(stages.nonEmpty)
+    val stageIdx = stages.zipWithIndex.toMap
+    val typed = withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("event_time"))
+      .as[EventT]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelEntry](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[EventT], state: GroupState[FunnelProgress]) =>
+          val wmNs = state.getCurrentWatermarkMs() * 1000000L
+          val st = state.getOption.getOrElse(FunnelProgress(Nil, 0, Nil))
+          val incoming = it.toList
+            .filter(e => stageIdx.contains(e.event_type))
+            .map(e => Event(e.event_id, e.ts, e.user_id, e.event_type, e.value))
+          val buf = (st.pending ++ incoming).sortBy(e => (e.ts, e.event_id))
+          val (maturedNow, pendingAll) = buf.partition(_.ts < wmNs)
+          val overflow = math.max(0, pendingAll.size - maxBuffer)
+          val (forced, pending) = pendingAll.splitAt(overflow)
+          var entered = st.entered
+          for (e <- maturedNow ++ forced) { // both sorted; forced ≥ matured
+            val i = stageIdx(e.event_type)
+            if (i == entered.length &&
+                (i == 0 || (e.ts > entered(i - 1) &&
+                  e.ts <= entered(i - 1) + tolerance)))
+              entered = entered :+ e.ts
+          }
+          val out = (st.emitted until entered.length)
+            .map(i => FunnelEntry(userId, i + 1, entered(i)))
+          state.update(FunnelProgress(entered, entered.length, pending))
+          pending.headOption.foreach(e =>
+            state.setTimeoutTimestamp(e.ts / 1000000L + 1))
+          out.iterator
+      }
+  }
+
   /** Windowed per-source document-quality monitor — the live gauge a
     * streaming ingest runs beside [[DocIngest]]: per (hour-window, source),
     * document count and exact-decimal quality mass (sum of the round4

@@ -481,6 +481,82 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: out-of-order stage events convert; entries emit once, matured") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[EventStreams.Event]
+    val fun = EventStreams.funnelStream(
+      input.toDF().withColumn("ts", col("ts") * 1000),
+      Seq("view", "click", "purchase"),
+      tolerance = 120L * 60 * 1000 * 1000 * 1000, // 120 min in ns
+      watermark = "60 minutes")
+    val q = fun.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel_stream").start()
+    try {
+      // the CLICK arrives first in processing time; its view comes in a
+      // LATER batch but earlier in event time (still within the watermark:
+      // wm = 100-60 = 40 < 50) — buffering must wait, then fold in ts order
+      input.addData(ev(1, 100, 1, "click"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_stream").count() === 0)
+      input.addData(ev(2, 50, 1, "view"))
+      q.processAllAvailable()
+      // advance the watermark far past everything → both stages mature
+      input.addData(ev(9, 1000, 99, "view"))
+      q.processAllAvailable()
+      val minNs = 60L * 1000 * 1000 * 1000
+      val out = spark.table("funnel_stream").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => r.getAs[Int]("stage_idx") -> r.getAs[Long]("t_in")).toMap
+      assert(out === Map(1 -> 50 * minNs, 2 -> 100 * minNs))
+      // no duplicate emission on further watermark advances
+      input.addData(ev(10, 2000, 99, "view"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_stream").collect()
+        .count(_.getAs[Long]("user_id") == 1L) === 2)
+    } finally q.stop()
+  }
+
+  test("streaming funnel ≡ the batch funnel on shuffled arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val evs = (1 to 300).map { i =>
+      val typ = Seq("view", "click", "purchase", "error")(rnd.nextInt(4))
+      ev(i.toLong, 10 + rnd.nextInt(600).toLong, 1 + rnd.nextInt(8).toLong, typ)
+    }
+    val tolNs = 90L * 60 * 1000 * 1000 * 1000 // 90 min
+    val input = MemoryStream[EventStreams.Event]
+    val fun = EventStreams.funnelStream(
+      input.toDF().withColumn("ts", col("ts") * 1000),
+      Seq("view", "click", "purchase"), tolNs, watermark = "30 minutes")
+    val q = fun.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel_stream_rnd").start()
+    try {
+      // one shuffled delivery (arrival order ⊥ event order, watermark not
+      // advanced mid-stream — batch-equivalence holds only for data the
+      // watermark admits, same contract as the as-of test above)
+      input.addData(rnd.shuffle(evs): _*)
+      q.processAllAvailable()
+      input.addData(ev(9999, 5000, 98, "error")) // watermark past everything
+      q.processAllAvailable()
+      val streamedCounts = spark.table("funnel_stream_rnd").collect()
+        .filter(_.getAs[Long]("user_id") != 98L)
+        .groupBy(_.getAs[Int]("stage_idx")).view.mapValues(_.length.toLong).toMap
+      val batch = graft.operators.Analytics.funnel(
+          evs.toDF().withColumn("ts", col("ts") * 1000),
+          Seq("view", "click", "purchase"), tolNs)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+        .filter(_._2 > 0)
+      assert(streamedCounts === batch,
+        s"stream=$streamedCounts batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming IVF ingest: per-batch delta segments compose to the batch append path") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
