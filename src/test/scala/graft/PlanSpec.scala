@@ -279,4 +279,19 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"),
       s"pair enumeration lost its equi-join block key:\n${plan.take(1200)}")
   }
+
+  test("funnel and cohort join user-bounded frames broadcast, never sort-merge") {
+    // the scale contract of Analytics: the corpus reduces to per-user
+    // first-touch/distinct-day frames, and every join back is a broadcast —
+    // a SortMergeJoin would mean the event corpus itself is being shuffled
+    // for a join
+    for (name <- Seq("funnel_conversion", "cohort_retention")) {
+      val df = q(name)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n${plan.take(1200)}")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"$name shuffled the corpus for a join:\n${plan.take(1200)}")
+    }
+  }
 }
