@@ -266,6 +266,51 @@ object Relational {
           .cast("decimal(18,4)")).cast("double").as("revenue"))
     }),
 
+    // Join-skew diagnostic: per-key-column group-size distribution — the
+    // pre-join report that decides whether a key needs the salted path
+    // (`operators/SkewJoin`) or AQE skew handling. One hash agg per column,
+    // reduced to a one-row profile each: max/mean group size, skew factor,
+    // and how many groups exceed 4× the mean. Everything downstream of the
+    // per-key agg is group-cardinality-sized.
+    "diag_skew_report" -> ((s, dir) => {
+      def profile(df: DataFrame, keyCol: String, table: String): DataFrame =
+        df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_groups"),
+            max(col("n")).as("max_n"),
+            round(sum(col("n")).cast("double") / count(lit(1)), 6).as("mean_n"))
+          .withColumn("skew_factor",
+            round(col("max_n") / col("mean_n"), 6))
+          .withColumn("key_col", lit(s"$table.$keyCol"))
+          .select(col("key_col"), col("n_groups"), col("max_n"),
+            col("mean_n"), col("skew_factor"))
+      profile(t(s, dir, "lineitem"), "l_partkey", "lineitem")
+        .unionByName(profile(t(s, dir, "lineitem"), "l_suppkey", "lineitem"))
+        .unionByName(profile(t(s, dir, "orders"), "o_custkey", "orders"))
+    }),
+
+    // equi-DEPTH histogram (the planner-statistics companion to a14's
+    // fixed-width form): quartile edges from ONE exact-percentile pass,
+    // broadcast back as bucket bounds; counts per bucket are then a plain
+    // hash agg. Bucket of x = number of edges ≤ x (half-open on the upper
+    // edges), so every engine buckets identically.
+    "a19_equidepth_hist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.agg(
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("es"))
+        .select(element_at(col("es"), 1).as("e1"),
+          element_at(col("es"), 2).as("e2"), element_at(col("es"), 3).as("e3"))
+      li.crossJoin(broadcast(edges))
+        .select((when(col("l_extendedprice") > col("e3"), 3)
+          .when(col("l_extendedprice") > col("e2"), 2)
+          .when(col("l_extendedprice") > col("e1"), 1)
+          .otherwise(0)).as("bucket"),
+          col("l_extendedprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 4).as("lo"),
+          round(max(col("l_extendedprice")), 4).as("hi"))
+    }),
+
     // S8 companion: schema-on-read over an embedded JSON column (the
     // VARIANT-path access the reference gets from Snowflake's `:` operator).
     // get_json_object is a codegen'd per-row projection — extraction adds
@@ -692,6 +737,41 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
         |WHERE r_name = 'EUROPE'
         |GROUP BY n_name""".stripMargin,
+    "diag_skew_report" ->
+      """WITH p AS (SELECT l_partkey AS k FROM lineitem),
+        |sp AS (SELECT l_suppkey AS k FROM lineitem),
+        |oc AS (SELECT o_custkey AS k FROM orders),
+        |prof AS (
+        |  SELECT 'lineitem.l_partkey' AS key_col, COUNT(*) AS n_groups,
+        |    MAX(n) AS max_n,
+        |    ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS mean_n
+        |  FROM (SELECT k, COUNT(*) AS n FROM p GROUP BY k)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey', COUNT(*), MAX(n),
+        |    ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6)
+        |  FROM (SELECT k, COUNT(*) AS n FROM sp GROUP BY k)
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey', COUNT(*), MAX(n),
+        |    ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6)
+        |  FROM (SELECT k, COUNT(*) AS n FROM oc GROUP BY k))
+        |SELECT key_col, n_groups, max_n, mean_n,
+        |  ROUND(max_n / mean_n, 6) AS skew_factor
+        |FROM prof""".stripMargin,
+    "a19_equidepth_hist" ->
+      """WITH e AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.25) AS e1,
+        |    quantile_cont(l_extendedprice, 0.5) AS e2,
+        |    quantile_cont(l_extendedprice, 0.75) AS e3
+        |  FROM lineitem)
+        |SELECT CASE WHEN l_extendedprice > e3 THEN 3
+        |            WHEN l_extendedprice > e2 THEN 2
+        |            WHEN l_extendedprice > e1 THEN 1
+        |            ELSE 0 END AS bucket,
+        |  COUNT(*) AS n,
+        |  ROUND(MIN(l_extendedprice), 4) AS lo,
+        |  ROUND(MAX(l_extendedprice), 4) AS hi
+        |FROM lineitem CROSS JOIN e
+        |GROUP BY 1""".stripMargin,
     "s8_json_path_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
