@@ -160,8 +160,14 @@ object Retrieval {
   def bm25QualityHybrid(docs: DataFrame,
                         queries: Seq[(Int, Seq[String])] = DefaultQueries,
                         k: Int = 10, armK: Int = 20, c: Int = 60): DataFrame = {
+    // the relevance arm is ≤ armK×|queries| rows but its SUBTREE is two
+    // corpus passes — materialize it once, since it feeds both the
+    // candidate broadcast and the final fuse join (entry time is dominated
+    // by the two quality-arm tokenization passes, which ARE the honest
+    // per-run cost; this just stops the BM25 plan executing twice)
     val bm = bm25TopK(docs, queries, k = armK)
       .withColumnRenamed("rank", "r_rel")
+      .localCheckpoint()
     val qual = docs.select(col("doc_id"),
       graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
     val cand = qual.join(broadcast(bm.select(col("doc_id")).distinct()), "doc_id")
