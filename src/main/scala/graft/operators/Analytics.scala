@@ -9,9 +9,15 @@ import org.apache.spark.sql.functions._
   * reports that need actual engine work).
   *
   * Scale shape: both operators reduce the corpus to USER-BOUNDED frames
-  * first (first-touch timestamps, distinct activity days) and join those
-  * back broadcast-style; no corpus-sized shuffle survives past the first
-  * per-user aggregation, and outputs are stage- or cell-sized.
+  * first (first-touch timestamps, distinct activity days) before any
+  * re-join, and outputs are stage- or cell-sized. "User-bounded" does NOT
+  * mean small — at 100 TB the user set is 10⁸–10⁹ rows — so the re-joins
+  * carry NO forced broadcast hint: both sides arrive hash-partitioned on
+  * `user_id` from the preceding aggregation, so the sort-merge/shuffled-hash
+  * join reuses those exchanges, and AQE still picks a broadcast at runtime
+  * when the per-user frame really is small (same bounded-state policy as
+  * `Clustering.pageRank`, which broadcasts only the rank VECTOR it proves
+  * bounded, never an unbounded per-user frame).
   */
 object Analytics {
 
@@ -39,7 +45,7 @@ object Analytics {
     counts += stageCount(1, stages.head, entered)
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
       entered = byType.filter(col("event_type") === st)
-        .join(broadcast(entered), "user_id")
+        .join(entered, "user_id")
         .filter(col("ts") > col("t_in") &&
           col("ts") <= col("t_in") + tolerance)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t_in"))
@@ -63,7 +69,7 @@ object Analytics {
       .distinct()
     val cohorts = days.groupBy(col("user_id"))
       .agg(min(col("day")).as("cohort_day"))
-    days.join(broadcast(cohorts), "user_id")
+    days.join(cohorts, "user_id")
       .groupBy(col("cohort_day"),
         (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))

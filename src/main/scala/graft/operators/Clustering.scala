@@ -196,9 +196,13 @@ object Clustering {
       // 3 fixed rounds for the battery: the top-20 ordering on this graph is
       // already stable (spec pins the algorithm; the entry prices the
       // per-round cost — construction + 3 edge passes)
+      // order by the ROUNDED score (the same 6-decimal projection emitted):
+      // iterated float sums are partitioning-order-dependent, so near-tied
+      // raw doubles could reorder run-to-run; rounding + id tie-break makes
+      // the top-20 row set deterministic.
       pageRank(edges, iters = 3)
-        .orderBy(col("pr").desc, col("id")).limit(20)
         .select(col("id"), round(col("pr"), 6).as("pr_round"))
+        .orderBy(col("pr_round").desc, col("id")).limit(20)
     })
   )
 

@@ -72,8 +72,13 @@ object Layout {
   def zoneMap(df: DataFrame, orderBy: Seq[Column], rowsPerFile: Int,
               xCol: String, yCol: String): DataFrame = {
     val w = Window.orderBy(orderBy: _*)
-    df.withColumn("file_id",
-        ((row_number().over(w) - 1) / rowsPerFile).cast("long"))
+    // integer division on longs (not Column `/`, which is double division
+    // then cast — exact only while counts stay under 2^53 and rowsPerFile
+    // divides cleanly) so the bucketing matches the oracle's `//` by
+    // construction for ANY rowsPerFile.
+    df.withColumn("rn0", row_number().over(w).cast("long") - 1L)
+      .withColumn("file_id", expr(s"rn0 div ${rowsPerFile}L"))
+      .drop("rn0")
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),

@@ -68,8 +68,13 @@ object Linkage {
   private def parts(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "part")
 
-  /** Head-noun block key for the two-token part names. */
-  private val nounBlock: Column = split(col("name"), " ").getItem(1)
+  /** Head-noun block key for the part names. Coalesced to '' so a
+    * single-token name blocks the same way as the oracle's
+    * split_part(name, ' ', 2) (which yields '', not NULL — NULL would
+    * silently drop the row from the equi-join) for ANY name shape.
+    */
+  private val nounBlock: Column =
+    coalesce(split(col("name"), " ").getItem(1), lit(""))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // blocked fuzzy match pairs over distinct part names (oracle-gated)

@@ -772,14 +772,19 @@ object Relational {
         |  ROUND(MAX(l_extendedprice), 4) AS hi
         |FROM lineitem CROSS JOIN e
         |GROUP BY 1""".stripMargin,
+    // TRY_CAST so "missing" means post-cast-null on BOTH sides (absent path
+    // OR non-numeric value) — Spark's cast('long') yields null in the same
+    // cases, so the definitions agree for any $.k value shape, not just the
+    // all-numeric corpus of the day.
     "s8_json_path_agg" ->
-      """SELECT event_type, COUNT(*) AS n,
-        |  CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
-        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-        |FROM events GROUP BY event_type""".stripMargin,
+      """WITH kv AS (SELECT event_type,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |  CAST(SUM(k) AS BIGINT) AS k_sum,
+        |  MIN(k) AS k_min, MAX(k) AS k_max
+        |FROM kv GROUP BY event_type""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsum

@@ -69,4 +69,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(0) >= got(1) && got(1) >= got(2), got.toSeq)
     assert(got(0) > 0)
   }
+
+  test("user-cardinality re-joins carry no forced broadcast hint and still " +
+    "work with auto-broadcast disabled") {
+    // At 100 TB the per-user frames are 10^8-10^9 rows: a forced broadcast()
+    // there is an executor-memory bomb, and it suppresses the cheap
+    // co-partitioned join (both sides are hash-partitioned on user_id by
+    // the preceding aggregation). Pin: (a) the optimized plans contain no
+    // hint-forced broadcast on those joins — disabling auto-broadcast must
+    // remove every BroadcastHashJoin (a hint would survive the threshold);
+    // (b) results are identical either way.
+    val events = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    def run() = (
+      Analytics.funnel(events, Seq("view", "click", "purchase"),
+          72L * 3600 * 1000 * 1000 * 1000)
+        .orderBy(col("stage_idx")).collect().toSeq,
+      Analytics.cohortRetention(events)
+        .orderBy(col("cohort_day"), col("day_offset")).collect().toSeq)
+    val (fDef, cDef) = run()
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(thr)
+    try {
+      spark.conf.set(thr, "-1")
+      val f = Analytics.funnel(events, Seq("view", "click", "purchase"),
+        72L * 3600 * 1000 * 1000 * 1000)
+      val c = Analytics.cohortRetention(events)
+      for (df <- Seq(f, c)) {
+        val phys = df.queryExecution.executedPlan.toString
+        assert(!phys.contains("BroadcastHashJoin"),
+          "forced broadcast survived autoBroadcastJoinThreshold=-1:\n" + phys)
+      }
+      val (fOff, cOff) = run()
+      assert(fOff === fDef)
+      assert(cOff === cDef)
+    } finally spark.conf.set(thr, old)
+  }
 }

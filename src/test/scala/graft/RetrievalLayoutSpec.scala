@@ -65,10 +65,42 @@ class RetrievalLayoutSpec extends AnyFunSuite {
     // 2/(c+1); any other item has at best 1/(c+1) + 1/(c+2) < 2/(c+1).
     // Verify on the real corpus: whenever some item tops both arms, the
     // fused winner is that item. (Arms can disagree — then no claim.)
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFns
     val e = graft.Tables(spark, dir, "embeddings")
-    val fused = Retrieval.rrfFuseTopK(e, k = 1).collect()
+    val dim = graft.Tables.EmbeddingDim
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val dot = VectorFns.dotN(col("q_emb"), col("embedding"), dim)
+    val qq = VectorFns.l2normN(col("q_emb"), dim)
+    val ee = VectorFns.l2normN(col("embedding"), dim)
+    val pairs = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot / (qq * ee)).as("cos"),
+        (qq * qq + ee * ee - lit(2.0) * dot).as("l2sq"))
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val wL2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2sq").asc, col("vec_id"))
+    // items that top BOTH arms for their query
+    val bothTop = pairs
+      .withColumn("rc", row_number().over(wCos))
+      .withColumn("rl", row_number().over(wL2))
+      .filter(col("rc") === 1 && col("rl") === 1)
+      .select(col("q_id"), col("vec_id")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(fused.nonEmpty) // structural: one winner per query
+    val fused1 = Retrieval.rrfFuseTopK(e, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused1.nonEmpty) // structural: one winner per query
+    // the property must be exercised, not vacuous: on unit-scale random
+    // embeddings the arms agree at rank 1 for most queries
+    assert(bothTop.nonEmpty,
+      "no query had the same arm-1 item — property untested on this corpus")
+    bothTop.foreach { case (qid, vid) =>
+      assert(fused1(qid) === vid,
+        s"query $qid: arms agree on $vid but fused rank-1 is ${fused1(qid)}")
+    }
   }
 
   // ---- Layout ------------------------------------------------------------
