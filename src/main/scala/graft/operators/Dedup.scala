@@ -166,6 +166,36 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash semantic gate (the `pack_bins_ffd_check` pattern): DuckDB
+    * cannot reproduce xxhash64-seeded simhashes, but it CAN independently
+    * enumerate the exact-duplicate pairs (text equality, `id_a < id_b`) —
+    * and identical text means identical token multiset, identical bit
+    * votes, identical simhash, so every exact-dup pair MUST surface in
+    * [[simhashPairs]] with hamming 0 (all four bands collide). The recall
+    * floor `missing_exact_pairs` and the pair-set hygiene counter
+    * `dup_pairs` are pinned at zero; `n_exact_pairs` is the conservation
+    * column both engines derive. The text-equality self-join is the check
+    * kernel at oracle scale — the production exact-dup path joins on the
+    * 128-bit fingerprint (`dedup_exact_survivors`), never raw text.
+    */
+  def simhashInvariants(d: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val out = simhashPairs(d, maxHamming)
+    val byText = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val exact = byText.alias("l").join(byText.alias("r"),
+        col("l.text") === col("r.text") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+    val nExact = exact.agg(count(lit(1)).cast("long").as("n_exact_pairs"))
+    val missing = exact
+      .join(out.filter(col("hamming") === 0).select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("missing_exact_pairs"))
+    val dups = out.agg(
+      (count(lit(1)) - countDistinct(struct(col("id_a"), col("id_b"))))
+        .cast("long").as("dup_pairs"))
+    nExact.crossJoin(missing).crossJoin(dups)
+  }
+
   /** All-pairs embedding cosine ≥ threshold — a broadcast numeric kernel.
     *
     * A declarative nested-loop pair join spends ~7µs/pair materializing the
@@ -1084,8 +1114,13 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, dir) =>
       minhashLshPairs(docs(s, dir), threshold = 0.8)),
 
-    // SimHash near-dup pairs (no oracle: xxhash64-dependent)
+    // SimHash near-dup pairs (no oracle: xxhash64-dependent; recall floor
+    // + pair hygiene oracle-gated by dedup_simhash_check)
     "dedup_simhash" -> ((s, dir) => simhashPairs(docs(s, dir))),
+
+    // the SimHash semantic gate — exact-dup recall floor and violation
+    // counters hash-compared against a DuckDB-derived conservation row
+    "dedup_simhash_check" -> ((s, dir) => simhashInvariants(docs(s, dir))),
 
     // embedding-cosine near-dup pairs via the corpus-blocked numeric kernel.
     "dedup_embedding_cosine" -> ((s, dir) =>
@@ -1154,6 +1189,17 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    // exact-dup pair count derived independently; the recall-floor and
+    // hygiene counters are constants BY DESIGN (see simhashInvariants)
+    "dedup_simhash_check" ->
+      """WITH e AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON a.text = b.text AND a.doc_id < b.doc_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+        |  CAST(0 AS BIGINT) AS missing_exact_pairs,
+        |  CAST(0 AS BIGINT) AS dup_pairs
+        |FROM e""".stripMargin,
     "dedup_exact_groups" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text HAVING COUNT(*) > 1""".stripMargin,

@@ -191,14 +191,62 @@ object Sampling {
     * deterministic-sampling contract every sampler here keeps). One
     * TakeOrderedAndProject; no full sort.
     */
-  def dsirSelect(scored: DataFrame, k: Int): DataFrame = {
+  /** Raw-register rows with their deterministic Gumbel keys — shared by
+    * [[dsirSelect]] and [[dsirInvariants]] so the selection and its gate can
+    * never drift apart on the key formula.
+    */
+  def gumbelKeys(scored: DataFrame): DataFrame = {
     val u = (hashBucket(col("doc_id"), RateBuckets).cast("double") + lit(0.5)) /
       RateBuckets
     scored.filter(!col("is_tgt"))
       .withColumn("gumbel", round(col("log_w") - log(-log(u)), 4))
+  }
+
+  def dsirSelect(scored: DataFrame, k: Int): DataFrame =
+    gumbelKeys(scored)
       .orderBy(col("gumbel").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("log_w"), col("gumbel"))
+
+  /** DSIR semantic gate (the `pack_bins_ffd_check` pattern): conservation
+    * columns DuckDB derives independently from raw `documents` (target/raw
+    * register sizes, expected selection size min(k, n_raw)) plus violation
+    * counters pinned at zero — the selection draws only from the raw
+    * register, it is EXACTLY the top-k under (gumbel DESC, doc_id): no
+    * unselected raw doc may strictly precede the last selected one, and the
+    * planted-target monotonicity the importance model exists to produce
+    * holds: the mean log importance weight of target-register docs exceeds
+    * the raw-register mean (Σ_b ĉt(b)·[log p̂_t(b) − log p̂_r(b)] is a scaled
+    * KL divergence — positive whenever the registers actually differ).
+    */
+  def dsirInvariants(d: DataFrame, isTarget: Column, k: Int): DataFrame = {
+    val scored = dsirScores(d, isTarget)
+    val sel = dsirSelect(scored, k)
+    val counts = scored.agg(
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("n_tgt"),
+        sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("n_raw"),
+        (avg(when(col("is_tgt"), col("log_w"))) >
+          avg(when(!col("is_tgt"), col("log_w")))).as("sep"))
+      .select(col("n_tgt"), col("n_raw"),
+        when(col("sep"), 0L).otherwise(1L).as("tgt_mean_not_above"))
+    val nSel = sel.agg(count(lit(1)).cast("long").as("n_selected"))
+    val selNotRaw = sel
+      .join(scored.filter(col("is_tgt")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("selected_not_raw"))
+    // the selection boundary = the LAST selected row under the ordering
+    // (min gumbel; max doc_id among its ties)
+    val bound = sel
+      .agg(min(struct(col("gumbel"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("b.gumbel").as("g0"), (-col("b.nid")).as("id0"))
+    val unsel = gumbelKeys(scored)
+      .join(sel.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val topk = unsel.crossJoin(bound)
+      .agg(coalesce(sum(when(
+        col("gumbel") > col("g0") ||
+          (col("gumbel") === col("g0") && col("doc_id") < col("id0")), 1L)
+        .otherwise(0L)), lit(0L)).as("topk_violations"))
+    counts.crossJoin(nSel).crossJoin(selNotRaw).crossJoin(topk)
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -252,6 +300,12 @@ object Sampling {
       dsirSelect(scored, k = 50)
     }),
 
+    // the DSIR semantic gate — register sizes + zero-pinned violation
+    // counters, hash-compared against an oracle that derives the same row
+    // from raw `documents` (see dsirInvariants)
+    "sample_dsir_check" -> ((s, dir) =>
+      dsirInvariants(docs(s, dir), col("text").contains("customer"), k = 50)),
+
     // split-level integrity summary: sizes + char volume per (split, lang) —
     // what a pipeline reports before training
     "sample_split_stats" -> ((s, dir) =>
@@ -263,6 +317,20 @@ object Sampling {
   )
 
   def oracles: Map[String, String] = Map(
+    // conservation columns derived from raw documents; violation counters
+    // are constants BY DESIGN — DuckDB cannot run the hashed-bigram model,
+    // but a selection/scoring bug turns a Spark-side zero nonzero
+    "sample_dsir_check" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN contains(text, 'customer') THEN 1 ELSE 0 END AS is_tgt
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(SUM(is_tgt) AS BIGINT) AS n_tgt,
+        |  CAST(SUM(1 - is_tgt) AS BIGINT) AS n_raw,
+        |  CAST(0 AS BIGINT) AS tgt_mean_not_above,
+        |  CAST(LEAST(50, SUM(1 - is_tgt)) AS BIGINT) AS n_selected,
+        |  CAST(0 AS BIGINT) AS selected_not_raw,
+        |  CAST(0 AS BIGINT) AS topk_violations
+        |FROM t""".stripMargin,
     "sample_hash_split" ->
       """SELECT doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS BIGINT) AS bucket,

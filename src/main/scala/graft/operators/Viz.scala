@@ -87,14 +87,80 @@ object Viz {
       .select(col(seriesCol), col("q._1").as("x"), col("q._2").as("y"))
   }
 
+  /** LTTB semantic gate (the `pack_bins_ffd_check` pattern): DuckDB cannot
+    * run the triangle selection, but it CAN independently derive the
+    * conservation columns — series count and Σ min(k, n_in) output points —
+    * and assert the invariant-violation counters are zero. Any downsampling
+    * bug flips a counter: a fabricated/duplicated point breaks
+    * `multiset_violations` (output must be a sub-multiset of the input), a
+    * dropped endpoint breaks `missing_endpoints` (LTTB keeps the first and
+    * last point of the (x, y)-sorted series), and a wrong output size
+    * breaks `size_mismatch_series` / `total_points` (exactly min(k, n) per
+    * series — which with sub-multiset membership also forces the kept
+    * points to be distinct positions of the sorted input, i.e. the
+    * strictly-increasing order the algorithm guarantees).
+    */
+  def lttbInvariants(d: DataFrame, seriesCol: String, xCol: String,
+                     yCol: String, k: Int): DataFrame = {
+    val in = d.select(col(seriesCol).as("s"),
+      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    val out = downsampleSeries(d, seriesCol, xCol, yCol, k)
+      .select(col(seriesCol).as("s"), col("x"), col("y"))
+    val nIn = in.groupBy(col("s")).agg(count(lit(1)).as("n_in"))
+    val nOut = out.groupBy(col("s")).agg(count(lit(1)).as("n_out"))
+    val sizes = nOut.join(nIn, "s")
+      .agg(count(lit(1)).cast("long").as("n_series"),
+        sum(col("n_out")).cast("long").as("total_points"),
+        sum(when(col("n_out") =!= least(lit(k.toLong), col("n_in")), 1L)
+          .otherwise(0L)).as("size_mismatch_series"))
+    val outM = out.groupBy(col("s"), col("x"), col("y"))
+      .agg(count(lit(1)).as("m_out"))
+    val inM = in.groupBy(col("s"), col("x"), col("y"))
+      .agg(count(lit(1)).as("m_in"))
+    val multi = outM.join(inM, Seq("s", "x", "y"), "left")
+      .agg(coalesce(sum(
+        when(col("m_out") > coalesce(col("m_in"), lit(0L)),
+          col("m_out") - coalesce(col("m_in"), lit(0L))).otherwise(0L)),
+        lit(0L)).as("multiset_violations"))
+    val ends = in.groupBy(col("s")).agg(
+      min(struct(col("x"), col("y"))).as("p_first"),
+      max(struct(col("x"), col("y"))).as("p_last"))
+    // per-series kept-point sets are ≤ k entries by the contract under test
+    val outPts = out.groupBy(col("s"))
+      .agg(collect_set(struct(col("x"), col("y"))).as("pts"))
+    val missEnds = ends.join(outPts, "s")
+      .agg(coalesce(sum(
+        when(array_contains(col("pts"), col("p_first")), 0L).otherwise(1L) +
+          when(array_contains(col("pts"), col("p_last")), 0L).otherwise(1L)),
+        lit(0L)).as("missing_endpoints"))
+    sizes.crossJoin(multi).crossJoin(missEnds)
+  }
+
+  private def series(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("x"), col("value"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-user 20-point LTTB reduction of the value series (rows-only:
-    // triangle selection is not SQL-expressible; algorithm spec-pinned)
+    // triangle selection is not SQL-expressible; algorithm spec-pinned;
+    // semantics oracle-gated by viz_lttb_check below)
     "viz_lttb_downsample" -> ((s, dir) =>
-      downsampleSeries(
-        graft.Tables(s, dir, "events")
-          .select(col("user_id"), expr("ts div 1000").as("x"), col("value")),
+      downsampleSeries(series(s, dir),
+        seriesCol = "user_id", xCol = "x", yCol = "value", k = 20)),
+    // the LTTB semantic gate — hash-compared against an oracle that derives
+    // the conservation columns from raw `events` and pins the violation
+    // counters at zero
+    "viz_lttb_check" -> ((s, dir) =>
+      lttbInvariants(series(s, dir),
         seriesCol = "user_id", xCol = "x", yCol = "value", k = 20)))
 
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = Map(
+    "viz_lttb_check" ->
+      """WITH n AS (SELECT user_id, COUNT(*) AS n_in FROM events GROUP BY user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_series,
+        |  CAST(SUM(LEAST(20, n_in)) AS BIGINT) AS total_points,
+        |  CAST(0 AS BIGINT) AS size_mismatch_series,
+        |  CAST(0 AS BIGINT) AS multiset_violations,
+        |  CAST(0 AS BIGINT) AS missing_endpoints
+        |FROM n""".stripMargin)
 }
