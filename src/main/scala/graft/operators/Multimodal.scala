@@ -9,13 +9,19 @@ import org.apache.spark.sql.types._
   * metadata structs, plus decode / feature-extract / thumbnail-resize /
   * frame-sample stages.
   *
-  * The container has no image/audio codecs, so the pixel-level decode is a
-  * clearly marked STUB (a deterministic fake derived from the bytes). What IS
-  * real — and what matters at 100 TB — is the Spark-side shape: binary+struct
-  * schema, per-partition batched processing via `mapPartitions` (the Scala
-  * analog of `mapInPandas`: one iterator per partition, nothing per-row on
-  * the driver), column pruning around the opaque payload, and deterministic
-  * output schemas a downstream training pipeline can bank on.
+  * IMAGE decode is REAL: [[decodeImage]] runs the JDK's `javax.imageio` PNG
+  * codec executor-side over the binary payload ([[synthPngTable]] builds the
+  * corpus as genuine PNG bytes whose content is pure integer arithmetic of
+  * the id, so the decoded output is independently derivable by the DuckDB
+  * oracle — an actual encode→decode round trip through a production
+  * codec). AUDIO/VIDEO codecs are not in the JDK, so that seam stays a
+  * clearly marked STUB ([[decodeStub]], a deterministic fake derived from
+  * the bytes). Either way the Spark-side shape is what matters at 100 TB:
+  * binary+struct schema, per-partition batched processing via
+  * `mapPartitions` (the Scala analog of `mapInPandas`: one iterator per
+  * partition, nothing per-row on the driver), column pruning around the
+  * opaque payload, and deterministic output schemas a downstream training
+  * pipeline can bank on.
   */
 object Multimodal {
 
@@ -39,10 +45,105 @@ object Multimodal {
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
         md5(encode(col("text"), "UTF-8")).as("checksum")).as("meta"))
 
-  /** STUB decode: a real deployment plugs a codec in here (JNI/javacv/etc.);
-    * the fake derives deterministic "dimensions" and a tiny "pixel" vector
-    * from the payload bytes so downstream stages are exercised end-to-end.
-    * Runs per-partition (batched, executor-side) — the mapInPandas shape.
+  /** Deterministic synthetic PNG corpus: REAL PNG bytes encoded
+    * executor-side with the JDK's lossless `ImageIO` codec. Dimensions
+    * (1–16 × 1–16) and a two-tone vertical-split fill are pure integer
+    * arithmetic of the id, so the decode stage's expected output —
+    * width, height, per-channel pixel sums — is independently derivable
+    * from the id alone (the property the `mm_decode_features` oracle
+    * uses). Encoding is per-partition batched; one image is a few hundred
+    * bytes, so the corpus stays payload-bounded like any media table.
+    */
+  def synthPngTable(ids: DataFrame, idCol: String = "media_id"): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 1 + (id % 16).toInt
+        val h = 1 + ((id / 16) % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val wA = w / 2 // left tone covers the floor(w/2) columns (may be 0)
+        val rgbA = (((id * 3) % 256).toInt << 16) |
+          (((id * 7) % 256).toInt << 8) | ((id * 13) % 256).toInt
+        val rgbB = (((id * 5) % 256).toInt << 16) |
+          (((id * 11) % 256).toInt << 8) | ((id * 17) % 256).toInt
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, if (x < wA) rgbA else rgbB)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        md.reset()
+        val sum = md.digest(bytes).map("%02x".format(_)).mkString
+        Row(id, bytes, Row("image/png", bytes.length.toLong, sum))
+      }
+    }(enc)
+  }
+
+  /** REAL image decode: the JDK `javax.imageio` codec over the binary
+    * payload, per-partition batched (the mapInPandas shape — one codec
+    * instance per partition iterator, never per row on the driver). Output
+    * is the decoded dimensions plus a bounded 3-element feature vector
+    * (mean R/G/B, normalized) — NEVER the full pixel buffer, so output
+    * rows stay O(1) regardless of image size. Undecodable payloads yield
+    * null features instead of failing the stage (the lenient-COPY
+    * discipline applied to media).
+    */
+  def decodeImage(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixels", ArrayType(DoubleType))))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]]("payload")
+        val img =
+          if (payload == null) null
+          else
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Row(id, null, null, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xFF
+              sg += (rgb >> 8) & 0xFF
+              sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          Row(id, w, h, Seq(sr / n / 255.0, sg / n / 255.0, sb / n / 255.0))
+        }
+      }
+    }(enc)
+  }
+
+  /** STUB decode for the codec-less media kinds (audio/video — no JDK
+    * codec exists; images go through the REAL [[decodeImage]]): a real
+    * deployment plugs a codec in here (JNI/javacv/etc.); the fake derives
+    * deterministic "dimensions" and a tiny "pixel" vector from the payload
+    * bytes so downstream stages are exercised end-to-end. Runs
+    * per-partition (batched, executor-side) — the mapInPandas shape.
     */
   def decodeStub(media: DataFrame): DataFrame = {
     val outSchema = StructType(media.schema.fields ++ Seq(
@@ -101,9 +202,12 @@ object Multimodal {
         .select(col("media_id"), col("meta.format").as("format"),
           col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"))
     }),
-    // decode(STUB) → feature extraction, per-partition batched (rows-only)
+    // REAL PNG encode → javax.imageio decode → feature extraction, all
+    // per-partition batched; oracle-gated because the synthetic corpus's
+    // pixel content is integer arithmetic of the id (see synthPngTable)
     "mm_decode_features" -> ((s, dir) => {
-      extractFeatures(decodeStub(asMediaTable(graft.Tables(s, dir, "documents"))))
+      extractFeatures(decodeImage(synthPngTable(
+        graft.Tables(s, dir, "documents"), idCol = "doc_id")))
     }),
     // resize planning on decoded dimensions (oracle-gated: the stub's
     // width/height are pure arithmetic over octet_length(text))
@@ -125,6 +229,33 @@ object Multimodal {
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx
         |FROM documents, (SELECT unnest([0, 10, 20, 30]) AS f)""".stripMargin,
+    // independently derives what the REAL PNG round trip must produce:
+    // synthPngTable's two-tone fill is integer arithmetic of the id, and
+    // the double expressions mirror decodeImage/extractFeatures' operation
+    // order exactly (sum/n/255, then (0 + r + g + b)/3)
+    "mm_decode_features" ->
+      """WITH geo AS (
+        |  SELECT doc_id AS media_id,
+        |    1 + doc_id % 16 AS w,
+        |    1 + (doc_id // 16) % 16 AS h,
+        |    (1 + doc_id % 16) // 2 AS wa
+        |  FROM documents),
+        |sums AS (
+        |  SELECT media_id, w, h,
+        |    h * (wa * ((media_id * 3) % 256) + (w - wa) * ((media_id * 5) % 256)) AS sr,
+        |    h * (wa * ((media_id * 7) % 256) + (w - wa) * ((media_id * 11) % 256)) AS sg,
+        |    h * (wa * ((media_id * 13) % 256) + (w - wa) * ((media_id * 17) % 256)) AS sb
+        |  FROM geo),
+        |px AS (
+        |  SELECT media_id, w, h,
+        |    CAST(sr AS DOUBLE) / CAST(w * h AS DOUBLE) / 255.0 AS pr,
+        |    CAST(sg AS DOUBLE) / CAST(w * h AS DOUBLE) / 255.0 AS pg,
+        |    CAST(sb AS DOUBLE) / CAST(w * h AS DOUBLE) / 255.0 AS pb
+        |  FROM sums)
+        |SELECT media_id,
+        |  ROUND(CAST(w AS DOUBLE) / h, 4) AS aspect_ratio,
+        |  ROUND((0.0 + pr + pg + pb) / 3, 4) AS mean_pixel
+        |FROM px""".stripMargin,
     // replicates decodeStub's width/height arithmetic + resizePlan's scaling
     "mm_resize_plan" ->
       """WITH wh AS (

@@ -41,6 +41,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan.forall(r => r.getAs[Int]("out_width") <= 8 && r.getAs[Int]("out_height") <= 8))
   }
 
+  test("real PNG round trip: decoded dims and channel means match " +
+    "hand-computed values") {
+    // id=1: w=2, h=1, left column tone (3,7,13), right (5,11,17)
+    //   → sums (8,18,30) over n=2 pixels
+    // id=20: w=5, h=2, wA=2; tones (60,140,4) and (100,220,84)
+    //   → sums (840,1880,520) over n=10
+    val ids = Seq(1L, 20L).toDF("media_id")
+    val got = Multimodal.decodeImage(Multimodal.synthPngTable(ids))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2)),
+          r.getAs[scala.collection.Seq[Double]]("pixels"))).toMap
+    assert(got(1L)._1 === ((2, 1)))
+    assert(got(1L)._2 === Seq(8.0 / 2 / 255, 18.0 / 2 / 255, 30.0 / 2 / 255))
+    assert(got(20L)._1 === ((5, 2)))
+    assert(got(20L)._2 ===
+      Seq(840.0 / 10 / 255, 1880.0 / 10 / 255, 520.0 / 10 / 255))
+    // and the payload really is a PNG container, not a fake
+    val magic = Multimodal.synthPngTable(ids)
+      .select(col("payload"), col("meta.format")).head
+    assert(magic.getAs[Array[Byte]](0).take(4).toSeq
+      === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    assert(magic.getString(1) === "image/png")
+  }
+
+  test("image decode is lenient: undecodable payloads yield null features") {
+    val bad = Seq((7L, "definitely not a png".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val r = Multimodal.decodeImage(bad).head
+    assert(r.getLong(0) === 7L)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("frame sampling is a distributed cross product") {
     val frames = Multimodal.frameSample(media, nFrames = 3, stride = 5)
     assert(frames.count() === 6)
