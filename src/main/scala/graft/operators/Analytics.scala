@@ -81,7 +81,7 @@ object Analytics {
   // `ts div 1000` — EventStreams.scala), so an epoch_ns oracle would
   // diverge from Spark exactly at the strictly-after boundaries this
   // operator is defined by.
-  private val TolUs = 72L * 3600 * 1000 * 1000 // 72 h
+  private[graft] val TolUs = 72L * 3600 * 1000 * 1000 // 72 h
   private val UsPerDay = 86400000000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -28,10 +28,17 @@ import org.apache.spark.sql.functions._
 object Linkage {
 
   /** Distinct entities with a stable canonical key (min source key per
-    * name) and their source-row support count.
+    * name) and their source-row support count. A NULL name is filtered —
+    * there is no entity to resolve — and filtering it HERE keeps the two
+    * engines aligned for any name shape: the Spark block key coalesces a
+    * NULL split to '' while DuckDB's split_part(NULL, ' ', 2) yields NULL
+    * and silently drops the row from the equi-join; removing NULL names
+    * from the entity set makes that divergence unreachable (the oracle
+    * carries the same WHERE).
     */
   def entities(df: DataFrame, nameCol: String, keyCol: String): DataFrame =
-    df.groupBy(col(nameCol).as("name"))
+    df.filter(col(nameCol).isNotNull)
+      .groupBy(col(nameCol).as("name"))
       .agg(min(col(keyCol)).as("entity_key"), count(lit(1)).as("n_rows"))
 
   /** Blocked candidate pairs with edit distance ≤ `maxLev`: pairs are only
@@ -90,7 +97,7 @@ object Linkage {
 
   private val entitiesSql =
     """SELECT p_name AS name, MIN(p_partkey) AS entity_key, COUNT(*) AS n_rows
-      |FROM part GROUP BY p_name""".stripMargin
+      |FROM part WHERE p_name IS NOT NULL GROUP BY p_name""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "er_blocked_matches" ->

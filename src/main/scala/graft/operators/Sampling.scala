@@ -228,7 +228,12 @@ object Sampling {
         (avg(when(col("is_tgt"), col("log_w"))) >
           avg(when(!col("is_tgt"), col("log_w")))).as("sep"))
       .select(col("n_tgt"), col("n_raw"),
-        when(col("sep"), 0L).otherwise(1L).as("tgt_mean_not_above"))
+        // an empty register makes the avg() comparison NULL — that is the
+        // degenerate no-evidence case, not a violation (the oracle's other
+        // columns degrade gracefully the same way via SUM/LEAST)
+        when(col("n_tgt") === 0L || col("n_raw") === 0L, 0L)
+          .otherwise(when(col("sep"), 0L).otherwise(1L))
+          .as("tgt_mean_not_above"))
     val nSel = sel.agg(count(lit(1)).cast("long").as("n_selected"))
     val selNotRaw = sel
       .join(scored.filter(col("is_tgt")).select(col("doc_id")),

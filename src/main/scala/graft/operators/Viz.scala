@@ -74,7 +74,14 @@ object Viz {
       var pts = arr.map(r => (r.getDouble(0), r.getDouble(1))).toIndexedSeq
       if (pts.length > maxPoints) {
         val stride = math.ceil(pts.length.toDouble / maxPoints).toInt
-        pts = pts.indices.by(stride).map(pts).toIndexedSeq
+        val idx = pts.indices.by(stride)
+        // force-include the final index: the stride otherwise drops the
+        // series' last point whenever (n-1) % stride != 0, and the LTTB
+        // endpoint invariant (gated by viz_lttb_check) must survive the
+        // documented pre-stride fidelity trade
+        val withEnd =
+          if (idx.last == pts.length - 1) idx else idx :+ (pts.length - 1)
+        pts = withEnd.map(pts).toIndexedSeq
       }
       lttb(pts, k)
     }

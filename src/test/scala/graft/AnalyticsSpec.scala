@@ -60,10 +60,15 @@ class AnalyticsSpec extends AnyFunSuite {
       (1L, 0L) -> 1L, (1L, 2L) -> 1L))
   }
 
+  // corpus tests run the exact battery path: µs-grain ts + the shared
+  // TolUs constant (a hand-rolled 72h-in-nanos literal drifted 1000× from
+  // the battery once already — keep ONE constant)
+  private def corpusEvents = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    .withColumn("ts", expr("ts div 1000"))
+
   test("funnel counts are monotone non-increasing on the real corpus") {
-    val events = graft.Tables(spark, "/root/testdata/sf0.001", "events")
-    val got = Analytics.funnel(events, Seq("view", "click", "purchase"),
-        72L * 3600 * 1000 * 1000 * 1000)
+    val got = Analytics.funnel(corpusEvents, Seq("view", "click", "purchase"),
+        Analytics.TolUs)
       .orderBy(col("stage_idx")).collect().map(_.getLong(2))
     assert(got.length === 3)
     assert(got(0) >= got(1) && got(1) >= got(2), got.toSeq)
@@ -79,10 +84,11 @@ class AnalyticsSpec extends AnyFunSuite {
     // hint-forced broadcast on those joins — disabling auto-broadcast must
     // remove every BroadcastHashJoin (a hint would survive the threshold);
     // (b) results are identical either way.
+    // cohortRetention expects the raw nano-grain ts (it derives µs itself)
     val events = graft.Tables(spark, "/root/testdata/sf0.001", "events")
     def run() = (
-      Analytics.funnel(events, Seq("view", "click", "purchase"),
-          72L * 3600 * 1000 * 1000 * 1000)
+      Analytics.funnel(corpusEvents, Seq("view", "click", "purchase"),
+          Analytics.TolUs)
         .orderBy(col("stage_idx")).collect().toSeq,
       Analytics.cohortRetention(events)
         .orderBy(col("cohort_day"), col("day_offset")).collect().toSeq)
@@ -91,8 +97,8 @@ class AnalyticsSpec extends AnyFunSuite {
     val old = spark.conf.get(thr)
     try {
       spark.conf.set(thr, "-1")
-      val f = Analytics.funnel(events, Seq("view", "click", "purchase"),
-        72L * 3600 * 1000 * 1000 * 1000)
+      val f = Analytics.funnel(corpusEvents, Seq("view", "click", "purchase"),
+        Analytics.TolUs)
       val c = Analytics.cohortRetention(events)
       for (df <- Seq(f, c)) {
         val phys = df.queryExecution.executedPlan.toString

@@ -745,6 +745,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(sel.map(_.getLong(0)).toSeq === sel2.map(_.getLong(0)).toSeq)
   }
 
+  test("Sampling DSIR: empty register is no-evidence, not a gate violation") {
+    import graft.operators.Sampling
+    // no doc matches the target predicate → the register-mean comparison is
+    // NULL; the gate must report 0 (matching the oracle's constant), not 1
+    val d = (0L until 40L).map(id => (id, s"doc $id body"))
+      .toDF("doc_id", "text")
+    val inv = Sampling.dsirInvariants(d, col("text").contains("nosuchword"),
+      k = 10).collect().head
+    assert(inv.getAs[Long]("n_tgt") === 0L)
+    assert(inv.getAs[Long]("tgt_mean_not_above") === 0L)
+  }
+
   test("Sampling DSIR: battery entry shape at sf0.01") {
     val sel = graft.SparkEntry.queries("sample_dsir")(spark, sf2).collect()
     assert(sel.length === 50)

@@ -198,6 +198,21 @@ class RetrievalLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL names never enter the entity set (engine/oracle alignment)") {
+    // the Spark block key coalesces NULL splits to '' while DuckDB's
+    // split_part drops NULLs from the equi-join — entities() filters the
+    // NULL name so neither engine ever sees it
+    import spark.implicits._
+    val src = Seq((1L, "cold bolt"), (2L, null.asInstanceOf[String]),
+      (3L, "old bolt")).toDF("p_partkey", "p_name")
+    val ents = Linkage.entities(src, "p_name", "p_partkey")
+    assert(ents.filter(col("name").isNull).count() === 0L)
+    assert(ents.count() === 2L)
+    val resolved = Linkage.resolveEntities(ents,
+      coalesce(split(col("name"), " ").getItem(1), lit("")), maxLev = 2)
+    assert(resolved.count() === 2L)
+  }
+
   test("resolution is transitive: cold/old variants share one canonical key") {
     val ents = Linkage.entities(graft.Tables(spark, dir, "part"), "p_name", "p_partkey")
     val resolved = Linkage.resolveEntities(ents,

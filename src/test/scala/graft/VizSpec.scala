@@ -62,4 +62,18 @@ class VizSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1).toDouble, r.getDouble(2))).toSet
     assert(out.toSet.subsetOf(raw))
   }
+
+  test("pre-stride over maxPoints keeps the series' last point") {
+    // 11 points with maxPoints=4 → stride 3 → indices 0,3,6,9: without the
+    // forced final index the endpoint invariant (viz_lttb_check pins
+    // missing_endpoints=0) false-fails on any series longer than maxPoints
+    // whose (n-1) is not a stride multiple
+    val d = (0 until 11).map(i => (1L, i.toDouble, i.toDouble))
+      .toDF("s", "x", "y")
+    val out = Viz.downsampleSeries(d, "s", "x", "y", k = 4, maxPoints = 4)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.length === 4)
+    assert(out.head === ((0.0, 0.0)) && out.last === ((10.0, 10.0)),
+      s"endpoints lost through the pre-stride: ${out.toSeq}")
+  }
 }
