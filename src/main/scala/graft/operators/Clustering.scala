@@ -152,6 +152,43 @@ object Clustering {
     pr
   }
 
+  /** PageRank semantic gate (the `_check` pattern): DuckDB cannot iterate
+    * the power method, but it CAN independently derive the node count of
+    * the trade graph — and the stochastic-matrix algebra pins the rest:
+    * one rank row per node (`n_ranks` is the conservation column), total
+    * mass ≡ 1 every round (`mass_violation`, with a 1e-6 tolerance that is
+    * ~10⁵× the worst-case float-sum drift yet catches any real mass leak —
+    * a lost dangling redistribution alone shifts mass by ~(1−d)·|dangling|/n),
+    * and every rank ≥ (1−d)/n > 0 (`nonpositive_ranks`).
+    */
+  def pageRankInvariants(edges: DataFrame, iters: Int = 3): DataFrame =
+    pageRank(edges, iters).agg(
+      count(lit(1)).cast("long").as("n_ranks"),
+      when(abs(sum(col("pr")) - lit(1.0)) > 1e-6, 1L).otherwise(0L)
+        .as("mass_violation"),
+      coalesce(sum(when(col("pr") <= 0.0, 1L).otherwise(0L)), lit(0L))
+        .as("nonpositive_ranks"))
+
+  /** Customer↔supplier trade edges from orders⋈lineitem, both directions
+    * in ONE pass over the fact join (a union of two selects would plan the
+    * join twice). Supplier ids offset by 2^40 — beyond any customer key at
+    * any scale factor (a 10^6 offset would collide with custkeys at sf ≥ 7
+    * and silently merge distinct nodes).
+    */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = graft.Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + lit(1L << 40)).as("supp"))
+      .select(explode(array(
+        struct(col("cust").as("src"), col("supp").as("dst")),
+        struct(col("supp").as("src"), col("cust").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // near-dup pairs (true-Jaccard ≥ 0.8, the oracle-gated dedup output) →
     // duplicate clusters; cluster_id doubles as the survivor id
@@ -180,19 +217,6 @@ object Clustering {
     // scale factor (a 10^6 offset would collide with custkeys at sf ≥ 7
     // and silently merge distinct nodes).
     "graph_pagerank_topk" -> ((s, dir) => {
-      val o = graft.Tables(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val li = graft.Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      // both directions in ONE pass over the fact join (a union of two
-      // selects would plan the orders⋈lineitem join twice)
-      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .select(col("o_custkey").as("cust"),
-          (col("l_suppkey") + lit(1L << 40)).as("supp"))
-        .select(explode(array(
-          struct(col("cust").as("src"), col("supp").as("dst")),
-          struct(col("supp").as("src"), col("cust").as("dst")))).as("e"))
-        .select(col("e.src"), col("e.dst"))
       // 3 fixed rounds for the battery: the top-20 ordering on this graph is
       // already stable (spec pins the algorithm; the entry prices the
       // per-round cost — construction + 3 edge passes)
@@ -200,13 +224,29 @@ object Clustering {
       // iterated float sums are partitioning-order-dependent, so near-tied
       // raw doubles could reorder run-to-run; rounding + id tie-break makes
       // the top-20 row set deterministic.
-      pageRank(edges, iters = 3)
+      pageRank(tradeEdges(s, dir), iters = 3)
         .select(col("id"), round(col("pr"), 6).as("pr_round"))
         .orderBy(col("pr_round").desc, col("id")).limit(20)
-    })
+    }),
+
+    // the PageRank semantic gate — node-count conservation + mass ≡ 1 +
+    // positivity, hash-compared against a DuckDB-derived row
+    "graph_pagerank_check" -> ((s, dir) =>
+      pageRankInvariants(tradeEdges(s, dir), iters = 3))
   )
 
   def oracles: Map[String, String] = Map(
+    // node-count conservation derived independently; the mass/positivity
+    // counters are constants BY DESIGN (see pageRankInvariants)
+    "graph_pagerank_check" ->
+      """WITH j AS (
+        |  SELECT o_custkey AS cust, l_suppkey + 1099511627776 AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT cust AS id FROM j UNION SELECT supp FROM j)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+        |  CAST(0 AS BIGINT) AS mass_violation,
+        |  CAST(0 AS BIGINT) AS nonpositive_ranks
+        |FROM nodes""".stripMargin,
     // transitive closure via recursive CTE — min reachable id per node
     "dedup_clusters" ->
       """WITH RECURSIVE sh AS (SELECT doc_id,

@@ -196,6 +196,40 @@ object Dedup {
     nExact.crossJoin(missing).crossJoin(dups)
   }
 
+  /** MinHash-LSH semantic gate (same shape as [[simhashInvariants]]):
+    * DuckDB cannot reproduce xxhash64-seeded minhash signatures, but
+    * identical text means identical shingle set, hence identical minima in
+    * every signature slot — ALL bands collide and the verification step
+    * computes Jaccard exactly 1.0 ≥ any threshold. So every exact-duplicate
+    * pair (text equality over shingle-able texts, `id_a < id_b`) MUST
+    * surface in [[minhashLshPairs]] with jac = 1.0: `missing_exact_pairs`
+    * is the recall floor, `dup_pairs` the banding-dedup hygiene counter
+    * (a candidate colliding in several bands must still emit once), both
+    * pinned at zero; `n_exact_pairs` is the conservation column both
+    * engines derive. Texts shorter than the shingle width are excluded on
+    * BOTH sides — their shingle set is empty and Jaccard is 0/0 (the
+    * documented [[shingles]] contract), so they are outside the recall
+    * floor by definition.
+    */
+  def minhashLshInvariants(d: DataFrame, threshold: Double = 0.8,
+                           shingleN: Int = 3): DataFrame = {
+    val out = minhashLshPairs(d, threshold)
+    val byText = d.filter(col("text").isNotNull && length(col("text")) >= shingleN)
+      .select(col("doc_id"), col("text"))
+    val exact = byText.alias("l").join(byText.alias("r"),
+        col("l.text") === col("r.text") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+    val nExact = exact.agg(count(lit(1)).cast("long").as("n_exact_pairs"))
+    val missing = exact
+      .join(out.filter(col("jac") === 1.0).select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("missing_exact_pairs"))
+    val dups = out.agg(
+      (count(lit(1)) - countDistinct(struct(col("id_a"), col("id_b"))))
+        .cast("long").as("dup_pairs"))
+    nExact.crossJoin(missing).crossJoin(dups)
+  }
+
   /** All-pairs embedding cosine ≥ threshold — a broadcast numeric kernel.
     *
     * A declarative nested-loop pair join spends ~7µs/pair materializing the
@@ -1110,9 +1144,17 @@ object Dedup {
       editDistancePairs(docs(s, dir), maxDist = 16)),
 
     // MinHash+LSH near-dup pairs — the 100 TB path (no oracle: depends on
-    // xxhash64; the rows are verified true-Jaccard ≥ 0.8 pairs)
+    // xxhash64; the rows are verified true-Jaccard ≥ 0.8 pairs; recall
+    // floor + pair hygiene oracle-gated by dedup_minhash_lsh_check)
     "dedup_minhash_lsh" -> ((s, dir) =>
       minhashLshPairs(docs(s, dir), threshold = 0.8)),
+
+    // the MinHash-LSH semantic gate — exact-dup recall floor (identical
+    // text ⇒ identical signature ⇒ all bands collide ⇒ jac = 1.0 emitted)
+    // and violation counters hash-compared against a DuckDB-derived
+    // conservation row
+    "dedup_minhash_lsh_check" -> ((s, dir) =>
+      minhashLshInvariants(docs(s, dir))),
 
     // SimHash near-dup pairs (no oracle: xxhash64-dependent; recall floor
     // + pair hygiene oracle-gated by dedup_simhash_check)
@@ -1196,6 +1238,19 @@ object Dedup {
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM documents a JOIN documents b
         |    ON a.text = b.text AND a.doc_id < b.doc_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+        |  CAST(0 AS BIGINT) AS missing_exact_pairs,
+        |  CAST(0 AS BIGINT) AS dup_pairs
+        |FROM e""".stripMargin,
+    // same conservation-row design as dedup_simhash_check; sub-shingle
+    // texts excluded on both sides (empty shingle set ⇒ 0/0 Jaccard is
+    // undefined, not a missed duplicate)
+    "dedup_minhash_lsh_check" ->
+      """WITH e AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON a.text = b.text AND a.doc_id < b.doc_id
+        |  WHERE length(a.text) >= 3)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
         |  CAST(0 AS BIGINT) AS missing_exact_pairs,
         |  CAST(0 AS BIGINT) AS dup_pairs

@@ -141,6 +141,37 @@ object SemDedup {
       .join(dropped, Seq("vec_id"), "left_anti")
   }
 
+  /** SemDeDup semantic gate (the `_check` pattern): the k-means partition
+    * is not SQL-expressible, but planting an EXACT twin of every vector
+    * (same embedding, id + `copyOffset`) pins the parts DuckDB can derive:
+    *
+    *  - `n_twins` — the planted-pair count, the conservation column;
+    *  - `survivors_not_in_input` = 0 — survivor hygiene (pure subset);
+    *  - `twins_surviving` = 0 — the recall floor: an identical vector
+    *    lands in the SAME cell (assignment is a pure function of the
+    *    embedding), the twin pair's cosine is exactly 1 ≥ τ, and the twin
+    *    id is strictly larger, so the min-id rule must drop EVERY twin —
+    *    any bug in cell assignment determinism, within-cell pair
+    *    enumeration (including the cross-salt-block fan-out), or the
+    *    survivor anti-join flips the counter.
+    */
+  def semDedupInvariants(e: DataFrame, tau: Double = 0.9,
+                         copyOffset: Long = 1L << 40): DataFrame = {
+    val base = e.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val twins = base.select((col("vec_id") + copyOffset).as("vec_id"),
+      col("embedding"))
+    // checkpoint: the survivor pass scans its input for centroids,
+    // assignment, AND the final anti-join — one materialization, not three
+    val input = base.unionByName(twins).localCheckpoint()
+    val surv = semDedupSurvivors(input, tau)
+    val nTwins = base.agg(count(lit(1)).cast("long").as("n_twins"))
+    val notIn = surv.join(input.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("survivors_not_in_input"))
+    val twinsSurv = surv.filter(col("vec_id") >= copyOffset)
+      .agg(count(lit(1)).cast("long").as("twins_surviving"))
+    nTwins.crossJoin(notIn).crossJoin(twinsSurv)
+  }
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     // rows-only: the k-means partition isn't SQL-expressible; the semantic
     // gate lives in OperatorsSpec (dropped ⊆ exact-dropped, recall pinned
@@ -150,8 +181,20 @@ object SemDedup {
       semDedupSurvivors(
         Dedup.plantEmbeddingNearDups(
           graft.Tables(s, dir, "embeddings")).localCheckpoint(),
-        tau = 0.9))
+        tau = 0.9)),
+
+    // the SemDeDup semantic gate — exact-twin recall floor + survivor
+    // hygiene, hash-compared against a DuckDB-derived conservation row
+    "semdedup_check" -> ((s, dir) =>
+      semDedupInvariants(graft.Tables(s, dir, "embeddings"), tau = 0.9))
   )
 
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = Map(
+    // twin-pair count derived independently; the recall-floor and hygiene
+    // counters are constants BY DESIGN (see semDedupInvariants)
+    "semdedup_check" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_twins,
+        |  CAST(0 AS BIGINT) AS survivors_not_in_input,
+        |  CAST(0 AS BIGINT) AS twins_surviving
+        |FROM embeddings""".stripMargin)
 }
