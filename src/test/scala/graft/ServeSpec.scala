@@ -264,4 +264,87 @@ class ServeSpec extends AnyFunSuite {
       s"evicted newest instead of oldest: ${listed.map(_.runId)}")
     assert(pr.status(ids.head).isEmpty, "oldest terminal run not evicted")
   }
+
+  test("HTTP gateway: unpause → trigger → poll over real loopback sockets") {
+    import graft.graph.{Model, ModelGraph}
+    import graft.serve.{HttpGateway, PipelineRuns}
+    implicit val s = spark
+    import s.implicits._
+    val src = Map("src" -> Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
+    val graph = new ModelGraph(Seq(
+      Model("stg", Seq("src"), reg => reg("src")),
+      Model("out", Seq("stg"), reg => reg("stg").filter(col("id") > 0))))
+    val bad = new ModelGraph(Seq(
+      Model("boom", Seq("src"), _ => throw new RuntimeException("synthetic failure"))))
+    val gw = new HttpGateway(new PipelineRuns)
+    gw.register("sec_pipeline", graph, src)
+    gw.register("bad_pipeline", bad, src)
+    val port = gw.start()
+    val client = java.net.http.HttpClient.newHttpClient()
+    def call(method: String, path: String, body: String = "",
+             auth: Boolean = true): (Int, Map[String, Any]) = {
+      val b = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .method(method,
+          if (body.isEmpty) java.net.http.HttpRequest.BodyPublishers.noBody()
+          else java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      if (auth) b.header("Authorization", "Basic " +
+        java.util.Base64.getEncoder.encodeToString("admin:admin".getBytes))
+      val r = client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val parsed = HttpGateway.MiniJson.parse(r.body()) match {
+        case Some(m: Map[String @unchecked, _]) => m.asInstanceOf[Map[String, Any]]
+        case other => fail(s"non-object response: ${r.body()} ($other)")
+      }
+      (r.statusCode(), parsed)
+    }
+    def pollToTerminal(dag: String, runId: String): Map[String, Any] = {
+      // the reference's `while True: GET …; sleep(10)` loop with a bounded
+      // deadline and a test-sized poll interval
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var st = call("GET", s"/api/v1/dags/$dag/dagRuns/$runId")._2
+      while (!Set[Any]("success", "failed").contains(st("state")) &&
+        System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        st = call("GET", s"/api/v1/dags/$dag/dagRuns/$runId")._2
+      }
+      st
+    }
+    try {
+      // no/bad auth is rejected before any routing
+      assert(call("GET", "/api/v1/dags/sec_pipeline/dagRuns", auth = false)._1 === 401)
+      // a freshly registered dag is paused: trigger refused until the PATCH
+      assert(call("POST", "/api/v1/dags/sec_pipeline/dagRuns",
+        """{"conf":{}}""")._1 === 409)
+      val (pc, patched) = call("PATCH", "/api/v1/dags/sec_pipeline",
+        """{"is_paused": false}""")
+      assert(pc === 200 && patched("is_paused") === false)
+      // trigger with a conf payload (the reference's year_quarter)
+      val (tc, trig) = call("POST", "/api/v1/dags/sec_pipeline/dagRuns",
+        """{"conf": {"year_quarter": "2024Q1"}}""")
+      assert(tc === 200)
+      val runId = trig("dag_run_id").asInstanceOf[String]
+      assert(Set[Any]("queued", "running", "success").contains(trig("state")))
+      val done = pollToTerminal("sec_pipeline", runId)
+      assert(done("state") === "success", done)
+      assert(done("conf") === Map("year_quarter" -> "2024Q1"))
+      assert(done("tasks").asInstanceOf[Map[String, Any]].values.toSet ===
+        Set("success"))
+      // listing scopes to the dag and counts the one run
+      val (_, listed) = call("GET", "/api/v1/dags/sec_pipeline/dagRuns")
+      assert(listed("total_entries") === 1)
+      // failure surfaces through the poll with its message
+      call("PATCH", "/api/v1/dags/bad_pipeline", """{"is_paused": false}""")
+      val badRun = call("POST", "/api/v1/dags/bad_pipeline/dagRuns",
+        """{"conf":{}}""")._2("dag_run_id").asInstanceOf[String]
+      val failed = pollToTerminal("bad_pipeline", badRun)
+      assert(failed("state") === "failed")
+      assert(failed("error").asInstanceOf[String].contains("synthetic failure"))
+      // 404s: unknown dag, unknown run, and a run id under the WRONG dag
+      assert(call("GET", "/api/v1/dags/nope/dagRuns")._1 === 404)
+      assert(call("GET", "/api/v1/dags/sec_pipeline/dagRuns/run_99999")._1 === 404)
+      assert(call("GET", s"/api/v1/dags/bad_pipeline/dagRuns/$runId")._1 === 404)
+    } finally gw.stop()
+  }
 }
