@@ -197,6 +197,96 @@ object Bpe {
   def encodeWithTable(d: DataFrame, tableDir: String): DataFrame =
     encode(d, loadMerges(d.sparkSession, tableDir))
 
+  /** BPE semantic gate (the `_check` pattern): merge tables and subword
+    * counts are not SQL-expressible, but BPE's defining invariant IS
+    * checkable — segmentation is LOSSLESS (the concatenation of a word's
+    * subwords reproduces the word + [[EndOfWord]], for every word of every
+    * document) and BOUNDED (1 ≤ subwords ≤ characters: merges only ever
+    * shrink the initial character segmentation). DuckDB independently
+    * derives the document and word conservation columns with the same
+    * tokenizer expression the oracled `text_token_stats` already proved
+    * engine-portable, and pins both violation counters at zero. Any bug in
+    * merge learning, rank-table persistence, or the encode loop that
+    * drops/duplicates/fabricates a symbol flips `roundtrip_violations`.
+    */
+  def encodeInvariants(d: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = d.sparkSession
+    val ranksB = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    val stats = udf { (words: Seq[String]) =>
+      val ranks = ranksB.value
+      var nw = 0L; var rt = 0L; var bd = 0L
+      words.foreach { w =>
+        if (w.nonEmpty) {
+          nw += 1
+          val toks = encodeWord(w, ranks)
+          if (toks.mkString("") != w + EndOfWord) rt += 1
+          if (toks.length < 1 || toks.length > w.length) bd += 1
+        }
+      }
+      Array(nw, rt, bd)
+    }
+    d.filter(col("text").isNotNull)
+      .select(stats(TextAnalysis.tokens(lower(col("text")))).as("s"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(element_at(col("s"), 1)), lit(0L)).cast("long").as("n_words"),
+        coalesce(sum(element_at(col("s"), 2)), lit(0L)).cast("long")
+          .as("roundtrip_violations"),
+        coalesce(sum(element_at(col("s"), 3)), lit(0L)).cast("long")
+          .as("bounds_violations"))
+  }
+
+  /** Budget-selection semantic gate (the `_check` pattern): BPE subword
+    * counts are not SQL-expressible, but the greedy selector's CONTRACT
+    * is — the admitted set must be exactly the maximal prefix of the
+    * (quality desc, doc_id asc) order whose token sum fits the budget:
+    *
+    *  - `budget_violation`: Σ selected n_tokens ≤ budget;
+    *  - `prefix_violation`: no unselected document may precede any
+    *    selected one in the order (lexicographic struct comparison of the
+    *    max selected vs min unselected position);
+    *  - `maximality_violation`: the FIRST unselected document in order
+    *    must not fit in the remaining budget;
+    *  - `dup_selected`: admission hygiene.
+    *
+    * DuckDB independently derives the scored-document conservation column
+    * (one encode row per non-null-text document — [[encode]]'s filter) and
+    * pins every violation counter at zero.
+    */
+  def budgetSelectInvariants(d: DataFrame, tableDir: String,
+                             budget: Long = 20000L): DataFrame = {
+    val scored = d
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .join(encodeWithTable(d, tableDir)
+        .select(col("doc_id"), col("n_subwords").as("n_tokens")), Seq("doc_id"))
+      .localCheckpoint()
+    val sel = Mixing.selectByTokenBudgetScored(
+      scored.select(col("doc_id"), col("quality"), col("n_tokens")), budget)
+      .localCheckpoint()
+    val pos = struct((col("quality") * lit(-1.0)).as("nq"), col("doc_id").as("id"))
+    val nScored = scored.agg(count(lit(1)).cast("long").as("n_docs_scored"))
+    val selStats = sel.agg(
+      coalesce(sum(col("n_tokens")), lit(0L)).as("sel_tokens"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).cast("long").as("dup_selected"),
+      max(pos).as("max_sel_pos"))
+    val unsel = scored.join(sel.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val unselStats = unsel.agg(
+      count(lit(1)).cast("long").as("n_unsel"),
+      min(pos).as("min_unsel_pos"))
+    val firstUnsel = unsel.orderBy(col("quality").desc, col("doc_id").asc)
+      .limit(1).select(col("n_tokens").as("first_unsel_tokens"))
+    nScored.crossJoin(selStats).crossJoin(unselStats)
+      .join(firstUnsel, lit(true), "left")
+      .select(col("n_docs_scored"),
+        when(col("sel_tokens") > budget, 1L).otherwise(0L).as("budget_violation"),
+        col("dup_selected"),
+        when(col("n_unsel") > 0 && col("max_sel_pos") > col("min_unsel_pos"), 1L)
+          .otherwise(0L).as("prefix_violation"),
+        when(col("first_unsel_tokens").isNotNull &&
+          col("sel_tokens") + col("first_unsel_tokens") <= budget, 1L)
+          .otherwise(0L).as("maximality_violation"))
+  }
+
   /** Deterministic scratch location for the persisted merge table, keyed by
     * the data directory (same convention as the IVF index entries).
     */
@@ -224,10 +314,20 @@ object Bpe {
       trainBpe(graft.Tables(s, dir, "documents"), tableDirFor(dir))),
 
     // recurring corpus encode against the FROZEN persisted tokenizer —
-    // the cost a deployed pipeline pays per run (spec-pinned ≡ one-shot)
+    // the cost a deployed pipeline pays per run (spec-pinned ≡ one-shot;
+    // losslessness + bounds oracle-gated by text_bpe_encode_check)
     "text_bpe_encode" -> ((s, dir) => {
       val td = ensureTable(s, dir)
       encodeWithTable(graft.Tables(s, dir, "documents"), td)
+    }),
+
+    // the BPE semantic gate — lossless-segmentation and bounds counters
+    // over the same frozen table, hash-compared against a DuckDB-derived
+    // doc/word conservation row
+    "text_bpe_encode_check" -> ((s, dir) => {
+      val td = ensureTable(s, dir)
+      encodeInvariants(graft.Tables(s, dir, "documents"),
+        loadMerges(s, td))
     }),
 
     // tokenizer-accurate budget selection: greedy best-quality-first under
@@ -246,7 +346,35 @@ object Bpe {
       Mixing.selectByTokenBudgetScored(
         scored.select(col("doc_id"), col("quality"), col("n_tokens")),
         budget = 20000L)
-    }))
+    }),
 
-  def oracles: Map[String, String] = Map.empty
+    // the budget-selection semantic gate — maximal-greedy-prefix contract
+    // counters vs a DuckDB-derived scored-document count
+    "budget_select_bpe_check" -> ((s, dir) =>
+      budgetSelectInvariants(graft.Tables(s, dir, "documents"),
+        ensureTable(s, dir))))
+
+  def oracles: Map[String, String] = Map(
+    // doc/word conservation derived independently (the same tokenizer
+    // expression text_token_stats proved engine-portable, over lowercased
+    // text exactly as encode() tokenizes); violation counters are
+    // constants BY DESIGN (see encodeInvariants)
+    "text_bpe_encode_check" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN trim(lower(text)) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(lower(text)), '\s+')) END)
+        |    AS BIGINT) AS n_words,
+        |  CAST(0 AS BIGINT) AS roundtrip_violations,
+        |  CAST(0 AS BIGINT) AS bounds_violations
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    // scored-document conservation derived independently (encode emits one
+    // row per non-null-text document); the greedy-prefix contract counters
+    // are constants BY DESIGN (see budgetSelectInvariants)
+    "budget_select_bpe_check" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_scored,
+        |  CAST(0 AS BIGINT) AS budget_violation,
+        |  CAST(0 AS BIGINT) AS dup_selected,
+        |  CAST(0 AS BIGINT) AS prefix_violation,
+        |  CAST(0 AS BIGINT) AS maximality_violation
+        |FROM documents WHERE text IS NOT NULL""".stripMargin)
 }

@@ -169,6 +169,62 @@ object Clustering {
       coalesce(sum(when(col("pr") <= 0.0, 1L).otherwise(0L)), lit(0L))
         .as("nonpositive_ranks"))
 
+  /** LSH-clustering semantic gate (the `_check` pattern): the MinHash
+    * banding behind `dedup_clusters_lsh` is xxhash64-dependent, but the
+    * composition's CONTRACT is checkable —
+    *
+    *  - `split_exact_pairs`: every exact-TEXT duplicate pair (texts ≥ 3
+    *    chars, the same sub-shingle exclusion as the MinHash gate) must
+    *    land in ONE LSH cluster, pinned 0: identical text ⇒ identical
+    *    signature ⇒ all bands collide ⇒ the pair is emitted at Jaccard 1.0
+    *    and connected components joins the nodes;
+    *  - `clusters_spanning_exact`: no LSH cluster may span two EXACT
+    *    clusters, pinned 0: every banding candidate is exact-verified, so
+    *    LSH pairs ⊆ exact pairs and the LSH components REFINE the exact
+    *    components (the OperatorsSpec pin, promoted to an oracle row);
+    *  - `lsh_nodes_not_in_exact`: node containment of that refinement,
+    *    pinned 0.
+    *
+    * DuckDB independently derives the exact-pair conservation column from
+    * raw text equality. Verification-scale by design: the gate runs the
+    * exact O(N²)-family kernel next to the banded one plus two CC passes.
+    */
+  def lshClusterInvariants(d: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val dd = d.select(col("doc_id"), col("text"))
+    val lshCC = connectedComponents(
+      Dedup.minhashLshPairs(dd, threshold).select(col("id_a"), col("id_b")))
+      .localCheckpoint()
+    val exactCC = connectedComponents(
+      Dedup.ngramJaccardPairsAdaptive(dd, threshold)
+        .select(col("id_a"), col("id_b")))
+      .localCheckpoint()
+    val eligible = dd.filter(length(col("text")) >= 3)
+    val textPairs = eligible.alias("x").join(eligible.alias("y"),
+        col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").cast("long").as("id_a"),
+        col("y.doc_id").cast("long").as("id_b"))
+    val nPairs = textPairs.agg(count(lit(1)).cast("long").as("n_exact_text_pairs"))
+    val split = textPairs
+      .join(lshCC.select(col("doc_id").as("id_a"), col("cluster_id").as("ca")),
+        Seq("id_a"), "left")
+      .join(lshCC.select(col("doc_id").as("id_b"), col("cluster_id").as("cb")),
+        Seq("id_b"), "left")
+      .agg(coalesce(sum(when(col("ca").isNull || col("cb").isNull ||
+        col("ca") =!= col("cb"), 1L).otherwise(0L)), lit(0L))
+        .as("split_exact_pairs"))
+    val refined = lshCC
+      .join(exactCC.withColumnRenamed("cluster_id", "exact_cid"), Seq("doc_id"),
+        "left")
+      .groupBy(col("cluster_id"))
+      .agg(countDistinct(col("exact_cid")).as("ne"),
+        coalesce(sum(when(col("exact_cid").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("miss"))
+      .agg(coalesce(sum(when(col("ne") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("clusters_spanning_exact"),
+        coalesce(sum(col("miss")), lit(0L)).as("lsh_nodes_not_in_exact"))
+    nPairs.crossJoin(split).crossJoin(refined)
+  }
+
   /** Customer↔supplier trade edges from orders⋈lineitem, both directions
     * in ONE pass over the fact join (a union of two selects would plan the
     * join twice). Supplier ids offset by 2^40 — beyond any customer key at
@@ -209,6 +265,11 @@ object Clustering {
           graft.Tables(s, dir, "documents"), threshold = 0.8)
           .select(col("id_a"), col("id_b")))),
 
+    // the LSH-clustering semantic gate — exact-text pairs co-clustered +
+    // LSH-refines-exact containment, vs a DuckDB-derived exact-pair count
+    "dedup_clusters_lsh_check" -> ((s, dir) =>
+      lshClusterInvariants(graft.Tables(s, dir, "documents"), threshold = 0.8)),
+
     // PageRank centrality over the customer↔supplier trade graph (edges from
     // the orders⋈lineitem fact, both directions — a connected bipartite
     // walk). Top-20 by score. Rows-only (iterated float sums; algorithm
@@ -247,6 +308,21 @@ object Clustering {
         |  CAST(0 AS BIGINT) AS mass_violation,
         |  CAST(0 AS BIGINT) AS nonpositive_ranks
         |FROM nodes""".stripMargin,
+    // exact-pair conservation derived independently from raw text
+    // equality (the same sub-shingle exclusion as the MinHash gate); the
+    // co-cluster/refinement counters are constants BY DESIGN (see
+    // lshClusterInvariants)
+    "dedup_clusters_lsh_check" ->
+      """WITH e AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON a.text = b.text AND a.doc_id < b.doc_id
+        |  WHERE length(a.text) >= 3)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_text_pairs,
+        |  CAST(0 AS BIGINT) AS split_exact_pairs,
+        |  CAST(0 AS BIGINT) AS clusters_spanning_exact,
+        |  CAST(0 AS BIGINT) AS lsh_nodes_not_in_exact
+        |FROM e""".stripMargin,
     // transitive closure via recursive CTE — min reachable id per node
     "dedup_clusters" ->
       """WITH RECURSIVE sh AS (SELECT doc_id,

@@ -230,6 +230,75 @@ object Dedup {
     nExact.crossJoin(missing).crossJoin(dups)
   }
 
+  /** Hyperplane-LSH embedding-dedup semantic gate (the `_check` pattern):
+    * the banding is xxhash64-dependent, but the battery entry's PLANT is
+    * DuckDB-derivable — one perturbed copy (id + 2^40) of every 50th
+    * vector, each pair at cosine ≈ 0.999 where the 8×8 banding's per-pair
+    * miss odds are ~0 and the hyperplanes deterministic (the OperatorsSpec
+    * full-recovery rationale, promoted to an oracle row):
+    * `n_planted` is the conservation column, `missing_planted_pairs` the
+    * recall floor, `below_threshold_pairs` the verification hygiene (every
+    * emitted pair carries its exact cosine ≥ τ by construction), and
+    * `dup_pairs` the banding-dedup hygiene — all pinned at zero.
+    */
+  def embeddingLshInvariants(e: DataFrame, threshold: Double = 0.9,
+                             dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val planted = plantEmbeddingNearDups(e).localCheckpoint()
+    val out = embeddingCosinePairsLsh(planted, threshold, dim).localCheckpoint()
+    val plantPairs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").cast("long").as("id_a"),
+        (col("vec_id") + lit(1L << 40)).cast("long").as("id_b"))
+    val nPlanted = plantPairs.agg(count(lit(1)).cast("long").as("n_planted"))
+    val missing = plantPairs
+      .join(out.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("missing_planted_pairs"))
+    val below = out.agg(
+      coalesce(sum(when(col("cos") < threshold, 1L).otherwise(0L)), lit(0L))
+        .as("below_threshold_pairs"),
+      (count(lit(1)) - countDistinct(struct(col("id_a"), col("id_b"))))
+        .cast("long").as("dup_pairs"))
+    nPlanted.crossJoin(missing).crossJoin(below)
+  }
+
+  /** Banded-incremental-dedup semantic gate (the `_check` pattern): the
+    * MinHash banding is xxhash64-dependent, but the tier's admission
+    * CONTRACT is fully checkable against the exact tier the battery
+    * already oracle-gates (`dedup_incremental`) on the same 80/20 split —
+    *
+    *  - `exact_admits_rejected` = |exact-admitted \ banded-admitted|,
+    *    pinned 0: every banded rejection is EXACT-verified (candidates get
+    *    a true-Jaccard check), so banding can only reject docs the exact
+    *    tier also rejects — admitted-banded ⊇ admitted-exact always;
+    *  - `exact_dup_admitted` = banded-admitted batch docs whose normalized
+    *    text already exists in the corpus, pinned 0: tier 1 (the
+    *    fingerprint anti-join) is SHARED by both tiers, so no exact
+    *    duplicate can reach the banded tier at all;
+    *  - `dup_admits` = duplicate doc_ids in the admitted set, pinned 0.
+    *
+    * DuckDB independently derives the batch-size conservation column with
+    * the same md5 split expression the `dedup_incremental` oracle already
+    * proved engine-portable.
+    */
+  def incrementalBandedInvariants(d: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    val corpus = d.filter(bucket < 80).localCheckpoint()
+    val batch = d.filter(bucket >= 80).localCheckpoint()
+    val exactAdm = incrementalDedup(corpus, batch, threshold).localCheckpoint()
+    val bandedAdm = incrementalDedupBanded(corpus, batch, threshold).localCheckpoint()
+    val nBatch = batch.agg(count(lit(1)).cast("long").as("n_batch"))
+    val missing = exactAdm.join(bandedAdm, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("exact_admits_rejected"))
+    val corpusNorm = corpus
+      .select(TextAnalysis.normalizedText(col("text")).as("norm")).distinct()
+    val exactDup = bandedAdm.join(batch, Seq("doc_id"))
+      .select(TextAnalysis.normalizedText(col("text")).as("norm"))
+      .join(corpusNorm, Seq("norm"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("exact_dup_admitted"))
+    val hygiene = bandedAdm.agg(
+      (count(lit(1)) - countDistinct(col("doc_id"))).cast("long").as("dup_admits"))
+    nBatch.crossJoin(missing).crossJoin(exactDup).crossJoin(hygiene)
+  }
+
   /** All-pairs embedding cosine ≥ threshold — a broadcast numeric kernel.
     *
     * A declarative nested-loop pair join spends ~7µs/pair materializing the
@@ -1193,6 +1262,11 @@ object Dedup {
       embeddingCosinePairsLsh(plantEmbeddingNearDups(emb(s, dir)).localCheckpoint(),
         threshold = 0.9, dim = graft.Tables.EmbeddingDim)),
 
+    // the hyperplane-LSH semantic gate — planted-pair recovery floor +
+    // verification/banding hygiene vs a DuckDB-derived plant count
+    "dedup_embedding_lsh_check" -> ((s, dir) =>
+      embeddingLshInvariants(emb(s, dir))),
+
     // incremental ingest dedup: hash-split 80/20 into corpus/new-batch
     // (Sampling.hashBucket — the same split the oracle reproduces), admit
     // only batch docs with no exact or near (jac ≥ 0.8) corpus duplicate
@@ -1227,7 +1301,13 @@ object Dedup {
         corpus = d.filter(bucket < 80),
         batch = d.filter(bucket >= 80),
         threshold = 0.8)
-    })
+    }),
+
+    // the banded-tier semantic gate — admitted ⊇ exact-admitted, exact
+    // duplicates never admitted, no duplicate admits, vs a DuckDB-derived
+    // batch size on the same 80/20 split
+    "dedup_incremental_banded_check" -> ((s, dir) =>
+      incrementalBandedInvariants(docs(s, dir)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1255,6 +1335,15 @@ object Dedup {
         |  CAST(0 AS BIGINT) AS missing_exact_pairs,
         |  CAST(0 AS BIGINT) AS dup_pairs
         |FROM e""".stripMargin,
+    // plant count derived independently (every 50th vector gets a copy);
+    // recovery/hygiene counters are constants BY DESIGN (see
+    // embeddingLshInvariants)
+    "dedup_embedding_lsh_check" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+        |  CAST(0 AS BIGINT) AS missing_planted_pairs,
+        |  CAST(0 AS BIGINT) AS below_threshold_pairs,
+        |  CAST(0 AS BIGINT) AS dup_pairs
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "dedup_exact_groups" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text HAVING COUNT(*) > 1""".stripMargin,
@@ -1294,6 +1383,16 @@ object Dedup {
         |WHERE NOT EXISTS (SELECT 1 FROM c
         |  WHERE MD5(LOWER(regexp_replace(trim(c.text), '\s+', ' ', 'g'))) =
         |        MD5(LOWER(regexp_replace(trim(b.text), '\s+', ' ', 'g'))))""".stripMargin,
+    // batch-size conservation derived independently (the same md5 split
+    // expression as the dedup_incremental oracle); the admission-contract
+    // counters are constants BY DESIGN (see incrementalBandedInvariants)
+    "dedup_incremental_banded_check" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+        |  CAST(0 AS BIGINT) AS exact_admits_rejected,
+        |  CAST(0 AS BIGINT) AS exact_dup_admitted,
+        |  CAST(0 AS BIGINT) AS dup_admits
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 >= 80""".stripMargin,
     "dedup_incremental" ->
       """WITH b AS (SELECT doc_id, text FROM documents
         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 >= 80),

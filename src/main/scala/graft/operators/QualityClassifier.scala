@@ -72,12 +72,60 @@ object QualityClassifier {
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "documents")
 
+  /** Trained-classifier semantic gate (the `_check` pattern): L-BFGS
+    * weights are not SQL-expressible, but the train→score CONTRACT is —
+    * one score row per non-null-text document (`n_docs_scored` is the
+    * DuckDB-derived conservation column), probabilities inside [0, 1],
+    * prediction consistent with the probability (violation only outside a
+    * (0.499, 0.501) deadband, so the 4-decimal rounding of `p_ref` can
+    * never false-fail a genuinely boundary document), and the spec-pinned
+    * held-out accuracy floor on the battery's text-derived register —
+    * 0.85, one regression step below the ≥ 0.9 CorpusOpsSpec pin (the
+    * register is linearly separable in hashed-TF space, so a correct
+    * train→score path lands near 1.0; only a broken one approaches the
+    * floor). All counters pinned at zero.
+    */
+  def trainScoreInvariants(d: DataFrame, refLabel: Column,
+                           accFloor: Double = 0.85): DataFrame = {
+    val scored = trainScore(d, refLabel).localCheckpoint()
+    val acc = heldOutAccuracy(scored)
+    scored.agg(
+      count(lit(1)).cast("long").as("n_docs_scored"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).cast("long").as("dup_docs"),
+      coalesce(sum(when(col("p_ref") < 0.0 || col("p_ref") > 1.0, 1L)
+        .otherwise(0L)), lit(0L)).cast("long").as("prob_bounds_violations"),
+      coalesce(sum(when(
+        (col("prediction") === 1L && col("p_ref") < 0.499) ||
+          (col("prediction") === 0L && col("p_ref") > 0.501), 1L)
+        .otherwise(0L)), lit(0L)).cast("long").as("pred_prob_mismatches"))
+      .select(col("*"),
+        when(lit(acc) < accFloor, 1L).otherwise(0L)
+          .as("accuracy_floor_violation"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // trained curation filter scoring every document (rows-only: iterative
-    // L-BFGS training is not SQL-expressible; held-out accuracy spec-pinned)
+    // L-BFGS training is not SQL-expressible; held-out accuracy spec-pinned
+    // and oracle-gated by curate_quality_clf_check)
     "curate_quality_clf" -> ((s, dir) =>
-      trainScore(docs(s, dir), col("text").contains("customer")))
+      trainScore(docs(s, dir), col("text").contains("customer"))),
+
+    // the trained-classifier semantic gate — score-row conservation,
+    // probability bounds, prediction↔probability consistency, and the
+    // held-out accuracy floor, vs a DuckDB-derived document count
+    "curate_quality_clf_check" -> ((s, dir) =>
+      trainScoreInvariants(docs(s, dir), col("text").contains("customer")))
   )
 
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = Map(
+    // document-count conservation derived independently; the contract
+    // counters are constants BY DESIGN (see trainScoreInvariants)
+    "curate_quality_clf_check" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_scored,
+        |  CAST(0 AS BIGINT) AS dup_docs,
+        |  CAST(0 AS BIGINT) AS prob_bounds_violations,
+        |  CAST(0 AS BIGINT) AS pred_prob_mismatches,
+        |  CAST(0 AS BIGINT) AS accuracy_floor_violation
+        |FROM documents WHERE text IS NOT NULL""".stripMargin
+  )
 }

@@ -24,6 +24,67 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables(s, dir, name)
 
+  /** Sketch-accuracy semantic gate (the `_check` pattern) for the three
+    * rows-only sketch entries: sketch INTERNALS are engine-private, but
+    * each sketch's published accuracy CONTRACT is checkable against the
+    * exact aggregate the battery already oracle-gates —
+    *
+    *  - `a10b` (HyperLogLog++ `approx_count_distinct`, default rsd 0.05):
+    *    per-group relative error ≤ 0.15 (3× the one-sigma rsd);
+    *  - `a11b` (Greenwald-Khanna `approx_percentile`, accuracy 10000 ⇒
+    *    rank error ≤ n/10000): each approximate value must lie inside the
+    *    EXACT percentile band [f−ε, f+ε] with ε = 0.005 — 50× the sketch's
+    *    rank guarantee, and wide enough (≥1 rank for groups ≥ 200 rows)
+    *    that interpolation at the band edges can't false-fail a data value
+    *    sitting exactly on the target rank;
+    *  - `a16` (Datasketches HLL, lgConfigK 12 ⇒ rsd ≈ 0.016): per-type
+    *    estimates AND the register-wise union row within 5% of the exact
+    *    distinct counts — the union bound is the one that catches a broken
+    *    merge, the whole point of a mergeable sketch.
+    *
+    * All three sketches are deterministic for a fixed input (fixed hash
+    * seeds), so the counters are stable run to run; DuckDB independently
+    * derives the two group-count conservation columns and pins every
+    * violation counter at zero. Verification-scale by design: the gate
+    * recomputes the exact aggregates next to the sketches.
+    */
+  def sketchAccuracyInvariants(li: DataFrame, ev: DataFrame): DataFrame = {
+    val acd = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("ex"),
+        approx_count_distinct(col("l_partkey")).as("ap"))
+      .agg(count(lit(1)).cast("long").as("n_flag_groups"),
+        coalesce(sum(when(abs(col("ap") - col("ex")).cast("double") >
+          lit(0.15) * col("ex").cast("double"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("acd_violations"))
+    val fracs = Seq(0.25, 0.5, 0.75)
+    val eps = 0.005
+    val bandFracs = (fracs.map(_ - eps) ++ fracs.map(_ + eps)).mkString(", ")
+    val pct = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+          .as("ap"),
+        expr(s"percentile(l_extendedprice, array($bandFracs))").as("bd"))
+      .select(fracs.indices.map { i =>
+        (element_at(col("ap"), i + 1) < element_at(col("bd"), i + 1) ||
+          element_at(col("ap"), i + 1) > element_at(col("bd"), i + 4))
+          .cast("long").as(s"v$i")
+      }: _*)
+      .agg(coalesce(sum(col("v0") + col("v1") + col("v2")), lit(0L))
+        .cast("long").as("pct_violations"))
+    val sk = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("ex"),
+        hll_sketch_agg(col("user_id")).as("sk"))
+    val perType = sk.agg(count(lit(1)).cast("long").as("n_type_groups"),
+      coalesce(sum(when(abs(hll_sketch_estimate(col("sk")) - col("ex")).cast("double") >
+        lit(0.05) * col("ex").cast("double"), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("hll_violations"))
+    val union = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("u"))
+      .crossJoin(ev.agg(countDistinct(col("user_id")).as("gx")))
+      .select(when(abs(col("u") - col("gx")).cast("double") >
+        lit(0.05) * col("gx").cast("double"), 1L).otherwise(0L)
+        .cast("long").as("hll_union_violation"))
+    acd.crossJoin(pct).crossJoin(perType).crossJoin(union)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // P1: projection + rename — column pruning reaches the scan (ReadSchema).
@@ -449,6 +510,12 @@ object Relational {
         .agg(approx_count_distinct(col("l_partkey")).as("n_parts_approx"))
     }),
 
+    // the sketch-accuracy semantic gate for a10b/a11b/a16 — each sketch's
+    // published error contract checked against the exact aggregate,
+    // violation counters DuckDB pins at zero
+    "sketch_accuracy_check" -> ((s, dir) =>
+      sketchAccuracyInvariants(t(s, dir, "lineitem"), t(s, dir, "events"))),
+
     // MERGEABLE distinct-count sketches (Datasketches HLL): per-type user
     // sketches plus a global row that UNIONS the per-type sketches instead
     // of re-scanning — the re-aggregatable rollup architecture a 100 TB
@@ -623,6 +690,19 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    // group-count conservation derived independently; the accuracy-contract
+    // violation counters are constants BY DESIGN (see
+    // sketchAccuracyInvariants)
+    "sketch_accuracy_check" ->
+      """SELECT
+        |  CAST((SELECT COUNT(DISTINCT l_returnflag) FROM lineitem) AS BIGINT)
+        |    AS n_flag_groups,
+        |  CAST(0 AS BIGINT) AS acd_violations,
+        |  CAST(0 AS BIGINT) AS pct_violations,
+        |  CAST((SELECT COUNT(DISTINCT event_type) FROM events) AS BIGINT)
+        |    AS n_type_groups,
+        |  CAST(0 AS BIGINT) AS hll_violations,
+        |  CAST(0 AS BIGINT) AS hll_union_violation""".stripMargin,
     "p1_project_rename" ->
       "SELECT c_custkey AS id, UPPER(c_name) AS name_uc, c_acctbal AS acctbal FROM customer",
     "p3_filter_pushdown" ->

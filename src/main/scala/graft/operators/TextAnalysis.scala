@@ -184,6 +184,39 @@ object TextAnalysis {
       .select(explode(col("topk")).as("e"))
       .select(col("e.item").as("term"), col("e.count").as("n"))
 
+  /** Heavy-hitter-sketch semantic gate (the `_check` pattern): the sketch's
+    * merge order is engine-internal, but its heavy-hitter CONTRACT is
+    * checkable — any term in the exact top-m (m = 5 « k = 20) has at most
+    * m−1 terms with a strictly greater count, so a correct frequent-items
+    * sketch must surface it in its top-k (it could only be displaced by
+    * ≥ k−m+1 exact ties at its own count — not present in this corpus, and
+    * the gate would fail loudly, not silently, if a data change introduced
+    * them). Hygiene: no duplicate terms, and exactly min(k, |vocab|) rows.
+    * DuckDB independently derives the distinct-vocabulary conservation
+    * column with the same tokenizer expression `text_token_stats` proved
+    * engine-portable, and pins the violation counters at zero.
+    */
+  def tokenTopKInvariants(d: DataFrame, k: Int = 20, m: Int = 5,
+                          maxItemsTracked: Int = 100000): DataFrame = {
+    val exact = d.select(explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val apx = tokenTopKApprox(d, k, maxItemsTracked).localCheckpoint()
+    val nDistinct = exact.agg(count(lit(1)).cast("long").as("n_terms_distinct"))
+    val missing = exact.orderBy(col("n").desc, col("term").asc).limit(m)
+      .join(apx.select(col("term")), Seq("term"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("missing_top_m"))
+    val hygiene = apx.agg(
+      (count(lit(1)) - countDistinct(col("term"))).cast("long").as("dup_terms"),
+      count(lit(1)).cast("long").as("k_rows"))
+    nDistinct.crossJoin(missing).crossJoin(hygiene)
+      .select(col("n_terms_distinct"), col("missing_top_m"), col("dup_terms"),
+        when(col("k_rows") =!=
+          least(lit(k.toLong), col("n_terms_distinct")), 1L)
+          .otherwise(0L).as("row_count_violation"))
+  }
+
   /** Top-k adjacent-token-pair frequencies — one round of BPE-style vocab
     * induction run corpus-wide: the pair a tokenizer trainer would merge
     * next, with its count. Iterating this (merge, re-tokenize, recount) is
@@ -389,6 +422,12 @@ object TextAnalysis {
     "text_token_topk" -> ((s, dir) => tokenTopK(docs(s, dir), k = 20)),
     "text_token_topk_approx" -> ((s, dir) => tokenTopKApprox(docs(s, dir), k = 20)),
 
+    // the heavy-hitter-sketch semantic gate — exact top-5 recall, result
+    // hygiene, and row-count conservation vs a DuckDB-derived vocabulary
+    // size
+    "text_token_topk_check" -> ((s, dir) =>
+      tokenTopKInvariants(docs(s, dir), k = 20)),
+
     // intra-document repetition (Gopher-style repetitious-text signals)
     // with the curation keep/drop decision at a 0.6 dup-token threshold
     "text_repetition" -> ((s, dir) =>
@@ -428,6 +467,19 @@ object TextAnalysis {
     }.toMap
 
   def oracles: Map[String, String] = Map(
+    // vocabulary-size conservation derived independently (the same
+    // tokenizer expression as text_token_stats; unnest of a NULL list is
+    // zero rows in both engines); recall/hygiene counters are constants BY
+    // DESIGN (see tokenTopKInvariants)
+    "text_token_topk_check" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents)
+        |SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms_distinct,
+        |  CAST(0 AS BIGINT) AS missing_top_m,
+        |  CAST(0 AS BIGINT) AS dup_terms,
+        |  CAST(0 AS BIGINT) AS row_count_violation
+        |FROM t WHERE term <> ''""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
