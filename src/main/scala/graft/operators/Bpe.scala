@@ -235,6 +235,61 @@ object Bpe {
           .as("bounds_violations"))
   }
 
+  /** Merge-table semantic gate (the `_check` pattern) for the training
+    * side: the learned merges are corpus-statistics-dependent, but the
+    * table's WELLFORMEDNESS is checkable in derivation order —
+    *
+    *  - `rank_violations`: persisted ranks must be contiguous 0..n−1 (a
+    *    hole or duplicate reorders the apply-side merge loop);
+    *  - `malformed_merge_violations`: every merge operand must be a base
+    *    symbol (one character, word-final ones carrying the [[EndOfWord]]
+    *    sentinel) or the product of an EARLIER merge — the closure a
+    *    corrupted or truncated table breaks;
+    *  - `foreign_char_violations`: symbols contain only characters that
+    *    occur in the corpus' tokenized words;
+    *  - `merge_count_violation`: at most the requested number of merges.
+    *
+    * DuckDB independently derives the corpus character-alphabet size as
+    * the conservation column (regexp per-character unnest over the same
+    * tokenizer expression) and pins the counters at zero. The table is
+    * vocabulary-sized (KBs), so the closure walk is a driver-side check
+    * over a broadcastable artifact, not a corpus pass.
+    */
+  def trainInvariants(d: DataFrame, tableDir: String,
+                      numMerges: Int = 40): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val table = s.read.parquet(tableDir)
+      .select(col("rank").cast("long"), col("left"), col("right"))
+      .orderBy(col("rank")).collect()
+    val rankViolations = table.map(_.getLong(0)).zipWithIndex
+      .count { case (r, i) => r != i.toLong }.toLong
+    val countViolation = if (table.length > numMerges) 1L else 0L
+    val corpusChars = d.filter(col("text").isNotNull)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .filter(col("word") =!= "")
+      .select(explode(split(col("word"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .distinct().collect().map(_.getString(0)).toSet
+    def core(sym: String): String =
+      if (sym.endsWith(EndOfWord)) sym.dropRight(EndOfWord.length) else sym
+    var produced = Set.empty[String]
+    var malformed = 0L
+    var foreign = 0L
+    table.foreach { r =>
+      val (a, b) = (r.getString(1), r.getString(2))
+      Seq(a, b).foreach { sym =>
+        if (!(produced.contains(sym) || core(sym).length == 1)) malformed += 1
+        if (!core(sym).forall(c => corpusChars.contains(c.toString))) foreign += 1
+      }
+      produced += (a + b)
+    }
+    Seq((corpusChars.size.toLong, malformed, foreign, rankViolations,
+      countViolation))
+      .toDF("n_corpus_chars", "malformed_merge_violations",
+        "foreign_char_violations", "rank_violations", "merge_count_violation")
+  }
+
   /** Budget-selection semantic gate (the `_check` pattern): BPE subword
     * counts are not SQL-expressible, but the greedy selector's CONTRACT
     * is — the admitted set must be exactly the maximal prefix of the
@@ -352,6 +407,13 @@ object Bpe {
     // counters vs a DuckDB-derived scored-document count
     "budget_select_bpe_check" -> ((s, dir) =>
       budgetSelectInvariants(graft.Tables(s, dir, "documents"),
+        ensureTable(s, dir))),
+
+    // the merge-table semantic gate — rank contiguity, derivation-order
+    // closure, and alphabet containment of the frozen persisted table, vs
+    // a DuckDB-derived corpus character-alphabet size
+    "text_bpe_train_check" -> ((s, dir) =>
+      trainInvariants(graft.Tables(s, dir, "documents"),
         ensureTable(s, dir))))
 
   def oracles: Map[String, String] = Map(
@@ -376,5 +438,20 @@ object Bpe {
         |  CAST(0 AS BIGINT) AS dup_selected,
         |  CAST(0 AS BIGINT) AS prefix_violation,
         |  CAST(0 AS BIGINT) AS maximality_violation
-        |FROM documents WHERE text IS NOT NULL""".stripMargin)
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    // corpus character-alphabet conservation derived independently (same
+    // tokenizer expression, per-character regexp unnest); the table
+    // wellformedness counters are constants BY DESIGN (see trainInvariants)
+    "text_bpe_train_check" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT unnest(regexp_extract_all(word, '.')) AS ch
+        |  FROM w WHERE word <> '')
+        |SELECT CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_corpus_chars,
+        |  CAST(0 AS BIGINT) AS malformed_merge_violations,
+        |  CAST(0 AS BIGINT) AS foreign_char_violations,
+        |  CAST(0 AS BIGINT) AS rank_violations,
+        |  CAST(0 AS BIGINT) AS merge_count_violation
+        |FROM c""".stripMargin)
 }
