@@ -97,4 +97,29 @@ class BpeSpec extends AnyFunSuite {
       .filter(col("n_subwords") < col("n_words")).count()
     assert(viol === 0L)
   }
+
+  test("trainInvariants fires on a corrupted merge table (gate non-vacuity)") {
+    // the battery pins every counter at zero over the real frozen table;
+    // this is the other direction — each wellformedness counter must FIRE
+    // on the corruption it guards against, or the gate is an echo
+    val d = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe-gate").toString
+    // rank hole (0 then 2), an under-derived operand ("xy" never produced),
+    // and alphabet escapees (x, y, z are not corpus characters)
+    Seq((0L, "a", "b</w>"), (2L, "xy", "z"))
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    val row = Bpe.trainInvariants(d, s"$dir/merges").head()
+    assert(row.getAs[Long]("n_corpus_chars") === 2L)       // {a, b}
+    assert(row.getAs[Long]("rank_violations") === 1L)      // 2 where 1 expected
+    assert(row.getAs[Long]("malformed_merge_violations") === 1L) // "xy"
+    assert(row.getAs[Long]("foreign_char_violations") === 2L)    // "xy", "z"
+    assert(row.getAs[Long]("merge_count_violation") === 0L)
+    // and the clean table from the same corpus keeps every counter at zero
+    Bpe.trainBpe(d, s"$dir/clean")
+    val ok = Bpe.trainInvariants(d, s"$dir/clean").head()
+    Seq("malformed_merge_violations", "foreign_char_violations",
+      "rank_violations", "merge_count_violation")
+      .foreach(c => assert(ok.getAs[Long](c) === 0L, c))
+  }
 }
