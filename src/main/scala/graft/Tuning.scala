@@ -16,6 +16,32 @@ object Tuning {
   def fanout(spark: SparkSession): Int =
     math.max(spark.sparkContext.defaultParallelism * 2, 8)
 
+  /** Run independent Spark actions concurrently and return their results
+    * in input order — the standard concurrent-actions pattern: the
+    * scheduler interleaves the subtrees' tasks across free executor slots,
+    * so wall time approaches the slowest subtree instead of the sum. Used
+    * by the verification gates whose invariant arms (e.g. four ANN tiers,
+    * two CC passes) are independent until the final assembly join: each
+    * thunk materializes one deterministic subtree (typically via
+    * `localCheckpoint()`), so results are submission-order-independent.
+    * On a real cluster the same submission shape fills otherwise-idle
+    * executors during each arm's narrow stages. Any thunk failure
+    * propagates (no silent partial gates); the pool never outlives the
+    * call.
+    */
+  def concurrently[T](thunks: Seq[() => T]): Seq[T] = {
+    if (thunks.lengthCompare(2) < 0) return thunks.map(_())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = thunks.map(t => scala.concurrent.Future(t()))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+  }
+
   /** Memory-aware fan-out for ARRAY-HEAVY rows (shingle-hash sets, exploded
     * band keys, embeddings): the cores-only count above keeps every core
     * busy but says nothing about per-partition bytes — at 2×cores a 1 TB

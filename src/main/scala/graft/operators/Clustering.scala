@@ -191,13 +191,19 @@ object Clustering {
     */
   def lshClusterInvariants(d: DataFrame, threshold: Double = 0.8): DataFrame = {
     val dd = d.select(col("doc_id"), col("text"))
-    val lshCC = connectedComponents(
-      Dedup.minhashLshPairs(dd, threshold).select(col("id_a"), col("id_b")))
-      .localCheckpoint()
-    val exactCC = connectedComponents(
-      Dedup.ngramJaccardPairsAdaptive(dd, threshold)
-        .select(col("id_a"), col("id_b")))
-      .localCheckpoint()
+    // The banded and exact pair kernels (each followed by its own CC loop)
+    // are independent until the refinement join — submit them as concurrent
+    // actions ([[graft.Tuning.concurrently]]) so the gate prices the
+    // slower kernel, not the sum of both.
+    val ccs = graft.Tuning.concurrently(Seq[() => DataFrame](
+      () => connectedComponents(
+        Dedup.minhashLshPairs(dd, threshold).select(col("id_a"), col("id_b")))
+        .localCheckpoint(),
+      () => connectedComponents(
+        Dedup.ngramJaccardPairsAdaptive(dd, threshold)
+          .select(col("id_a"), col("id_b")))
+        .localCheckpoint()))
+    val (lshCC, exactCC) = (ccs(0), ccs(1))
     val eligible = dd.filter(length(col("text")) >= 3)
     val textPairs = eligible.alias("x").join(eligible.alias("y"),
         col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))

@@ -748,10 +748,27 @@ object Similarity {
     */
   def annRecallInvariants(e: DataFrame, k: Int = 10): DataFrame = {
     val dim = graft.Tables.EmbeddingDim
-    val brutePairs = bruteForceTopK(e, k, dim = Some(dim))
-      .select(col("q_id"), col("neighbor_id")).localCheckpoint()
-    def tier(name: String, floor: Double, approx: DataFrame): DataFrame = {
-      val a = approx.select(col("q_id"), col("neighbor_id")).localCheckpoint()
+    // The five verification subtrees (exact baseline + four approximate
+    // tiers) are independent until the overlap join, so their eager
+    // checkpoints are submitted as concurrent actions
+    // ([[graft.Tuning.concurrently]]): sequential materialization priced
+    // this gate at the SUM of its kernels (~17 s at sf0.1); concurrent
+    // submission prices it near the slowest tier. Each subtree is
+    // deterministic (fixed hyperplanes, deterministic seeding), so the
+    // counters are unaffected by submission order.
+    val mats = graft.Tuning.concurrently(Seq[() => DataFrame](
+      () => bruteForceTopK(e, k, dim = Some(dim))
+        .select(col("q_id"), col("neighbor_id")).localCheckpoint(),
+      () => ivfTopKKMeans(e, k, cells = 10, nProbe = 3, iters = 3)
+        .select(col("q_id"), col("neighbor_id")).localCheckpoint(),
+      () => ivfQuantizedTopK(e, k, cells = 12, nProbe = 9, iters = 3)
+        .select(col("q_id"), col("neighbor_id")).localCheckpoint(),
+      () => lshTopK(e, k)
+        .select(col("q_id"), col("neighbor_id")).localCheckpoint(),
+      () => quantizedTopK(e, k)
+        .select(col("q_id"), col("neighbor_id")).localCheckpoint()))
+    val brutePairs = mats(0)
+    def tier(name: String, floor: Double, a: DataFrame): DataFrame = {
       val perQ = a.groupBy(col("q_id")).agg(count(lit(1)).as("n"),
         countDistinct(col("neighbor_id")).as("nd"))
       val sizes = perQ.agg(
@@ -772,11 +789,10 @@ object Similarity {
           lit(floor) * lit(k) * col("n_queries").cast("double"), 1L)
           .otherwise(0L).as("recall_floor_violation"))
     }
-    tier("ivf", 0.5, ivfTopKKMeans(e, k, cells = 10, nProbe = 3, iters = 3))
-      .unionByName(tier("ivf_quantized", 0.9,
-        ivfQuantizedTopK(e, k, cells = 12, nProbe = 9, iters = 3)))
-      .unionByName(tier("lsh", 0.5, lshTopK(e, k)))
-      .unionByName(tier("quantized", 0.9, quantizedTopK(e, k)))
+    tier("ivf", 0.5, mats(1))
+      .unionByName(tier("ivf_quantized", 0.9, mats(2)))
+      .unionByName(tier("lsh", 0.5, mats(3)))
+      .unionByName(tier("quantized", 0.9, mats(4)))
   }
 
   /** Persisted-IVF-lifecycle semantic gate (the `_check` pattern): the
