@@ -283,8 +283,14 @@ object Dedup {
     val bucket = Sampling.hashBucket(col("doc_id"))
     val corpus = d.filter(bucket < 80).localCheckpoint()
     val batch = d.filter(bucket >= 80).localCheckpoint()
-    val exactAdm = incrementalDedup(corpus, batch, threshold).localCheckpoint()
-    val bandedAdm = incrementalDedupBanded(corpus, batch, threshold).localCheckpoint()
+    // The exact and banded admission kernels are independent until the
+    // anti-join comparison — materialize both as concurrent actions
+    // ([[graft.Tuning.concurrently]]) so the gate prices the slower
+    // kernel, not the sum (both read the same checkpointed corpus/batch).
+    val adms = graft.Tuning.concurrently(Seq[() => DataFrame](
+      () => incrementalDedup(corpus, batch, threshold).localCheckpoint(),
+      () => incrementalDedupBanded(corpus, batch, threshold).localCheckpoint()))
+    val (exactAdm, bandedAdm) = (adms(0), adms(1))
     val nBatch = batch.agg(count(lit(1)).cast("long").as("n_batch"))
     val missing = exactAdm.join(bandedAdm, Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).cast("long").as("exact_admits_rejected"))

@@ -163,7 +163,11 @@ object SemDedup {
     // checkpoint: the survivor pass scans its input for centroids,
     // assignment, AND the final anti-join — one materialization, not three
     val input = base.unionByName(twins).localCheckpoint()
-    val surv = semDedupSurvivors(input, tau)
+    // checkpoint the survivor set too: two invariant branches (hygiene
+    // anti-join, twin filter) reference it, and without a materialization
+    // the whole k-means + within-cell pair pass would execute once per
+    // branch in the final assembly plan
+    val surv = semDedupSurvivors(input, tau).localCheckpoint()
     val nTwins = base.agg(count(lit(1)).cast("long").as("n_twins"))
     val notIn = surv.join(input.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .agg(count(lit(1)).cast("long").as("survivors_not_in_input"))

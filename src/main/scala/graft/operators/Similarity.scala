@@ -828,10 +828,17 @@ object Similarity {
     val segRows = s.read.parquet(s"$indexDir/segments").count() +
       s.read.parquet(s"$indexDir/delta").count()
     val nVec = e.count()
-    val out = searchIvfIndexWithDelta(e, indexDir, k = k, nProbe = 9)
-      .select(col("q_id"), col("neighbor_id")).localCheckpoint()
-    val brute = bruteForceTopK(e, k, dim = Some(dim))
-      .select(col("q_id"), col("neighbor_id"))
+    // The base+delta search and the exact baseline are independent until
+    // the overlap join — materialize both as concurrent actions
+    // ([[graft.Tuning.concurrently]]) so the gate prices the slower of the
+    // two, not their sum (the segment/corpus counts above are
+    // footer-count-only and stay sequential).
+    val mats = graft.Tuning.concurrently(Seq[() => DataFrame](
+      () => searchIvfIndexWithDelta(e, indexDir, k = k, nProbe = 9)
+        .select(col("q_id"), col("neighbor_id")).localCheckpoint(),
+      () => bruteForceTopK(e, k, dim = Some(dim))
+        .select(col("q_id"), col("neighbor_id")).localCheckpoint()))
+    val (out, brute) = (mats(0), mats(1))
     val sizes = out.groupBy(col("q_id"))
       .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd"))
       .agg(count(lit(1)).cast("long").as("n_queries"),

@@ -653,6 +653,118 @@ class StreamingSpec extends AnyFunSuite {
       !f("segments/_FOLDED_DELTAS").exists)
   }
 
+  test("streaming funnel survives a checkpoint restart without double-emitting") {
+    // The flatMapGroupsWithState funnel keeps (entered, emitted, pending)
+    // per user; a restarted query must recover that state from the
+    // checkpoint — the recovered `emitted` counter is what prevents stages
+    // emitted before the stop from re-emitting, and the recovered `entered`
+    // list is what lets a post-restart stage-3 event extend the funnel.
+    // Durable parquet sink: rows accumulate across both query incarnations
+    // exactly once, so the final file IS the cross-restart emission record.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ckpt = java.nio.file.Files.createTempDirectory("funnel-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("funnel-out").toString
+    val input = MemoryStream[EventStreams.Event]
+    val fun = EventStreams.funnelStream(
+      input.toDF().withColumn("ts", col("ts") * 1000),
+      Seq("view", "click", "purchase"),
+      tolerance = 120L * 60 * 1000 * 1000 * 1000, // 120 min in ns
+      watermark = "60 minutes")
+
+    // FIRST incarnation: view@50 + click@100 mature (wm driver at 170 →
+    // wm 110) and emit stages 1 and 2 for user 1. The wm driver is kept
+    // CLOSE so the run-2 purchase@150 is still inside the recovered
+    // watermark — flatMapGroupsWithState with EventTimeTimeout drops
+    // late input rows, so a post-restart event behind the watermark would
+    // test the late-data contract, not state recovery.
+    val q1 = fun.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .format("parquet").start()
+    try {
+      input.addData(ev(1, 50, 1, "view"), ev(2, 100, 1, "click"))
+      q1.processAllAvailable()
+      input.addData(ev(8, 170, 99, "view")) // watermark driver, stays pending
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterRun1 = spark.read.parquet(outDir)
+      .filter(col("user_id") === 1L).collect()
+      .map(r => r.getAs[Int]("stage_idx")).sorted.toSeq
+    assert(afterRun1 === Seq(1, 2), s"run 1 emitted $afterRun1")
+
+    // SECOND incarnation from the same checkpoint: purchase@150 (> wm 110,
+    // not late) is inside the tolerance window of the RECOVERED click@100
+    // entry; a wm driver at 300 (wm 240) matures it and user 99's pending
+    // view@170
+    val q2 = fun.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .format("parquet").start()
+    try {
+      input.addData(ev(3, 150, 1, "purchase"))
+      q2.processAllAvailable()
+      input.addData(ev(9, 300, 98, "view"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val minNs = 60L * 1000 * 1000 * 1000
+    val all = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage_idx"),
+        r.getAs[Long]("t_in")))
+    val user1 = all.filter(_._1 == 1L).map(x => x._2 -> x._3).sorted.toSeq
+    assert(user1 === Seq(1 -> 50 * minNs, 2 -> 100 * minNs, 3 -> 150 * minNs),
+      s"cross-restart emissions for user 1: $user1")
+    // exactly once: stages 1-2 were NOT re-emitted by the restarted query
+    assert(all.count(_._1 == 1L) === 3)
+    assert(all.filter(_._1 == 99L).map(_._2).toSeq === Seq(1),
+      "pending pre-restart event lost or duplicated across the restart")
+  }
+
+  test("streaming as-of attribution recovers purchase history across a restart") {
+    // asOfAttributionStream retains the last matured purchase per user so
+    // later clicks still attribute; that retained timestamp lives in the
+    // group state and must survive a checkpoint restart — a click fed only
+    // AFTER the restart can attribute correctly iff the purchase history
+    // was recovered rather than rebuilt from the (empty) post-restart input.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ckpt = java.nio.file.Files.createTempDirectory("asof-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("asof-out").toString
+    val input = MemoryStream[EventStreams.Event]
+    val attributed = EventStreams.asOfAttributionStream(
+      input.toDF().withColumn("ts", col("ts") * 1000), watermark = "60 minutes")
+
+    val q1 = attributed.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .format("parquet").start()
+    try {
+      input.addData(ev(1, 50, 1, "purchase"), ev(2, 100, 1, "click"))
+      q1.processAllAvailable()
+      input.addData(ev(8, 1000, 99, "view")) // wm 940 → click@100 matures
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val minNs = 60L * 1000 * 1000 * 1000
+    val run1 = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("purchase_ts")).toMap
+    assert(run1 === Map(2L -> 50 * minNs), s"run 1 attributions: $run1")
+
+    val q2 = attributed.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .format("parquet").start()
+    try {
+      input.addData(ev(3, 1500, 1, "click")) // only attributable via recovered state
+      q2.processAllAvailable()
+      input.addData(ev(9, 5000, 98, "view")) // wm 4940 → click@1500 matures
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val all = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("purchase_ts")).toMap
+    assert(all === Map(2L -> 50 * minNs, 3L -> 50 * minNs),
+      s"restart lost the retained purchase history: $all")
+  }
+
   test("bloom ingest durable state survives restart: dedup history, snapshot fast-path, batch replay") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("bloom-state").toString

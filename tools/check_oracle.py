@@ -36,14 +36,18 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def compare_one(con, name: str, sql: str, outdir: str) -> bool:
     """Compare one query's Spark dump against its DuckDB oracle; prints a
     status line (plus mismatch diagnostics) and returns True on match."""
+    # check for the Spark dump BEFORE evaluating the oracle: on a subset
+    # run (SPARK_GRAFT_ONLY) the expensive oracle SQL of every undumped
+    # entry would otherwise still execute — a full-battery sf0.1 oracle
+    # pass costs tens of minutes in DuckDB
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"{name}: NO SPARK OUTPUT")
+        return False
     try:
         expected = norm(con.execute(sql).df())
     except Exception as e:
         print(f"{name}: ORACLE ERROR {e}")
-        return False
-    files = glob.glob(f"{outdir}/{name}/*.parquet")
-    if not files:
-        print(f"{name}: NO SPARK OUTPUT")
         return False
     got = norm(pd.concat([pd.read_parquet(p) for p in files]))
     if list(got.columns) != list(expected.columns):
