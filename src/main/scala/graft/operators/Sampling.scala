@@ -220,8 +220,13 @@ object Sampling {
     * KL divergence — positive whenever the registers actually differ).
     */
   def dsirInvariants(d: DataFrame, isTarget: Column, k: Int): DataFrame = {
-    val scored = dsirScores(d, isTarget)
-    val sel = dsirSelect(scored, k)
+    // checkpoint the scored frame: four invariant branches (counts, the
+    // selection, the raw-register semi-join, the unselected anti-join)
+    // reference it, and each reference would otherwise re-run the whole
+    // tokenize + bigram-hash + score pass over the corpus in the final
+    // assembly plan; `sel` (k rows) is likewise reused by three branches
+    val scored = dsirScores(d, isTarget).localCheckpoint()
+    val sel = dsirSelect(scored, k).localCheckpoint()
     val counts = scored.agg(
         sum(when(col("is_tgt"), 1L).otherwise(0L)).as("n_tgt"),
         sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("n_raw"),

@@ -179,6 +179,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Tuning.concurrently: input order, failure propagation, degenerate sizes") {
+    // load-bearing for five oracled gates (concurrent invariant arms):
+    // results must arrive in INPUT order regardless of completion order,
+    // a failing thunk must propagate (no silent partial gate), and the
+    // 0/1-thunk paths must run without spinning up a pool
+    val slowFirst = graft.Tuning.concurrently(Seq[() => Int](
+      () => { Thread.sleep(150); 1 },
+      () => 2,
+      () => { Thread.sleep(50); 3 }))
+    assert(slowFirst === Seq(1, 2, 3))
+    // Await.result rethrows the failed arm's exception directly
+    val ex = intercept[IllegalStateException] {
+      graft.Tuning.concurrently(Seq[() => Int](
+        () => 1, () => throw new IllegalStateException("arm failed")))
+    }
+    assert(ex.getMessage === "arm failed")
+    assert(graft.Tuning.concurrently(Seq.empty[() => Int]) === Seq.empty)
+    assert(graft.Tuning.concurrently(Seq[() => Int](() => 7)) === Seq(7))
+  }
+
   test("repetition ratios stay in [0,1] and exact duplication maximizes them") {
     val texts = Seq.fill(100)(
       Seq.fill(1 + rnd.nextInt(30))(
