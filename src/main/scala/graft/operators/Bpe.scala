@@ -308,7 +308,13 @@ object Bpe {
     * pins every violation counter at zero.
     */
   def budgetSelectInvariants(d: DataFrame, tableDir: String,
-                             budget: Long = 20000L): DataFrame = {
+                             budget: Long = 20000L,
+                             checkBudget: Long = -1L): DataFrame = {
+    // `checkBudget` defaults to `budget` (selection and contract share the
+    // bar); setting it below the selection's simulates a selector that
+    // honored the wrong budget — the non-vacuity spec uses it to prove
+    // `budget_violation` is computed, not a constant
+    val ckB = if (checkBudget < 0L) budget else checkBudget
     val scored = d
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
       .join(encodeWithTable(d, tableDir)
@@ -333,12 +339,12 @@ object Bpe {
     nScored.crossJoin(selStats).crossJoin(unselStats)
       .join(firstUnsel, lit(true), "left")
       .select(col("n_docs_scored"),
-        when(col("sel_tokens") > budget, 1L).otherwise(0L).as("budget_violation"),
+        when(col("sel_tokens") > ckB, 1L).otherwise(0L).as("budget_violation"),
         col("dup_selected"),
         when(col("n_unsel") > 0 && col("max_sel_pos") > col("min_unsel_pos"), 1L)
           .otherwise(0L).as("prefix_violation"),
         when(col("first_unsel_tokens").isNotNull &&
-          col("sel_tokens") + col("first_unsel_tokens") <= budget, 1L)
+          col("sel_tokens") + col("first_unsel_tokens") <= ckB, 1L)
           .otherwise(0L).as("maximality_violation"))
   }
 

@@ -161,8 +161,9 @@ object Clustering {
     * a lost dangling redistribution alone shifts mass by ~(1−d)·|dangling|/n),
     * and every rank ≥ (1−d)/n > 0 (`nonpositive_ranks`).
     */
-  def pageRankInvariants(edges: DataFrame, iters: Int = 3): DataFrame =
-    pageRank(edges, iters).agg(
+  def pageRankInvariants(edges: DataFrame, iters: Int = 3,
+                         damping: Double = 0.85): DataFrame =
+    pageRank(edges, iters, damping).agg(
       count(lit(1)).cast("long").as("n_ranks"),
       when(abs(sum(col("pr")) - lit(1.0)) > 1e-6, 1L).otherwise(0L)
         .as("mass_violation"),

@@ -279,7 +279,14 @@ object Dedup {
     * the same md5 split expression the `dedup_incremental` oracle already
     * proved engine-portable.
     */
-  def incrementalBandedInvariants(d: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def incrementalBandedInvariants(d: DataFrame, threshold: Double = 0.8,
+                                  bandedThreshold: Double = Double.NaN): DataFrame = {
+    // `bandedThreshold` defaults to `threshold` (the battery gate runs both
+    // tiers at the same similarity bar); setting it tighter than the exact
+    // tier's simulates a banded tier that over-rejects — the non-vacuity
+    // spec uses it to prove `exact_admits_rejected` is computed, not a
+    // constant
+    val bandedT = if (bandedThreshold.isNaN) threshold else bandedThreshold
     val bucket = Sampling.hashBucket(col("doc_id"))
     val corpus = d.filter(bucket < 80).localCheckpoint()
     val batch = d.filter(bucket >= 80).localCheckpoint()
@@ -289,7 +296,7 @@ object Dedup {
     // kernel, not the sum (both read the same checkpointed corpus/batch).
     val adms = graft.Tuning.concurrently(Seq[() => DataFrame](
       () => incrementalDedup(corpus, batch, threshold).localCheckpoint(),
-      () => incrementalDedupBanded(corpus, batch, threshold).localCheckpoint()))
+      () => incrementalDedupBanded(corpus, batch, bandedT).localCheckpoint()))
     val (exactAdm, bandedAdm) = (adms(0), adms(1))
     val nBatch = batch.agg(count(lit(1)).cast("long").as("n_batch"))
     val missing = exactAdm.join(bandedAdm, Seq("doc_id"), "left_anti")

@@ -213,7 +213,13 @@ object Packing {
     */
   def binPackFFDInvariants(d: DataFrame, budget: Int,
                            groupCol: String = "lang",
-                           maxSubGroupTokens: Long = 512L * 1024 * 1024): DataFrame = {
+                           maxSubGroupTokens: Long = 512L * 1024 * 1024,
+                           checkBudget: Int = -1): DataFrame = {
+    // `checkBudget` defaults to `budget` (packing and contract share the
+    // bar); setting it below the packer's simulates a packer that honored
+    // the wrong budget — the non-vacuity spec uses it to prove
+    // `overfull_bins` is computed, not a constant
+    val ckB = if (checkBudget < 0) budget else checkBudget
     val packed = binPackFFD(d, budget, groupCol, maxSubGroupTokens)
     val perBin = packed.groupBy(col(groupCol), col("bin_id")).agg(
       sum(col("n_tokens")).as("fill_calc"),
@@ -225,7 +231,7 @@ object Packing {
       sum(col("bin_docs")).as("n_docs"),
       sum(col("fill_calc")).as("total_tokens"),
       // a bin over budget with >1 doc (singleton overflow bins are designed)
-      sum(when(col("fill_calc") > budget && col("bin_docs") > 1, 1L)
+      sum(when(col("fill_calc") > ckB && col("bin_docs") > 1, 1L)
         .otherwise(0L)).as("overfull_bins"),
       // every bin is named after exactly one of its own members
       sum(when(col("openers") =!= 1L, 1L).otherwise(0L)).as("openerless_bins"),

@@ -48,16 +48,22 @@ object Relational {
     * violation counter at zero. Verification-scale by design: the gate
     * recomputes the exact aggregates next to the sketches.
     */
-  def sketchAccuracyInvariants(li: DataFrame, ev: DataFrame): DataFrame = {
+  def sketchAccuracyInvariants(li: DataFrame, ev: DataFrame,
+                               acdRelErr: Double = 0.15,
+                               pctEps: Double = 0.005,
+                               hllRelErr: Double = 0.05): DataFrame = {
+    // the three error bands are the gate's published contract (defaults =
+    // the battery values); overridable so the non-vacuity spec can pass an
+    // unattainable band and prove each counter is computed, not a constant
     val acd = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("ex"),
         approx_count_distinct(col("l_partkey")).as("ap"))
       .agg(count(lit(1)).cast("long").as("n_flag_groups"),
         coalesce(sum(when(abs(col("ap") - col("ex")).cast("double") >
-          lit(0.15) * col("ex").cast("double"), 1L).otherwise(0L)), lit(0L))
+          lit(acdRelErr) * col("ex").cast("double"), 1L).otherwise(0L)), lit(0L))
           .cast("long").as("acd_violations"))
     val fracs = Seq(0.25, 0.5, 0.75)
-    val eps = 0.005
+    val eps = pctEps
     val bandFracs = (fracs.map(_ - eps) ++ fracs.map(_ + eps)).mkString(", ")
     val pct = li.groupBy(col("l_returnflag"))
       .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
@@ -75,12 +81,12 @@ object Relational {
         hll_sketch_agg(col("user_id")).as("sk"))
     val perType = sk.agg(count(lit(1)).cast("long").as("n_type_groups"),
       coalesce(sum(when(abs(hll_sketch_estimate(col("sk")) - col("ex")).cast("double") >
-        lit(0.05) * col("ex").cast("double"), 1L).otherwise(0L)), lit(0L))
+        lit(hllRelErr) * col("ex").cast("double"), 1L).otherwise(0L)), lit(0L))
         .cast("long").as("hll_violations"))
     val union = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("u"))
       .crossJoin(ev.agg(countDistinct(col("user_id")).as("gx")))
       .select(when(abs(col("u") - col("gx")).cast("double") >
-        lit(0.05) * col("gx").cast("double"), 1L).otherwise(0L)
+        lit(hllRelErr) * col("gx").cast("double"), 1L).otherwise(0L)
         .cast("long").as("hll_union_violation"))
     acd.crossJoin(pct).crossJoin(perType).crossJoin(union)
   }

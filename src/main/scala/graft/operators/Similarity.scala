@@ -746,7 +746,13 @@ object Similarity {
     * the gate floor sits one regression-step below the measured value at
     * gate scale rather than above it.
     */
-  def annRecallInvariants(e: DataFrame, k: Int = 10): DataFrame = {
+  def annRecallInvariants(e: DataFrame, k: Int = 10,
+                          floors: Map[String, Double] = Map(
+                            "ivf" -> 0.5, "ivf_quantized" -> 0.9,
+                            "lsh" -> 0.5, "quantized" -> 0.9)): DataFrame = {
+    // `floors` is the per-tier recall contract (defaults = the battery
+    // gate); overridable so the non-vacuity spec can set an unattainable
+    // floor and prove the violation counter is computed, not a constant
     val dim = graft.Tables.EmbeddingDim
     // The five verification subtrees (exact baseline + four approximate
     // tiers) are independent until the overlap join, so their eager
@@ -789,10 +795,10 @@ object Similarity {
           lit(floor) * lit(k) * col("n_queries").cast("double"), 1L)
           .otherwise(0L).as("recall_floor_violation"))
     }
-    tier("ivf", 0.5, mats(1))
-      .unionByName(tier("ivf_quantized", 0.9, mats(2)))
-      .unionByName(tier("lsh", 0.5, mats(3)))
-      .unionByName(tier("quantized", 0.9, mats(4)))
+    tier("ivf", floors("ivf"), mats(1))
+      .unionByName(tier("ivf_quantized", floors("ivf_quantized"), mats(2)))
+      .unionByName(tier("lsh", floors("lsh"), mats(3)))
+      .unionByName(tier("quantized", floors("quantized"), mats(4)))
   }
 
   /** Persisted-IVF-lifecycle semantic gate (the `_check` pattern): the

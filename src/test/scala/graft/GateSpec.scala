@@ -14,6 +14,16 @@ import graft.operators.{Dedup, Clustering, QualityClassifier, Similarity,
   * corrupted persisted artifact) and asserts the counter moves; where cheap,
   * the same test re-runs the clean path and asserts it stays at zero.
   * (BpeSpec carries the corrupted-merge-table twin for `text_bpe_train_check`.)
+  *
+  * Coverage: 16 of the 18 battery `_check` gates carry an induced-violation
+  * test here or in BpeSpec. The two exceptions are principled, not gaps:
+  * `text_bpe_encode_check`'s round-trip counter is structurally zero for any
+  * TABLE (BPE merging preserves concatenation, so only a code defect in
+  * `encodeWord` — not a corrupt artifact or parameter — can flip it; the
+  * artifact-corruption side is covered by the train gate's test), and
+  * `sample_dsir_check`'s top-k counter is bound to the selection by the
+  * shared `gumbelKeys` construction (CorpusOpsSpec pins the degenerate
+  * empty-register case and rerun determinism instead).
   */
 class GateSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -67,6 +77,170 @@ class GateSpec extends AnyFunSuite {
     assert(broken.getAs[Long]("dup_docs") === 0L)
     assert(broken.getAs[Long]("prob_bounds_violations") === 0L)
     assert(broken.getAs[Long]("pred_prob_mismatches") === 0L)
+  }
+
+  test("annRecallInvariants: recall_floor_violation fires under an unattainable floor") {
+    val e = Tables(spark, sf, "embeddings")
+    // recall is ≤ 1 by definition, so a floor above 1 must flip every
+    // tier's counter — while the hygiene counters stay at zero (the tiers
+    // themselves are untouched)
+    val rows = Similarity.annRecallInvariants(e,
+        floors = Map("ivf" -> 1.01, "ivf_quantized" -> 1.01,
+          "lsh" -> 1.01, "quantized" -> 1.01))
+      .collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("recall_floor_violation") === 1L,
+        s"tier ${r.getAs[String]("method")} did not fire")
+      assert(r.getAs[Long]("rows_not_k") === 0L)
+      assert(r.getAs[Long]("dup_pairs") === 0L)
+      assert(r.getAs[Long]("self_matches") === 0L)
+    }
+  }
+
+  test("minhashLshInvariants: missing_exact_pairs fires when banding admits nothing") {
+    // threshold > 1 rejects every verified candidate (exact dups score
+    // exactly 1.0), so the planted exact-text pair goes missing
+    val d = Seq((1L, "duplicate body text"), (2L, "duplicate body text"),
+      (3L, "something different")).toDF("doc_id", "text")
+    val broken = Dedup.minhashLshInvariants(d, threshold = 1.01).head()
+    assert(broken.getAs[Long]("n_exact_pairs") === 1L)
+    assert(broken.getAs[Long]("missing_exact_pairs") === 1L)
+    val clean = Dedup.minhashLshInvariants(d, threshold = 0.8).head()
+    assert(clean.getAs[Long]("missing_exact_pairs") === 0L)
+    assert(clean.getAs[Long]("dup_pairs") === 0L)
+  }
+
+  test("simhashInvariants: missing_exact_pairs fires when the radius admits nothing") {
+    // a negative Hamming radius admits no pair at all — not even the
+    // hamming-0 exact duplicates the recall floor counts
+    val d = Seq((1L, "duplicate body text"), (2L, "duplicate body text"),
+      (3L, "something different")).toDF("doc_id", "text")
+    val broken = Dedup.simhashInvariants(d, maxHamming = -1).head()
+    assert(broken.getAs[Long]("n_exact_pairs") === 1L)
+    assert(broken.getAs[Long]("missing_exact_pairs") === 1L)
+    val clean = Dedup.simhashInvariants(d, maxHamming = 3).head()
+    assert(clean.getAs[Long]("missing_exact_pairs") === 0L)
+  }
+
+  test("semDedupInvariants: twins_surviving fires when tau admits nothing") {
+    val e = Tables(spark, sf, "embeddings")
+    // an exact twin's cosine is exactly 1.0; tau > 1 keeps every twin
+    // alive, so the recall-floor counter must count all of them
+    val broken = graft.operators.SemDedup.semDedupInvariants(e, tau = 1.01).head()
+    val twins = broken.getAs[Long]("n_twins")
+    assert(twins > 0L)
+    assert(broken.getAs[Long]("twins_surviving") === twins)
+    assert(broken.getAs[Long]("survivors_not_in_input") === 0L)
+  }
+
+  test("pageRankInvariants: nonpositive_ranks fires at damping 1.0 with a source-only node") {
+    // node 3 has no in-edges; with damping 1.0 the teleport term (1-d)/n
+    // vanishes and its rank hits exactly 0 — strictly positive ranks are a
+    // property of d < 1, so d = 1.0 is the legitimate parameter that
+    // proves the positivity counter live (mass stays conserved at 1)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val broken = Clustering.pageRankInvariants(edges, iters = 3, damping = 1.0).head()
+    assert(broken.getAs[Long]("n_ranks") === 3L)
+    assert(broken.getAs[Long]("mass_violation") === 0L)
+    assert(broken.getAs[Long]("nonpositive_ranks") >= 1L)
+    val clean = Clustering.pageRankInvariants(edges, iters = 3).head()
+    assert(clean.getAs[Long]("nonpositive_ranks") === 0L)
+    assert(clean.getAs[Long]("mass_violation") === 0L)
+  }
+
+  test("sketchAccuracyInvariants: every band counter fires under unattainable bands") {
+    val li = Tables(spark, sf, "lineitem")
+    val ev = Tables(spark, sf, "events")
+    // negative relative-error bands are unattainable (|err| ≥ 0 > -band),
+    // and an inverted percentile band likewise — each counter must move
+    val broken = graft.operators.Relational.sketchAccuracyInvariants(
+      li, ev, acdRelErr = -1.0, pctEps = -0.05, hllRelErr = -1.0).head()
+    assert(broken.getAs[Long]("acd_violations") ===
+      broken.getAs[Long]("n_flag_groups"))
+    assert(broken.getAs[Long]("pct_violations") > 0L)
+    assert(broken.getAs[Long]("hll_violations") ===
+      broken.getAs[Long]("n_type_groups"))
+    assert(broken.getAs[Long]("hll_union_violation") === 1L)
+  }
+
+  test("lttbInvariants: missing_endpoints fires when the budget cannot hold both ends") {
+    // k = 1 keeps only the first point of each series — the endpoint
+    // invariant is a property of k ≥ 2, so a 1-point budget is the
+    // legitimate parameter that proves the endpoint counter live
+    val d = Seq((1L, 0.0, 1.0), (1L, 1.0, 2.0), (1L, 2.0, 3.0),
+      (2L, 0.0, 5.0), (2L, 1.0, 6.0), (2L, 2.0, 7.0))
+      .toDF("s", "x", "y")
+    val broken = graft.operators.Viz.lttbInvariants(d, "s", "x", "y", k = 1).head()
+    assert(broken.getAs[Long]("n_series") === 2L)
+    assert(broken.getAs[Long]("size_mismatch_series") === 0L) // 1 = min(1, 3)
+    assert(broken.getAs[Long]("multiset_violations") === 0L)
+    assert(broken.getAs[Long]("missing_endpoints") === 2L)
+    val clean = graft.operators.Viz.lttbInvariants(d, "s", "x", "y", k = 2).head()
+    assert(clean.getAs[Long]("missing_endpoints") === 0L)
+  }
+
+  test("budgetSelectInvariants: budget_violation fires against a mismatched contract") {
+    import graft.operators.Bpe
+    val dir = java.nio.file.Files.createTempDirectory("bpe-gate").toString
+    val d = (0L until 30L).map(id => (id, s"alpha beta gamma delta doc$id"))
+      .toDF("doc_id", "text")
+    Bpe.trainBpe(d, s"$dir/merges", numMerges = 10).count()
+    // selection honors budget 20000 (admits everything); checking that
+    // selection against a 1-token contract must flip the budget counter
+    // while the prefix/maximality/hygiene counters stay clean
+    val broken = Bpe.budgetSelectInvariants(d, s"$dir/merges",
+      budget = 20000L, checkBudget = 1L).head()
+    assert(broken.getAs[Long]("budget_violation") === 1L)
+    assert(broken.getAs[Long]("dup_selected") === 0L)
+    assert(broken.getAs[Long]("prefix_violation") === 0L)
+    val clean = Bpe.budgetSelectInvariants(d, s"$dir/merges",
+      budget = 20000L).head()
+    assert(clean.getAs[Long]("budget_violation") === 0L)
+  }
+
+  test("incrementalBandedInvariants: exact_admits_rejected fires when tiers diverge") {
+    // near-exact pair (one word changed at the tail of a long text →
+    // shingle Jaccard ≈ 0.95, where the 32/4 banding's collision odds are
+    // near-certain and deterministic): the banded tier at a 0.3 bar
+    // rejects it, the exact tier at a 0.99 bar admits it — the bracketing
+    // counter must notice the divergence
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5) +
+      "closing words original"
+    val variant = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5) +
+      "closing words changed"
+    // find one doc_id in the corpus bucket (< 80) and one in the batch
+    // bucket (≥ 80) so the pair straddles the gate's 80/20 split
+    val buckets = (0L until 64L).map(id => id ->
+      Seq(id).toDF("doc_id")
+        .select(graft.operators.Sampling.hashBucket(col("doc_id")).as("b"))
+        .head().getLong(0)).toMap
+    val corpusId = buckets.collectFirst { case (id, b) if b < 80 => id }.get
+    val batchId = buckets.collectFirst { case (id, b) if b >= 80 => id }.get
+    val d = Seq((corpusId, base), (batchId, variant)).toDF("doc_id", "text")
+    val broken = Dedup.incrementalBandedInvariants(d, threshold = 0.99,
+      bandedThreshold = 0.3).head()
+    assert(broken.getAs[Long]("n_batch") === 1L)
+    assert(broken.getAs[Long]("exact_admits_rejected") === 1L)
+    val clean = Dedup.incrementalBandedInvariants(d, threshold = 0.99).head()
+    assert(clean.getAs[Long]("exact_admits_rejected") === 0L)
+  }
+
+  test("binPackFFDInvariants: overfull_bins fires against a mismatched contract") {
+    import graft.operators.Packing
+    // three ~40-token docs pack into one 512-token bin; checking that
+    // packing against a 10-token contract must flip the overfull counter
+    // while the opener/fill/dup hygiene stays clean
+    val d = Seq((1L, "en", "alpha " * 40), (2L, "en", "beta " * 40),
+      (3L, "en", "gamma " * 40)).toDF("doc_id", "lang", "text")
+    val broken = Packing.binPackFFDInvariants(d, budget = 512,
+      checkBudget = 10).head()
+    assert(broken.getAs[Long]("overfull_bins") >= 1L)
+    assert(broken.getAs[Long]("openerless_bins") === 0L)
+    assert(broken.getAs[Long]("fill_mismatch_bins") === 0L)
+    assert(broken.getAs[Long]("dup_docs") === 0L)
+    val clean = Packing.binPackFFDInvariants(d, budget = 512).head()
+    assert(clean.getAs[Long]("overfull_bins") === 0L)
   }
 
   test("ivfLifecycleInvariants: seg_count_mismatch fires on a corrupted segment") {
