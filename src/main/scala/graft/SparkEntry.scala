@@ -39,6 +39,7 @@ object SparkEntry {
     */
   def queryModules: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
     graft.operators.Relational.queries,
+    graft.io.ColumnarIo.queries,
     graft.operators.TextAnalysis.queries,
     graft.operators.Dedup.queries,
     graft.operators.Similarity.queries,
@@ -68,6 +69,7 @@ object SparkEntry {
 
   def oracleModules: Seq[Map[String, String]] = Seq(
     graft.operators.Relational.oracles,
+    graft.io.ColumnarIo.oracles,
     graft.operators.TextAnalysis.oracles,
     graft.operators.Dedup.oracles,
     graft.operators.Similarity.oracles,

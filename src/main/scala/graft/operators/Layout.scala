@@ -119,6 +119,64 @@ object Layout {
         max(col("depth")).as("max_depth"))
   }
 
+  /** Small-file compaction — the other half of lakehouse `OPTIMIZE` next to
+    * [[writeZOrdered]]'s clustering half. Streaming ingest (DocIngest,
+    * VectorIngest) and incremental MERGE batches each land small files; at
+    * 100 TB the per-file open/footer overhead dominates scan cost long
+    * before data volume does, so periodic compaction to
+    * `targetFileBytes`-sized files is a standing maintenance operator.
+    *
+    * Sizing is metadata-only (Hadoop FS listing, no data scan). Two modes:
+    *  - `orderCol = None`: shuffle-FREE bin-packing. The scan itself groups
+    *    whole small files into ≈`targetFileBytes` input partitions
+    *    (`spark.sql.files.maxPartitionBytes` = target, open cost zeroed so
+    *    the packing tracks real bytes), and each partition writes straight
+    *    back out — no exchange anywhere. This is the mechanism Spark
+    *    already has for small-file amortization, pointed at the write side;
+    *    greedy packing can fragment up to ~2× the planned file count in the
+    *    worst case (spec-pinned bound), every file stays ≤ target input
+    *    bytes.
+    *  - `orderCol = Some(c)`: `repartitionByRange(n, c).sortWithinPartitions`
+    *    — ONE range exchange that re-establishes disjoint per-file `c`
+    *    ranges, for when the table carries a cluster key (e.g. the Z-key)
+    *    that incremental appends have interleaved. Costs a shuffle; buys
+    *    back zone-map pruning ([[zoneMapOfFiles]] shows disjoint ranges —
+    *    spec-pinned).
+    *
+    * Returns the planned output file count `ceil(bytes / target)`. Writes
+    * to a fresh `outPath` (swap-on-success, like Similarity's index
+    * compaction) rather than rewriting in place.
+    */
+  def compactFiles(spark: SparkSession, inPath: String, outPath: String,
+                   targetFileBytes: Long,
+                   orderCol: Option[String] = None): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val oldMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    val oldCost = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", targetFileBytes.toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val df = spark.read.parquet(inPath)
+      val out = orderCol match {
+        case Some(c) =>
+          df.repartitionByRange(n, col(c)).sortWithinPartitions(col(c))
+        case None => df
+      }
+      out.write.mode("overwrite").parquet(outPath)
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.files.maxPartitionBytes", oldMax)
+      restore("spark.sql.files.openCostInBytes", oldCost)
+    }
+    n
+  }
+
   /** Price a box predicate (x ∈ [x1,x2] ∧ y ∈ [y1,y2]) against one or more
     * layouts from their zone maps alone: a file must be scanned iff its
     * [min,max] ranges overlap the box on BOTH dimensions. Returns one row
@@ -160,6 +218,11 @@ object Layout {
   // box predicate: ~2% of partkeys × ~20% of suppkeys
   private val (bx1, bx2, by1, by2) = (100L, 140L, 10L, 30L)
 
+  private def compactDirFor(dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-compact/$tag"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // zone map of the Z-ordered layout (oracle-gated: bit-exact Morton keys
     // + file assignment + min/max metadata)
@@ -200,6 +263,24 @@ object Layout {
       overlapDepth(zm).withColumn("layout", lit("zorder"))
         .unionByName(overlapDepth(lin).withColumn("layout", lit("linear")))
         .select(col("layout"), col("n_files"), col("avg_depth"), col("max_depth"))
+    }),
+    // small-file compaction round trip: documents fragmented into 48 tiny
+    // files, compacted shuffle-free to target-sized files, read back. The
+    // oracle compares the COMPACTED table's content against the ORIGINAL
+    // source table — a row lost, duplicated, or altered by the rewrite
+    // breaks the hash, which is exactly the contract compaction must keep.
+    // File-count arithmetic and the order-preserving mode are spec-pinned
+    // (RetrievalLayoutSpec); this entry gates content.
+    "layout_compact_files" -> ((s, dir) => {
+      val scratch = compactDirFor(dir)
+      graft.Tables(s, dir, "documents")
+        .repartition(48, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$scratch/small")
+      compactFiles(s, s"$scratch/small", s"$scratch/compact",
+        targetFileBytes = 256L << 10)
+      s.read.parquet(s"$scratch/compact")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
     })
   )
 
@@ -241,6 +322,9 @@ object Layout {
        |  GROUP BY a.file_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "layout_compact_files" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents""".stripMargin,
     "layout_zonemap_zorder" -> zoneMapSql,
     "layout_prune_compare" ->
       s"""WITH zf AS ($zoneMapSql),

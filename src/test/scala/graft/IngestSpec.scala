@@ -58,4 +58,49 @@ class IngestSpec extends AnyFunSuite {
     val firstSub = back.select(expr("filter(sub, x -> x.adsh = '0000320193-24-000123')[0].name"))
     assert(firstSub.head.getString(0) === "APPLE INC")
   }
+
+  test("ORC sink/source: schema fidelity, partition pruning, predicate pushdown") {
+    import graft.io.ColumnarIo
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc-spec").toString
+    val orders = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+    ColumnarIo.writeOrc(orders, dir, partitionBy = Seq("o_orderstatus"))
+
+    // schema round trip: types survive the format change (the partition
+    // column comes back as the directory value, still a string)
+    val back = ColumnarIo.readOrc(spark, dir)
+    val types = back.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("o_orderkey") === "bigint")
+    assert(types("o_totalprice") === "double")
+    assert(types("o_orderstatus") === "string")
+
+    // content identity through the round trip
+    val cols = orders.columns.map(col).toSeq
+    assert(back.select(cols: _*).exceptAll(orders).count() === 0L)
+    assert(orders.exceptAll(back.select(cols: _*)).count() === 0L)
+
+    // hive-layout partition pruning: a status predicate scans only that
+    // partition's files (inputFiles lists the UNPRUNED relation, so ask the
+    // scan node itself which partitions survived planning)
+    val pruned = back.filter(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      s"no partition filter in:\n$plan")
+    val scanned = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.toPartitionArray.map(_.urlEncodedPath).toSeq
+    }.getOrElse(Seq.empty)
+    assert(scanned.nonEmpty && scanned.forall(_.contains("o_orderstatus=F")),
+      s"partition pruning did not restrict the scanned files: $scanned")
+
+    // value predicate reaches the ORC scan as a pushed filter (stripe
+    // min/max skipping — the same file-skipping story as parquet)
+    val filtered = back.filter(col("o_totalprice") > 150000.0)
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedFilters") && fplan.contains("o_totalprice"),
+      s"no pushed filter in:\n$fplan")
+    assert(filtered.count() ===
+      orders.filter(col("o_totalprice") > 150000.0).count())
+  }
 }

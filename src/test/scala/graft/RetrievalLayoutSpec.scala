@@ -183,6 +183,60 @@ class RetrievalLayoutSpec extends AnyFunSuite {
     assert(priced.getAs[Long]("rows_scanned") >= matching, priced)
   }
 
+  // ---- Compaction --------------------------------------------------------
+
+  test("compactFiles: byte-sized planning, content identity, bounded fragmentation") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-spec").toString
+    val li = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    li.repartition(32, col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$base/small")
+
+    def partFiles(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles.toSeq
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+
+    val smallFiles = partFiles(s"$base/small")
+    val bytes = smallFiles.map(_.length).sum
+    val target = bytes / 5 + 1
+    val n = Layout.compactFiles(spark, s"$base/small", s"$base/compact", target)
+    assert(n === ((bytes + target - 1) / target).toInt, "planned count formula")
+    val compFiles = partFiles(s"$base/compact")
+    // greedy whole-file packing: at least the planned count, at most ~2x,
+    // and strictly fewer files than the fragmented input
+    assert(compFiles.length >= n && compFiles.length <= 2 * n + 1,
+      s"planned $n, got ${compFiles.length}")
+    assert(compFiles.length < smallFiles.length)
+    // content identity in both directions — compaction is a content no-op
+    val back = spark.read.parquet(s"$base/compact")
+    assert(back.exceptAll(li).count() === 0L)
+    assert(li.exceptAll(back).count() === 0L)
+  }
+
+  test("compactFiles order mode restores disjoint per-file cluster-key ranges") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-ord").toString
+    val li = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    // fragmented AND key-interleaved, the post-append state of a clustered table
+    li.repartition(32, col("l_partkey"))
+      .write.mode("overwrite").parquet(s"$base/small")
+    val bytes = new java.io.File(s"$base/small").listFiles.toSeq
+      .filter(f => f.isFile && f.getName.startsWith("part-")).map(_.length).sum
+    Layout.compactFiles(spark, s"$base/small", s"$base/ordered", bytes / 4 + 1,
+      orderCol = Some("l_orderkey"))
+    val ranges = Layout.zoneMapOfFiles(spark, s"$base/ordered",
+      "l_orderkey", "l_partkey")
+      .orderBy(col("min_x")).collect()
+    assert(ranges.length >= 2, "order mode produced a single file")
+    ranges.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_x") <= b.getAs[Long]("min_x"),
+          s"overlapping key ranges after ordered compaction: $a vs $b")
+      case _ => ()
+    }
+    assert(spark.read.parquet(s"$base/ordered").count() === li.count())
+  }
+
   // ---- Entity resolution -------------------------------------------------
 
   test("blocked matches stay within blocks, ordered, and under the threshold") {

@@ -765,6 +765,62 @@ class StreamingSpec extends AnyFunSuite {
       s"restart lost the retained purchase history: $all")
   }
 
+  test("sessionizer open-session tail survives a checkpoint restart") {
+    // sessionize keeps the open session's EVENT LIST (not a summary) in
+    // group state so a later in-gap event can extend it; a restarted query
+    // must recover that list from the checkpoint. The pin is stronger than
+    // "a session eventually closes": a post-restart in-gap event merges
+    // into the recovered tail, so the closed session's n_events/start_ts
+    // count events from BOTH incarnations — impossible if the restart
+    // rebuilt state from the (empty) post-restart input. Durable parquet
+    // sink accumulates emissions across both incarnations exactly once.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ckpt = java.nio.file.Files.createTempDirectory("sess-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sess-out").toString
+    val input = MemoryStream[Event]
+    val gap = 30L * 60 * us
+    val sessions = EventStreams.sessionize(input.toDS(), gap)
+
+    // FIRST incarnation: user 1 opens a session [0, 10] (stays in state);
+    // user 2's [5] closes when their minute-100 event exceeds the gap —
+    // proving the sink path works before the restart is in play.
+    val q1 = sessions.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .format("parquet").start()
+    try {
+      input.addData(ev(1, 0, 1), ev(2, 10, 1), ev(3, 5, 2))
+      q1.processAllAvailable()
+      input.addData(ev(4, 100, 2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val run1 = spark.read.parquet(outDir).as[SessionSummary].collect()
+      .map(x => (x.user_id, x.n_events, x.start_ts, x.end_ts)).toSet
+    assert(run1 === Set((2L, 1L, 5L * 60 * us, 5L * 60 * us)),
+      s"run 1 emissions: $run1")
+
+    // SECOND incarnation from the same checkpoint: minute-20 extends the
+    // RECOVERED [0, 10] tail (gap 10 <= 30), then minute-60 (gap 40 > 30)
+    // closes it — the summary must span minutes 0..20 with n_events = 3.
+    val q2 = sessions.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .format("parquet").start()
+    try {
+      input.addData(ev(5, 20, 1))
+      q2.processAllAvailable()
+      input.addData(ev(6, 60, 1))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val all = spark.read.parquet(outDir).as[SessionSummary].collect()
+      .map(x => (x.user_id, x.n_events, x.start_ts, x.end_ts)).toSet
+    assert(all === Set(
+      (2L, 1L, 5L * 60 * us, 5L * 60 * us),
+      (1L, 3L, 0L, 20L * 60 * us)),
+      s"cross-restart session state lost or double-emitted: $all")
+  }
+
   test("bloom ingest durable state survives restart: dedup history, snapshot fast-path, batch replay") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("bloom-state").toString
