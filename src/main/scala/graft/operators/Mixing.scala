@@ -210,11 +210,51 @@ object Mixing {
       .select(col(keyCol), col("pos"))
   }
 
+  /** Epoch-weighted upsampling — MATERIALIZE a mixing recipe's per-source
+    * epoch weights into the actual training multiset. [[temperatureMix]] and
+    * [[selectByTokenBudget]] decide RATES; published data recipes
+    * (Gopher/LLaMA-style source tables) then weight a high-quality source at
+    * e.g. 2.3 epochs, which means every one of its documents appears twice
+    * and a deterministic 30% of them a third time. Weights below 1 fall out
+    * of the same rule as plain downsampling (0.4 ⇒ 40% of docs kept once) —
+    * one operator covers both directions of the recipe.
+    *
+    * Each output row carries `copy_id` (1..n, dense) so downstream shard
+    * layout and epoch ordering treat copies as distinct rows; the fractional
+    * copy reuses the importance-sample decision rule (md5 bucket <
+    * round(frac × 10⁴) — see [[Sampling.importanceSample]] for why `round`),
+    * so membership is a pure function of (key, weight map) and identical in
+    * DuckDB.
+    *
+    * Scale: a flat projection + `explode(sequence)` — NO shuffle, no driver
+    * state; the weight map folds into one codegen'd CASE. The explode's fan-
+    * out is the recipe's own epoch multiplier, i.e. exactly the bytes a
+    * trainer is asking to read.
+    */
+  def repeatExpand(d: DataFrame, keyCol: String, stratumCol: String,
+                   epochs: Map[String, Double],
+                   defaultEpochs: Double = 1.0): DataFrame = {
+    val stratum = col(stratumCol)
+    val w = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (k, v)) =>
+      when(stratum === lit(k), lit(v)).otherwise(acc)
+    }
+    val frac = w - floor(w)
+    val extra = when(
+      Sampling.hashBucket(col(keyCol), RateBuckets) <
+        round(frac * RateBuckets).cast("long"), 1L).otherwise(0L)
+    val n = floor(w).cast("long") + extra
+    d.withColumn("n_copies", n)
+      .filter(col("n_copies") >= 1L)
+      .withColumn("copy_id", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("n_copies")
+  }
+
   private val MixTargetFrac = 0.5
   private val TokenBudget = 8000L
   private val Shards = 16
   private val DomainCapN = 40
   private val EpochSeed = 3
+  private val RepeatEpochs = Map("src0" -> 2.3, "src1" -> 0.4)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // α=1/2 rebalance over the skewed lang distribution — row-level output
@@ -244,7 +284,15 @@ object Mixing {
     // oracle recomputes the naive global ROW_NUMBER and must agree exactly
     "mix_epoch_order" -> ((s, dir) =>
       epochOrder(graft.Tables(s, dir, "documents"), keyCol = "doc_id",
-        epoch = EpochSeed))
+        epoch = EpochSeed)),
+
+    // epoch-weighted upsampling: src0 at 2.3 epochs (every doc ×2, a
+    // deterministic 30% ×3), src1 at 0.4 (40% kept once), the rest at 1 —
+    // row-level multiset output so the oracle checks every copy decision
+    "mix_repeat_epochs" -> ((s, dir) =>
+      repeatExpand(graft.Tables(s, dir, "documents"), keyCol = "doc_id",
+        stratumCol = "source", epochs = RepeatEpochs)
+        .select(col("doc_id"), col("source"), col("copy_id")))
   )
 
   /** md5-bucket expression shared by the mixing oracles (identical to the
@@ -328,6 +376,25 @@ object Mixing {
          |SELECT doc_id, source, quality, tile,
          |  CASE WHEN tile = 1 THEN 'head' WHEN tile = 3 THEN 'tail'
          |       ELSE 'middle' END AS tier
-         |FROM tiled""".stripMargin
+         |FROM tiled""".stripMargin,
+    // DuckDB's 2.3/0.4 literals are DECIMALs, so ep - FLOOR(ep) is exact
+    // there; Spark's doubles land on the same integer threshold because the
+    // rule ROUNDS the ×10⁴ image (2999.999… and 3000.0 both → 3000)
+    "mix_repeat_epochs" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    CASE source WHEN 'src0' THEN 2.3 WHEN 'src1' THEN 0.4
+         |         ELSE 1.0 END AS ep
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, source,
+         |    CAST(FLOOR(ep) AS BIGINT) +
+         |    CASE WHEN ${duckBucket(RateBuckets)}
+         |           < CAST(ROUND((ep - FLOOR(ep)) * $RateBuckets) AS BIGINT)
+         |         THEN 1 ELSE 0 END AS n_copies
+         |  FROM w)
+         |SELECT doc_id, source,
+         |  unnest(generate_series(1, n_copies)) AS copy_id
+         |FROM n WHERE n_copies >= 1""".stripMargin
   )
 }

@@ -91,6 +91,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again === first)
   }
 
+  test("Mixing.repeatExpand: dense copy ids, fractional rate tracks, both directions") {
+    val d = Tables(spark, sf2, "documents")
+    val out = Mixing.repeatExpand(d, "doc_id", "source",
+      epochs = Map("src0" -> 2.3, "src1" -> 0.4))
+    // every (doc, copy) pair unique; copy ids dense 1..n per doc
+    val perDoc = out.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("copy_id")).as("nd"),
+        min(col("copy_id")).as("lo"), max(col("copy_id")).as("hi"))
+    assert(perDoc.filter(col("n") =!= col("nd") || col("lo") =!= 1L ||
+      col("hi") =!= col("n")).count() === 0L)
+    // upsampled source: every doc at least twice, total within [2x, 3x] and
+    // near 2.3x; downsampled source: each surviving doc exactly once, rate
+    // near 0.4; unlisted sources: exactly 1 copy each
+    val srcN = d.groupBy(col("source")).agg(count(lit(1)).as("base"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val outN = out.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r0 = outN("src0").toDouble / srcN("src0")
+    assert(r0 >= 2.0 && r0 <= 3.0 && math.abs(r0 - 2.3) < 0.3, s"src0 rate $r0")
+    // 25-doc source: the md5-bucket draw has real small-sample variance —
+    // bound loosely here; the oracle pins every individual decision exactly
+    val r1 = outN("src1").toDouble / srcN("src1")
+    assert(r1 >= 0.1 && r1 <= 0.7, s"src1 rate $r1")
+    assert(out.filter(col("source") === "src1").groupBy(col("doc_id"))
+      .count().filter(col("count") > 1).count() === 0L)
+    srcN.keys.filterNot(Set("src0", "src1")).foreach { s =>
+      assert(outN(s) === srcN(s), s"source $s not at 1 epoch")
+    }
+    // pure function of the data: invariant under input partitioning
+    val again = Mixing.repeatExpand(d.repartition(13), "doc_id", "source",
+      epochs = Map("src0" -> 2.3, "src1" -> 0.4))
+      .select(col("doc_id"), col("copy_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = out.select(col("doc_id"), col("copy_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === first)
+  }
+
   test("Mixing.selectByTokenBudget: identical to the naive global-window greedy") {
     val d = Tables(spark, sf1, "documents")
     val budget = 3000L

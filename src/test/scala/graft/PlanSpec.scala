@@ -170,6 +170,15 @@ class PlanSpec extends AnyFunSuite {
       s"stratified sample grew a shuffle:\n${plan.take(1200)}")
   }
 
+  test("epoch-repeat expansion is a pure projection+generate — no shuffle, no join") {
+    val df = q("mix_repeat_epochs")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"repeat expansion grew a shuffle:\n${plan.take(1200)}")
+    assert(plan.contains("Generate"), plan.take(1200))
+  }
+
   test("PII redaction is a pure projection — no shuffle, no UDF") {
     val df = q("curate_redact")
     df.collect()
