@@ -31,6 +31,22 @@ object ColumnarIo {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** JSONL (one JSON object per line) sink/source — the delivery format
+    * training-data loaders and tokenizer pipelines actually consume, and
+    * the lingua franca for corpus interchange between engines. Written as
+    * gzip text (`to_json` over the full row struct — Spark's JSON writer
+    * escapes control characters, quotes, and non-BMP text losslessly);
+    * read back under an EXPLICIT schema so types don't degrade to
+    * inference. Both directions are flat per-row projections — no shuffle.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+      .write.mode("overwrite").option("compression", "gzip").text(path)
+
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   private def orcDirFor(dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"${sys.props("java.io.tmpdir")}/graft-orc/$tag"
@@ -54,6 +70,24 @@ object ColumnarIo {
         .filter(col("o_totalprice") > 150000.0)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderpriority"))
+    }),
+    // corpus → gzip JSONL → read back under the declared schema. The oracle
+    // compares the re-imported rows against the ORIGINAL table, so any
+    // escaping asymmetry (quotes, newlines, unicode in document text) or
+    // type degradation through the text format breaks the hash — the
+    // losslessness a training-data export has to guarantee.
+    "io_jsonl_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val scratch = s"${orcDirFor(dir)}-jsonl"
+      val docs = graft.Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"))
+      writeJsonl(docs, scratch)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType),
+        StructField("text", StringType)))
+      readJsonl(s, scratch, schema)
     })
   )
 
@@ -61,6 +95,8 @@ object ColumnarIo {
     "io_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderpriority
-        |FROM orders WHERE o_totalprice > 150000.0""".stripMargin
+        |FROM orders WHERE o_totalprice > 150000.0""".stripMargin,
+    "io_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars, text FROM documents"
   )
 }

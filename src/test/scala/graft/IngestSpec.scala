@@ -103,4 +103,30 @@ class IngestSpec extends AnyFunSuite {
     assert(filtered.count() ===
       orders.filter(col("o_totalprice") > 150000.0).count())
   }
+
+  test("JSONL sink/source round-trips hostile text losslessly") {
+    import graft.io.ColumnarIo
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-spec").toString
+    // the failure modes of a text-format export: embedded newlines (must
+    // stay ONE line per row), quotes/backslashes (escaping), non-BMP
+    // unicode + control chars, nulls (omitted field → null on read),
+    // whitespace-significant text
+    val rows = Seq(
+      (1L, "line\nbreak and \"quotes\" and \\ backslash"),
+      (2L, "unicode: Ωμέγα 漢字 🚀 and a  control char"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "  \t tabs and significant trailing spaces   ")
+    ).toDF("id", "text")
+    ColumnarIo.writeJsonl(rows, dir)
+    // gzip line files on disk, one line per row despite the embedded \n
+    val gz = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".gz"))
+    assert(gz.nonEmpty, "JSONL files not gzip-compressed")
+    val back = ColumnarIo.readJsonl(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType))))
+    assert(back.count() === 4L)
+    assert(back.exceptAll(rows).count() === 0L)
+    assert(rows.exceptAll(back).count() === 0L)
+  }
 }
