@@ -604,6 +604,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(compacted === streamed, "compaction changed search results")
   }
 
+  test("streaming IVF ingest is replay-idempotent: a retried micro-batch never duplicates") {
+    // Structured Streaming replays a failed foreachBatch under the SAME
+    // batchId; the ingest's exactly-once contract is that the replay
+    // OVERWRITES its own delta_b<id> segment rather than appending a second
+    // copy. Pin it by running the same batch into the same segment twice:
+    // vector count and search results must be identical to a single run.
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-replay-spec").toString
+    Similarity.buildIvfIndex(base, dir, cells = 12, iters = 3).count()
+    def totalVectors(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(org.apache.spark.sql.functions.sum(col("n_vectors"))).head.getLong(0)
+    val first = totalVectors(
+      Similarity.appendToIvfIndex(batch, dir, segment = "delta_b0"))
+    def pairs() = Similarity.searchIvfIndexWithDelta(e, dir, k = 10, nProbe = 9)
+      .collect().map(r => (r.getAs[Long]("q_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+    val afterFirst = pairs()
+    // the "replay": same data, same batch-derived segment name
+    val second = totalVectors(
+      Similarity.appendToIvfIndex(batch, dir, segment = "delta_b0"))
+    assert(second === first, s"replay changed the segment size: $first -> $second")
+    assert(totalVectors(spark.read.parquet(s"$dir/delta_b0")
+      .groupBy(col("cell")).agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_vectors"))) === first,
+      "replayed segment holds duplicated vectors")
+    assert(pairs() === afterFirst, "replay drifted search results")
+  }
+
   test("IVF compaction crash points leave a consistent, non-duplicating view") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity
