@@ -42,6 +42,18 @@ object Tuning {
     } finally pool.shutdown()
   }
 
+  /** Deterministic scratch directory for an entry's persisted artifacts,
+    * keyed by a sanitized tag of the data directory. ONE sanitization rule
+    * shared by every module (Similarity's IVF index, Bpe's frozen table,
+    * ColumnarIo's format round trips, Layout's compaction): a divergence
+    * would silently change which scratch dir an entry hits, and two data
+    * dirs sanitizing to the same tag would collide.
+    */
+  def scratchDirFor(prefix: String, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/$prefix/$tag"
+  }
+
   /** Memory-aware fan-out for ARRAY-HEAVY rows (shingle-hash sets, exploded
     * band keys, embeddings): the cores-only count above keeps every core
     * busy but says nothing about per-partition bytes — at 2×cores a 1 TB

@@ -47,10 +47,8 @@ object ColumnarIo {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
-  private def orcDirFor(dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-orc/$tag"
-  }
+  private def orcDirFor(dir: String): String =
+    graft.Tuning.scratchDirFor("graft-orc", dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // parquet → partitioned zstd ORC → read back under a predicate. The

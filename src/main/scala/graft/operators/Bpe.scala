@@ -351,10 +351,8 @@ object Bpe {
   /** Deterministic scratch location for the persisted merge table, keyed by
     * the data directory (same convention as the IVF index entries).
     */
-  private def tableDirFor(dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-bpe-table/$tag"
-  }
+  private def tableDirFor(dir: String): String =
+    graft.Tuning.scratchDirFor("graft-bpe-table", dir)
 
   /** Build-if-absent guard for entries that run in isolation; suite order
     * runs the train entry first, so min-of-N sampling prices the

@@ -156,24 +156,20 @@ object Layout {
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val oldMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
-    val oldCost = spark.conf.getOption("spark.sql.files.openCostInBytes")
-    try {
-      spark.conf.set("spark.sql.files.maxPartitionBytes", targetFileBytes.toString)
-      spark.conf.set("spark.sql.files.openCostInBytes", "0")
-      val df = spark.read.parquet(inPath)
-      val out = orderCol match {
-        case Some(c) =>
-          df.repartitionByRange(n, col(c)).sortWithinPartitions(col(c))
-        case None => df
-      }
-      out.write.mode("overwrite").parquet(outPath)
-    } finally {
-      def restore(k: String, v: Option[String]): Unit =
-        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
-      restore("spark.sql.files.maxPartitionBytes", oldMax)
-      restore("spark.sql.files.openCostInBytes", oldCost)
+    // the scan-packing confs live in a CHILD session (shared SparkContext
+    // and cached data, ISOLATED SQLConf) so a concurrently-submitted action
+    // on the caller's session — e.g. a Tuning.concurrently arm — can never
+    // plan its own scans with the compaction's tiny maxPartitionBytes
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", targetFileBytes.toString)
+    s2.conf.set("spark.sql.files.openCostInBytes", "0")
+    val df = s2.read.parquet(inPath)
+    val out = orderCol match {
+      case Some(c) =>
+        df.repartitionByRange(n, col(c)).sortWithinPartitions(col(c))
+      case None => df
     }
+    out.write.mode("overwrite").parquet(outPath)
     n
   }
 
@@ -218,10 +214,8 @@ object Layout {
   // box predicate: ~2% of partkeys × ~20% of suppkeys
   private val (bx1, bx2, by1, by2) = (100L, 140L, 10L, 30L)
 
-  private def compactDirFor(dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-compact/$tag"
-  }
+  private def compactDirFor(dir: String): String =
+    graft.Tuning.scratchDirFor("graft-compact", dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // zone map of the Z-ordered layout (oracle-gated: bit-exact Morton keys

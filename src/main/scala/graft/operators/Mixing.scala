@@ -234,6 +234,11 @@ object Mixing {
   def repeatExpand(d: DataFrame, keyCol: String, stratumCol: String,
                    epochs: Map[String, Double],
                    defaultEpochs: Double = 1.0): DataFrame = {
+    // the operator writes these two columns; silently replacing a caller's
+    // same-named column (e.g. a frame already expanded once) would be data
+    // loss with no error — fail loudly instead
+    require(!d.columns.contains("n_copies") && !d.columns.contains("copy_id"),
+      "repeatExpand emits n_copies/copy_id; rename the input's columns first")
     val stratum = col(stratumCol)
     val w = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (k, v)) =>
       when(stratum === lit(k), lit(v)).otherwise(acc)

@@ -723,10 +723,8 @@ object Similarity {
   /** Deterministic scratch location for the persisted-index battery entries,
     * keyed by the data directory so sf0.01 and sf0.1 never share an index.
     */
-  private def indexDirFor(dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-ivf-index/$tag"
-  }
+  private def indexDirFor(dir: String): String =
+    graft.Tuning.scratchDirFor("graft-ivf-index", dir)
 
   /** ANN-tier semantic gate (the `_check` pattern): approximate top-k
     * contents are hash-ungateable by design, but every tier's CONTRACT is
