@@ -46,6 +46,29 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame =
     df.filter(hashBucket(key) < pct)
 
+  /** Leakage-aware split: train/val/test assigned per DEDUP GROUP rather
+    * than per document. [[hashSplit]] on the document id is correct only
+    * when rows are independent; a corpus carrying (near-)duplicates leaks —
+    * two copies of one document land in train and test, and the eval set
+    * scores memorization ([[graft.operators.Decontam.splitLeakage]] AUDITS
+    * exactly that failure; this operator closes it BY CONSTRUCTION). The
+    * split key is the exact-dedup fingerprint
+    * ([[graft.operators.TextAnalysis.fingerprint]]: md5 of lowercased,
+    * space-collapsed text), so every document sharing normalized content
+    * shares the split label. For near-dup-transitive groups, key the same
+    * rule on [[graft.operators.Clustering.connectedComponents]]' cluster
+    * root instead — the assignment stays a pure function of the group key.
+    *
+    * Scale: the fingerprint and bucket are per-row codegen'd projections —
+    * no shuffle, no join, same shape as [[hashSplit]].
+    */
+  def groupSplit(df: DataFrame, textCol: Column,
+                 trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val fp = graft.operators.TextAnalysis.fingerprint(textCol)
+    df.withColumn("grp_fp", fp)
+      .withColumn("split", hashSplit(col("grp_fp"), trainPct, valPct))
+  }
+
   /** Stratified deterministic sample: a per-stratum keep percentage (the
     * standard corpus-rebalance move — down-sample the dominant language,
     * keep all of the rare ones), with `defaultPct` for strata not in the
@@ -270,6 +293,20 @@ object Sampling {
         hashBucket(col("doc_id")).as("bucket"),
         hashSplit(col("doc_id")).as("split"))),
 
+    // leakage-aware split: label keyed on the exact-dedup fingerprint so
+    // duplicate documents can never straddle train/test — row-level output,
+    // every assignment oracle-checked. The raw corpus carries no exact
+    // dups, so every 10th document re-enters under a shifted id (the
+    // duplicated-corpus case the operator exists for — both copies MUST
+    // draw the same label, which the oracle checks row by row)
+    "sample_group_split" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      groupSplit(d.unionByName(planted), col("text"))
+        .select(col("doc_id"), col("grp_fp"), col("split"))
+    }),
+
     // stratified rebalance: down-sample dominant English to 30%, German to
     // 60%, keep other languages whole — row-level output so the oracle
     // checks every membership decision, not just the counts
@@ -348,6 +385,23 @@ object Sampling {
         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "sample_group_split" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0),
+        |fp AS (
+        |  SELECT doc_id,
+        |    MD5(LOWER(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS grp_fp
+        |  FROM corpus),
+        |b AS (
+        |  SELECT doc_id, grp_fp,
+        |    ('0x' || substr(md5(grp_fp), 1, 8))::UBIGINT % 100 AS bkt
+        |  FROM fp)
+        |SELECT doc_id, grp_fp,
+        |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 <

@@ -91,6 +91,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again === first)
   }
 
+  test("Sampling.groupSplit: duplicate documents never straddle train/test") {
+    import graft.operators.{Sampling, TextAnalysis}
+    // the raw corpus has no exact dups — plant them, same rule as the
+    // battery entry: every 10th doc re-enters under a shifted id
+    val raw = Tables(spark, sf2, "documents").select(col("doc_id"), col("text"))
+    val d = raw.unionByName(raw.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    val out = Sampling.groupSplit(d, col("text"))
+    // one split label per fingerprint group — the leakage-free contract
+    assert(out.groupBy(col("grp_fp"))
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count() === 0L)
+    // non-vacuous: the corpus carries multi-document groups (planted dups)
+    val multi = out.groupBy(col("grp_fp")).count().filter(col("count") > 1)
+    assert(multi.count() > 0L, "no duplicate groups — the invariant is vacuous")
+    // contrast pin: the doc-id split DOES leak on this corpus (that failure
+    // is the operator's reason to exist)
+    val leaky = d.select(TextAnalysis.fingerprint(col("text")).as("fp"),
+      Sampling.hashSplit(col("doc_id")).as("split"))
+      .groupBy(col("fp")).agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(leaky > 0L, "doc-id split did not leak — contrast pin lost its bite")
+    // split proportions stay near 80/10/10 at group granularity
+    val byGroup = out.select(col("grp_fp"), col("split")).distinct()
+    val frac = byGroup.filter(col("split") === "train").count().toDouble /
+      byGroup.count()
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
   test("Mixing.repeatExpand: dense copy ids, fractional rate tracks, both directions") {
     val d = Tables(spark, sf2, "documents")
     val out = Mixing.repeatExpand(d, "doc_id", "source",
