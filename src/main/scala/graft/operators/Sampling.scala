@@ -63,11 +63,20 @@ object Sampling {
     * no shuffle, no join, same shape as [[hashSplit]].
     */
   def groupSplit(df: DataFrame, textCol: Column,
-                 trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val fp = graft.operators.TextAnalysis.fingerprint(textCol)
-    df.withColumn("grp_fp", fp)
+                 trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    groupSplitByKey(df, graft.operators.TextAnalysis.fingerprint(textCol),
+      trainPct, valPct)
+
+  /** [[groupSplit]] over an EXTERNAL group key — the near-dup form: feed
+    * the cluster root from [[graft.operators.Clustering.connectedComponents]]
+    * (or any canonical entity key from `Linkage.resolveEntities`) and the
+    * whole transitive near-dup family draws one split label. Same pure
+    * projection; the only cost is whatever join attached the group key.
+    */
+  def groupSplitByKey(df: DataFrame, groupKey: Column,
+                      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    df.withColumn("grp_fp", groupKey.cast("string"))
       .withColumn("split", hashSplit(col("grp_fp"), trainPct, valPct))
-  }
 
   /** Stratified deterministic sample: a per-stratum keep percentage (the
     * standard corpus-rebalance move — down-sample the dominant language,

@@ -120,6 +120,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
   }
 
+  test("Sampling.groupSplitByKey: a transitive near-dup family draws one split label") {
+    // the documented near-dup composition: CC roots over a pair graph
+    // become the split key, so the WHOLE transitive family (even docs never
+    // directly paired) shares a label. Chain 1-2-3-4 is the case the
+    // fingerprint form cannot handle: 1 and 4 are not near-dups of each
+    // other, only transitively.
+    import graft.operators.{Clustering, Sampling}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val roots = Clustering.connectedComponents(pairs) // (doc_id, cluster_id=min id)
+      .withColumnRenamed("doc_id", "node_id")
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val keyed = docs.join(roots, docs("doc_id") === roots("node_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("grp")) // singleton = own group
+    val out = Sampling.groupSplitByKey(keyed, col("grp"))
+      .select(col("doc_id"), col("grp_fp"), col("split"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(Set(1L, 2L, 3L, 4L).map(out(_)).size === 1,
+      s"chain family split across labels: $out")
+    assert(Set(10L, 11L).map(out(_)).size === 1)
+    // the singleton keeps its own key and a well-defined label
+    assert(out(99L)._1 === "99")
+  }
+
   test("Mixing.repeatExpand: dense copy ids, fractional rate tracks, both directions") {
     val d = Tables(spark, sf2, "documents")
     val out = Mixing.repeatExpand(d, "doc_id", "source",
