@@ -90,7 +90,17 @@ object Temporal {
       (leftCols.map(col) :+ lit(1).as("__side")) ++
         (lit(null).cast(timeType).as("__c___t") +:
           carrySrc.map(c => lit(null).cast(right.schema(c).dataType).as(s"__c_$c"))): _*)
-    val rTagged = right.select(
+    // SQL equality semantics for NULL keys: a null-keyed right row can never
+    // match anything, so drop it BEFORE the union — the window's
+    // partitionBy would otherwise group null keys together and hand a
+    // null-keyed left row a null-keyed right row's carry (DuckDB's ASOF
+    // `ON l.k = r.k`, pandas merge_asof, and any SQL join all disagree).
+    // Null-keyed LEFT rows need no special path: with no null-keyed right
+    // rows in their window partition the carry is null, which is exactly
+    // the no-match result. One filter, zero extra scans.
+    val rTagged = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
       (leftCols.map(c =>
         (if (keys.contains(c) || c == time) col(c) else nullOf(c)).as(c)) :+
         lit(0).as("__side")) ++

@@ -51,40 +51,79 @@ object EventStreams {
         (unix_timestamp(col("w.start")) / 3600).cast("long").as("hour_idx"),
         col("event_type"), col("n"), col("sum_value"))
 
+  final case class SessionState(pending: List[Event], tailRev: List[Event])
+
   /** Stateful sessionization: events of a user belong to one session while
-    * gaps stay under `gap` (in ts units); emits a summary when the gap is exceeded
-    * (flatMapGroupsWithState — the custom-state path, SURVEY steering).
-    * Processing-time timeout flushes trailing sessions in a real stream; for
-    * deterministic tests the spec drains with a final empty batch.
+    * gaps stay under `gap` (nanoseconds, like `ts`); a session's summary is
+    * emitted exactly once, when no future event can extend it.
     *
-    * State hygiene: the open tail is capped at `maxBuffer` events — an
-    * unbounded per-user buffer is a slow-motion OOM at 100 TB of events (one
-    * pathological bot user is enough). An oversized open session is force-
-    * flushed; events that would have extended it start a new session. That
-    * split is the documented tradeoff for bounded state.
+    * Same watermark protocol as [[funnelStream]]/[[asOfAttributionStream]]
+    * (Append + EventTimeTimeout): events BUFFER until the watermark
+    * strictly passes them, then fold through the gap rule in (ts, event_id)
+    * order — so an out-of-order event landing in a later micro-batch still
+    * sessionizes exactly like the batch form ([[sessionizeBatch]]), instead
+    * of being folded against a tail that already moved past it. The open
+    * tail closes when (a) a matured event exceeds the gap, or (b) the
+    * watermark passes `end + gap` — at that point any future non-late event
+    * necessarily starts a new session, so the flush can never be
+    * contradicted. (b) fires through the event-time timeout, so a QUIET
+    * user's last session flushes as soon as other traffic advances the
+    * watermark — no sentinel event needed.
+    *
+    * State hygiene: pending and tail are each capped at `maxBuffer` — an
+    * unbounded per-user buffer is a slow-motion OOM at 100 TB of events
+    * (one pathological bot user is enough). Pending overflow force-matures
+    * the oldest events; tail overflow force-flushes the session (events
+    * that would have extended it start a new one) — the documented
+    * bounded-state trade. The tail is stored NEWEST-FIRST so the per-event
+    * step is O(1) prepend + head read, not an O(n) List append/last.
     */
-  def sessionize(events: Dataset[Event], gap: Long, maxBuffer: Int = 100000)
+  def sessionize(events: DataFrame, gap: Long, watermark: String = "1 hour",
+                 maxBuffer: Int = 100000)
                 (implicit spark: SparkSession): Dataset[SessionSummary] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Event], SessionSummary](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
-          val incoming = it.toList.sortBy(e => (e.ts, e.event_id))
-          val all = (state.getOption.getOrElse(Nil) ++ incoming).sortBy(e => (e.ts, e.event_id))
-          // split into gap-delimited sessions; keep the open tail in state
-          val sessions = all.foldLeft(List.empty[List[Event]]) {
-            case (acc, e) => acc match {
-              case cur :: rest if e.ts - cur.last.ts <= gap => (cur :+ e) :: rest
-              case _ => List(e) :: acc
+    val typed = withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("event_time"))
+      .as[EventT]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[EventT], state: GroupState[SessionState]) =>
+          val wmNs = state.getCurrentWatermarkMs() * 1000000L
+          val st = state.getOption.getOrElse(SessionState(Nil, Nil))
+          val incoming = it.toList
+            .map(e => Event(e.event_id, e.ts, e.user_id, e.event_type, e.value))
+          val buf = (st.pending ++ incoming).sortBy(e => (e.ts, e.event_id))
+          val (maturedNow, pendingAll) = buf.partition(_.ts < wmNs)
+          val overflow = math.max(0, pendingAll.size - maxBuffer)
+          val (forced, pending) = pendingAll.splitAt(overflow)
+          val closed = scala.collection.mutable.ListBuffer.empty[List[Event]]
+          var tailRev = st.tailRev
+          for (e <- maturedNow ++ forced) { // both sorted; forced ≥ matured
+            tailRev match {
+              case newest :: _ if e.ts - newest.ts <= gap => tailRev = e :: tailRev
+              case Nil => tailRev = e :: Nil
+              case _ => closed += tailRev.reverse; tailRev = e :: Nil
             }
-          }.reverse
-          val (closed, open) = sessions.splitAt(math.max(0, sessions.size - 1))
-          val tail = open.headOption.getOrElse(Nil)
-          val (flushed, kept) =
-            if (tail.size > maxBuffer) (closed :+ tail, Nil) else (closed, tail)
-          state.update(kept)
-          flushed.iterator.map(s =>
+          }
+          // the tail is unreachable once the watermark passes end + gap
+          if (tailRev.nonEmpty &&
+              (tailRev.head.ts + gap < wmNs || tailRev.size > maxBuffer)) {
+            closed += tailRev.reverse
+            tailRev = Nil
+          }
+          if (pending.isEmpty && tailRev.isEmpty) state.remove()
+          else {
+            state.update(SessionState(pending, tailRev))
+            // wake when the next pending event matures or the tail becomes
+            // flushable, whichever comes first
+            val next = (pending.headOption.map(_.ts) ++
+              tailRev.headOption.map(_.ts + gap)).min
+            state.setTimeoutTimestamp(next / 1000000L + 1)
+          }
+          closed.iterator.map(s =>
             SessionSummary(userId, s.size.toLong, s.head.ts, s.last.ts))
       }
   }
@@ -276,6 +315,13 @@ object EventStreams {
                   (implicit spark: SparkSession): Dataset[FunnelEntry] = {
     import spark.implicits._
     require(stages.nonEmpty)
+    // zipWithIndex.toMap keeps only the LAST index of a repeated stage
+    // type, which would silently stall the state machine (an event for a
+    // repeated type never matches `entered.length`); the batch
+    // Analytics.funnel iterates stages positionally and handles repeats, so
+    // reject the input loudly here rather than diverge from the twin
+    require(stages.distinct.size == stages.size,
+      s"funnelStream requires distinct stage types, got $stages")
     val stageIdx = stages.zipWithIndex.toMap
     val typed = withEventTime(events)
       .withWatermark("event_time", watermark)
@@ -323,12 +369,15 @@ object EventStreams {
     * (StreamingSpec pins stream ≡ batch on the same rows).
     */
   def docQualityStats(d: DataFrame): DataFrame =
-    d.groupBy(window(col("ts"), "1 hour").as("w"), col("source"))
+    // score once in a projection, then aggregate the scored column — three
+    // independent qualityScore trees inside the agg would re-tokenize every
+    // document up to 3x per row unless codegen happens to dedupe them
+    d.withColumn("q", graft.operators.TextAnalysis.qualityScore(col("text")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(graft.operators.TextAnalysis.qualityScore(col("text"))
-          .cast("decimal(10,4)")).cast("double").as("sum_quality"),
-        min(graft.operators.TextAnalysis.qualityScore(col("text"))).as("min_quality"),
-        max(graft.operators.TextAnalysis.qualityScore(col("text"))).as("max_quality"))
+        sum(col("q").cast("decimal(10,4)")).cast("double").as("sum_quality"),
+        min(col("q")).as("min_quality"),
+        max(col("q")).as("max_quality"))
       .select((unix_timestamp(col("w.start")) / 3600).cast("long").as("hour_idx"),
         col("source"), col("n_docs"), col("sum_quality"),
         col("min_quality"), col("max_quality"))

@@ -44,37 +44,48 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
     import spark.implicits._
-    // user 1: events at minutes 0, 10, 50 (gaps 10, 40) with 30-min gap → two sessions
-    // user 2: events at minutes 5, 100 → two sessions
+    import org.apache.spark.sql.functions.col
+    // minutes offset to 1000+ (an event AT the initial epoch-0 watermark
+    // would be dropped as late before the state machine ever sees it).
+    // user 1: minutes 1000, 1007, 1010, 1050 (gaps ≤10, then 40) with a
+    // 30-min gap → two sessions; user 2: minutes 1005, 1100 → two sessions
     val events = Seq(
-      ev(1, 0, 1), ev(2, 10, 1), ev(3, 50, 1),
-      ev(4, 5, 2), ev(5, 100, 2))
-    val gap = 30L * 60 * us
+      ev(1, 1000, 1), ev(6, 1007, 1), ev(2, 1010, 1), ev(3, 1050, 1),
+      ev(4, 1005, 2), ev(5, 1100, 2))
+    val ns = us * 1000
+    val gapNs = 30L * 60 * ns
 
-    val batch = EventStreams.sessionizeBatch(events.toDS(), gap).collect()
-      .map(x => (x.user_id, x.n_events, x.start_ts, x.end_ts)).toSet
+    val batch = EventStreams.sessionizeBatch(
+        events.toDF().withColumn("ts", col("ts") * 1000).as[Event], gapNs)
+      .collect().map(x => (x.user_id, x.n_events, x.start_ts, x.end_ts)).toSet
     assert(batch === Set(
-      (1L, 2L, 0L, 10L * 60 * us),
-      (1L, 1L, 50L * 60 * us, 50L * 60 * us),
-      (2L, 1L, 5L * 60 * us, 5L * 60 * us),
-      (2L, 1L, 100L * 60 * us, 100L * 60 * us)))
+      (1L, 3L, 1000L * 60 * ns, 1010L * 60 * ns),
+      (1L, 1L, 1050L * 60 * ns, 1050L * 60 * ns),
+      (2L, 1L, 1005L * 60 * ns, 1005L * 60 * ns),
+      (2L, 1L, 1100L * 60 * ns, 1100L * 60 * ns)))
 
-    // streaming: feed in two batches, then a closing event far in the future
-    // per user so every earlier session closes (Append emits closed sessions).
+    // streaming: minute 7 arrives OUT OF ORDER in a later micro-batch (the
+    // watermark buffer must fold it back before minute 10), and the final
+    // batch is OTHER users advancing the watermark — every session of users
+    // 1/2 must flush via the event-time timeout, no per-user sentinel.
     val input = MemoryStream[Event]
-    val q = EventStreams.sessionize(input.toDS(), gap)
+    val q = EventStreams.sessionize(
+        input.toDF().withColumn("ts", col("ts") * 1000),
+        gapNs, watermark = "60 minutes")
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("sessions").start()
     try {
-      input.addData(ev(1, 0, 1), ev(2, 10, 1), ev(4, 5, 2))
+      input.addData(ev(1, 1000, 1), ev(2, 1010, 1), ev(4, 1005, 2))
       q.processAllAvailable()
-      input.addData(ev(3, 50, 1), ev(5, 100, 2))
+      input.addData(ev(6, 1007, 1), ev(3, 1050, 1), ev(5, 1100, 2))
       q.processAllAvailable()
-      input.addData(ev(98, 10000, 1), ev(99, 10000, 2))
+      input.addData(ev(98, 11000, 98), ev(99, 11001, 99))
       q.processAllAvailable()
       val streamed = spark.table("sessions").as[SessionSummary].collect()
+        .filter(x => x.user_id == 1L || x.user_id == 2L)
         .map(x => (x.user_id, x.n_events, x.start_ts, x.end_ts)).toSet
-      assert(batch.subsetOf(streamed))
+      assert(streamed === batch,
+        s"stream=$streamed batch=$batch")
     } finally q.stop()
   }
 
@@ -108,13 +119,19 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val input = MemoryStream[Event]
-    // giant gap: nothing would ever close without the cap
-    val q = EventStreams.sessionize(input.toDS(), gap = Long.MaxValue / 2, maxBuffer = 2)
+    // giant gap: nothing would ever close without the cap; a later user's
+    // event matures user 1's events into the tail, which then exceeds the cap
+    val q = EventStreams.sessionize(
+        input.toDF().withColumn("ts", col("ts") * 1000),
+        gap = Long.MaxValue / 2, maxBuffer = 2)
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("capped_sessions").start()
     try {
-      input.addData(ev(1, 0, 1), ev(2, 10, 1), ev(3, 20, 1))
+      input.addData(ev(1, 1000, 1), ev(2, 1010, 1), ev(3, 1020, 1))
+      q.processAllAvailable()
+      input.addData(ev(9, 11000, 2)) // watermark driver
       q.processAllAvailable()
       val out = spark.table("capped_sessions").as[SessionSummary].collect()
       assert(out.map(x => (x.user_id, x.n_events)).toSet === Set((1L, 3L)),
@@ -807,6 +824,13 @@ class StreamingSpec extends AnyFunSuite {
     // count events from BOTH incarnations — impossible if the restart
     // rebuilt state from the (empty) post-restart input. Durable parquet
     // sink accumulates emissions across both incarnations exactly once.
+    // Timing under the watermark protocol (gap 30 min, watermark 60 min;
+    // minutes offset to 1000+ so nothing sits AT the initial epoch-0
+    // watermark): the run-1 driver at minute 1096 sets wm = 1036, which
+    // flushes user 2's [1005] (1035 < 1036) but keeps user 1's
+    // [1000, 1010] (1040 ≥ 1036); the post-restart event at minute 1038 is
+    // inside the recovered watermark AND inside the gap of the recovered
+    // tail end (1038 ≤ 1010 + 30), so it merges.
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
     import spark.implicits._
@@ -814,43 +838,47 @@ class StreamingSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("sess-ckpt").toString
     val outDir = java.nio.file.Files.createTempDirectory("sess-out").toString
     val input = MemoryStream[Event]
-    val gap = 30L * 60 * us
-    val sessions = EventStreams.sessionize(input.toDS(), gap)
+    val ns = us * 1000
+    val sessions = EventStreams.sessionize(
+      input.toDF().withColumn("ts", col("ts") * 1000),
+      gap = 30L * 60 * ns, watermark = "60 minutes")
 
-    // FIRST incarnation: user 1 opens a session [0, 10] (stays in state);
-    // user 2's [5] closes when their minute-100 event exceeds the gap —
-    // proving the sink path works before the restart is in play.
+    // FIRST incarnation: user 1 opens [0, 10] (stays in state); user 2's
+    // [5] flushes via the event-time timeout when the driver advances the
+    // watermark — proving the sink path works before the restart is in play.
     val q1 = sessions.writeStream.outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt).option("path", outDir)
       .format("parquet").start()
     try {
-      input.addData(ev(1, 0, 1), ev(2, 10, 1), ev(3, 5, 2))
+      input.addData(ev(1, 1000, 1), ev(2, 1010, 1), ev(3, 1005, 2))
       q1.processAllAvailable()
-      input.addData(ev(4, 100, 2))
+      input.addData(ev(4, 1096, 99)) // watermark driver → wm 1036
       q1.processAllAvailable()
     } finally q1.stop()
     val run1 = spark.read.parquet(outDir).as[SessionSummary].collect()
       .map(x => (x.user_id, x.n_events, x.start_ts, x.end_ts)).toSet
-    assert(run1 === Set((2L, 1L, 5L * 60 * us, 5L * 60 * us)),
+    assert(run1 === Set((2L, 1L, 1005L * 60 * ns, 1005L * 60 * ns)),
       s"run 1 emissions: $run1")
 
-    // SECOND incarnation from the same checkpoint: minute-20 extends the
-    // RECOVERED [0, 10] tail (gap 10 <= 30), then minute-60 (gap 40 > 30)
-    // closes it — the summary must span minutes 0..20 with n_events = 3.
+    // SECOND incarnation from the same checkpoint: minute 1038 (> recovered
+    // wm 1036, ≤ tail end 1010 + gap 30) extends the RECOVERED [1000, 1010]
+    // tail; a far-future driver then matures it and the timeout flushes the
+    // three-event session spanning both incarnations.
     val q2 = sessions.writeStream.outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt).option("path", outDir)
       .format("parquet").start()
     try {
-      input.addData(ev(5, 20, 1))
+      input.addData(ev(5, 1038, 1))
       q2.processAllAvailable()
-      input.addData(ev(6, 60, 1))
+      input.addData(ev(6, 1200, 98)) // watermark driver → wm 1140
       q2.processAllAvailable()
     } finally q2.stop()
     val all = spark.read.parquet(outDir).as[SessionSummary].collect()
+      .filter(x => x.user_id == 1L || x.user_id == 2L)
       .map(x => (x.user_id, x.n_events, x.start_ts, x.end_ts)).toSet
     assert(all === Set(
-      (2L, 1L, 5L * 60 * us, 5L * 60 * us),
-      (1L, 3L, 0L, 20L * 60 * us)),
+      (2L, 1L, 1005L * 60 * ns, 1005L * 60 * ns),
+      (1L, 3L, 1000L * 60 * ns, 1038L * 60 * ns)),
       s"cross-restart session state lost or double-emitted: $all")
   }
 

@@ -35,6 +35,28 @@ class TemporalSpec extends AnyFunSuite {
       (4L, None, None)))
   }
 
+  test("asOfJoin: NULL keys never match each other (SQL equality semantics)") {
+    // the window's partitionBy groups null keys into one partition, which
+    // without the right-side null filter would hand a null-keyed left row a
+    // null-keyed right row's carry — DuckDB ASOF (ON l.k = r.k), pandas
+    // merge_asof, and any SQL join all produce NO match there
+    val left = Seq(
+      (1L, Option(10L), 100L),      // normal match
+      (2L, Option.empty[Long], 100L) // null key → must stay unmatched
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option(10L), 50L, "a"),
+      (Option.empty[Long], 60L, "n") // null-keyed right row: matchable by nobody
+    ).toDF("user_id", "ts", "tag")
+    val out = Temporal.asOfJoin(left, right, "user_id", "ts",
+        carry = Map("ts" -> "m_ts", "tag" -> "m_tag"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4))))
+    assert(out === Array(
+      (1L, Some(50L), Some("a")),
+      (2L, None, None)), s"null-key rows matched: ${out.mkString(",")}")
+  }
+
   test("asOfJoin directions and tolerance: forward, nearest, bounded lookback") {
     val left = Seq(
       (1L, 10L, 100L), // right rows at 50 and 100
