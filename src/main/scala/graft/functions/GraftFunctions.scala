@@ -79,6 +79,7 @@ object GraftFunctions {
     }
     e.injectOptimizerRule(_ => graft.plans.IntersectSizeRewrite)
     e.injectOptimizerRule(_ => graft.plans.EventTsPushdownRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

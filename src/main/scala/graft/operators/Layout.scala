@@ -173,6 +173,114 @@ object Layout {
     n
   }
 
+  /** Per-file Bloom membership index over `keyCol` — the point-lookup
+    * companion to [[zoneMapOfFiles]]' range metadata: min/max zones prune
+    * RANGE predicates but are useless for equality probes into an
+    * unclustered column, where a Bloom summary answers "might this file
+    * contain the key?" in ~1 KB per file. One corpus scan grouped by
+    * `input_file_name()`, partial-aggregated ([[graft.functions.BloomFilterAgg]]),
+    * so the shuffle moves filter buffers, never rows; the index is
+    * file-count-sized metadata. Keys funnel through `xxhash64` so any key
+    * type shares one insert/probe path.
+    */
+  def bloomIndexOfFiles(spark: SparkSession, path: String, keyCol: String,
+                        expectedPerFile: Long = 1L << 14,
+                        fpp: Double = 0.01): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.BloomFilterAgg(
+          xxhash64(col(keyCol)), expectedPerFile, fpp).as("bloom"))
+
+  /** Bloom-pruned point lookup: probe every file's filter with the
+    * requested key hashes (DISTRIBUTED over the index — only file names
+    * and hit flags ever reach the driver, the same metadata a scan
+    * planner materializes to enumerate its file list), then scan only the
+    * surviving files with the exact `IN` refilter pushed into the parquet
+    * reader. Bloom false positives cost a wasted file scan, never a wrong
+    * row; false negatives are structurally impossible, which is exactly
+    * the invariant `layout_bloom_prune_check` gates. Returns the data
+    * plus (filesTotal, filesRead) for pruning evidence.
+    */
+  def bloomPrunedRead(spark: SparkSession, path: String, index: DataFrame,
+                      keyCol: String, values: Seq[Any]): BloomPruneResult = {
+    require(values.nonEmpty, "bloomPrunedRead needs at least one probe value")
+    val hashes = values.map(graft.functions.BloomFilterAgg.hashOf)
+    val probe = udf((bloom: Array[Byte]) => {
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloom))
+      hashes.exists(bf.mightContainLong)
+    })
+    val flags = index.select(col("file"), probe(col("bloom")).as("hit")).collect()
+    val files = flags.filter(_.getBoolean(1)).map(_.getString(0))
+    val data =
+      if (files.isEmpty) {
+        val schema = spark.read.parquet(path).schema
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      } else {
+        spark.read.parquet(files.toSeq: _*)
+          .filter(col(keyCol).isin(values: _*))
+      }
+    BloomPruneResult(data, flags.length.toLong, files.length.toLong)
+  }
+
+  case class BloomPruneResult(data: DataFrame, filesTotal: Long, filesRead: Long)
+
+  /** Verification counters for the Bloom index over a freshly-built
+    * key-ordered layout of `lineitem` (the battery's fixed probe set:
+    * min, max, and floor-mid orderkey — DuckDB re-derives all three):
+    * `rows_found` (pruned-scan result size, DuckDB-derivable from the raw
+    * table), `missed_rows` (full-scan count on the SAME layout minus
+    * `rows_found` — a Bloom false negative or a lost file, pinned 0; the
+    * no-false-negative property is structural, so this arm fires only on
+    * a code defect or a tampered index), and `pruned_ok` (files read <
+    * files total, pinned 1 — the index must actually skip files for
+    * clustered keys). The knobs are public parameters defaulting to the
+    * battery values: `probeKeys` overrides the probe set (an audit run
+    * probing EVERY key must read every file, so it deterministically trips
+    * `pruned_ok` — GateSpec induces it through this API); the
+    * `missed_rows` arm is induced one level down — [[bloomPrunedRead]]
+    * with an index missing a file row loses exactly that file's rows
+    * (GateSpec pins it on its own layout, since THIS entry rebuilds its
+    * scratch layout per run and an externally-tampered index could never
+    * reference the fresh file names).
+    */
+  def bloomPruneInvariants(s: SparkSession, dir: String,
+                           expectedPerFile: Long = 1L << 14,
+                           fpp: Double = 0.01,
+                           probeKeys: Option[Seq[Any]] = None): DataFrame = {
+    val path = bloomLayout(s, dir)
+    val keys = probeKeys.getOrElse(bloomProbeKeys(s, dir))
+    val idx = bloomIndexOfFiles(s, path, "l_orderkey", expectedPerFile, fpp)
+    val pr = bloomPrunedRead(s, path, idx, "l_orderkey", keys)
+    val found = pr.data.count()
+    val expected = s.read.parquet(path)
+      .filter(col("l_orderkey").isin(keys: _*)).count()
+    import s.implicits._
+    Seq((found, expected - found, if (pr.filesRead < pr.filesTotal) 1L else 0L))
+      .toDF("rows_found", "missed_rows", "pruned_ok")
+  }
+
+  /** The Bloom battery's scratch layout: lineitem key-ordered into range
+    * files (fresh each run, like the compaction entry) so point keys
+    * cluster into few files and pruning has something to prove.
+    */
+  private def bloomLayout(s: SparkSession, dir: String): String = {
+    val path = s"${graft.Tuning.scratchDirFor("graft-bloomidx", dir)}/layout"
+    li(s, dir)
+      .repartitionByRange(30, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Deterministic probe keys DuckDB re-derives: min, max, floor-mid. */
+  private def bloomProbeKeys(s: SparkSession, dir: String): Seq[Any] = {
+    val r = li(s, dir).agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    Seq(mn, mx, (mn + mx) / 2)
+  }
+
   /** Price a box predicate (x ∈ [x1,x2] ∧ y ∈ [y1,y2]) against one or more
     * layouts from their zone maps alone: a file must be scanned iff its
     * [min,max] ranges overlap the box on BOTH dimensions. Returns one row
@@ -275,7 +383,22 @@ object Layout {
       s.read.parquet(s"$scratch/compact")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text")).as("text_md5"))
-    })
+    }),
+    // Bloom-pruned point lookup: key-ordered layout + per-file Bloom index,
+    // probed at the three DuckDB-derivable keys; the oracle compares the
+    // PRUNED scan's rows against DuckDB's own IN-scan of the raw table, so
+    // a Bloom false negative (a silently skipped file) breaks the hash —
+    // result-set equality IS the no-false-negative gate
+    "layout_bloom_point_lookup" -> ((s, dir) => {
+      val path = bloomLayout(s, dir)
+      val idx = bloomIndexOfFiles(s, path, "l_orderkey")
+      bloomPrunedRead(s, path, idx, "l_orderkey", bloomProbeKeys(s, dir))
+        .data
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+    }),
+    // the pruning-evidence gate: rows conserved AND files actually skipped
+    "layout_bloom_prune_check" -> ((s, dir) => bloomPruneInvariants(s, dir))
   )
 
   /** DuckDB Morton spread of the low 31 bits of expression `e` (same magic
@@ -319,6 +442,18 @@ object Layout {
     "layout_compact_files" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents""".stripMargin,
+    "layout_bloom_point_lookup" ->
+      """WITH b AS (SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem, b
+        |WHERE l_orderkey IN (b.mn, b.mx, (b.mn + b.mx) // 2)""".stripMargin,
+    "layout_bloom_prune_check" ->
+      """WITH b AS (SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx FROM lineitem)
+        |SELECT
+        |  (SELECT COUNT(*) FROM lineitem, b
+        |   WHERE l_orderkey IN (b.mn, b.mx, (b.mn + b.mx) // 2)) AS rows_found,
+        |  CAST(0 AS BIGINT) AS missed_rows,
+        |  CAST(1 AS BIGINT) AS pruned_ok""".stripMargin,
     "layout_zonemap_zorder" -> zoneMapSql,
     "layout_prune_compare" ->
       s"""WITH zf AS ($zoneMapSql),

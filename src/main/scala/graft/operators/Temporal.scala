@@ -28,6 +28,18 @@ object Temporal {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "events")
 
+  /** The shared click/purchase attribution inputs at the µs grain (same
+    * truncate-before-compare and projection notes as `asof_last_purchase`).
+    */
+  private def clickPurchaseUs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    (clicks, purchases)
+  }
+
   /** As-of join, pandas-`merge_asof`/kdb-complete: for each left row, the
     * single nearest right row on the same key in the requested `direction`
     * — `"backward"` (most recent `right.time <= left.time`, the default),
@@ -97,9 +109,13 @@ object Temporal {
     // `ON l.k = r.k`, pandas merge_asof, and any SQL join all disagree).
     // Null-keyed LEFT rows need no special path: with no null-keyed right
     // rows in their window partition the carry is null, which is exactly
-    // the no-match result. One filter, zero extra scans.
+    // the no-match result. NULL TIMES get the same treatment: `l.ts >= r.ts`
+    // is null-valued in SQL, so a null-timed right row matches nothing —
+    // but ascending-nulls-first ordering would sort it to the partition
+    // front where an un-filtered `last` carry could adopt it for a key
+    // with no other purchases. One filter, zero extra scans.
     val rTagged = right
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .filter((keys :+ time).map(col(_).isNotNull).reduce(_ && _))
       .select(
       (leftCols.map(c =>
         (if (keys.contains(c) || c == time) col(c) else nullOf(c)).as(c)) :+
@@ -135,8 +151,14 @@ object Temporal {
           (f.isNull || (lt - b.getField("__t")) <= (f.getField("__t") - lt)), b)
           .otherwise(f)
     }
+    // a null-timed LEFT row matches nothing either (same SQL null
+    // comparison): backward ordering already yields null for it (nulls
+    // sort first, before every right row of the key), but the forward
+    // frame's DESCENDING sort puts nulls last — after every right row —
+    // so an ungated carry would hand it the key's earliest purchase
+    val guarded = when(lt.isNotNull, chosen)
     stepped.select(leftCols.map(col) ++ carry.toSeq.map { case (src, out) =>
-      chosen.getField(src).as(out)
+      guarded.getField(src).as(out)
     }: _*)
   }
 
@@ -291,6 +313,69 @@ object Temporal {
           coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
     }),
 
+    // ---- native as-of tier: the SAME four attribution queries on the
+    // whole-operator Catalyst extension (GraftAsOfJoin logical node →
+    // AsOfJoinStrategy → streaming-merge exec; see plans/AsOfJoinPlan).
+    // Each shares its declarative twin's DuckDB oracle verbatim, so the
+    // two formulations are hash-pinned against the SAME ground truth —
+    // any semantic drift between the tiers breaks a gate, not a spec.
+    "asof_native_backward" -> ((s, dir) => {
+      val (clicks, purchases) = clickPurchaseUs(s, dir)
+      graft.plans.AsOfJoinNative.asOfJoinKeys(clicks, purchases,
+          keys = Seq("user_id"), time = "ts_us",
+          carry = Map("ts_us" -> "purchase_us"))
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("click_us"),
+          coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
+    }),
+    "asof_native_forward" -> ((s, dir) => {
+      val (clicks, purchases) = clickPurchaseUs(s, dir)
+      graft.plans.AsOfJoinNative.asOfJoinKeys(clicks, purchases,
+          keys = Seq("user_id"), time = "ts_us",
+          carry = Map("ts_us" -> "purchase_us"), direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("click_us"),
+          coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
+    }),
+    "asof_native_nearest" -> ((s, dir) => {
+      val (clicks, purchases) = clickPurchaseUs(s, dir)
+      graft.plans.AsOfJoinNative.asOfJoinKeys(clicks, purchases,
+          keys = Seq("user_id"), time = "ts_us",
+          carry = Map("ts_us" -> "purchase_us"), direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("click_us"),
+          coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
+    }),
+    "asof_native_tolerance" -> ((s, dir) => {
+      val (clicks, purchases) = clickPurchaseUs(s, dir)
+      graft.plans.AsOfJoinNative.asOfJoinKeys(clicks, purchases,
+          keys = Seq("user_id"), time = "ts_us",
+          carry = Map("ts_us" -> "purchase_us"),
+          tolerance = Some(AttribWindowNs / 1000))
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("click_us"),
+          coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
+    }),
+    // composite-key native as-of (merge_asof by=[user, day])
+    "asof_native_same_day" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val dayUs = 86400L * 1000 * 1000
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          expr(s"(ts div 1000) div $dayUs").as("day_idx"),
+          expr("ts div 1000").as("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr(s"(ts div 1000) div $dayUs").as("day_idx"),
+          expr("ts div 1000").as("ts_us"))
+      graft.plans.AsOfJoinNative.asOfJoinKeys(clicks, purchases,
+          keys = Seq("user_id", "day_idx"), time = "ts_us",
+          carry = Map("ts_us" -> "purchase_us"))
+        .select(col("event_id"), col("user_id"), col("day_idx"),
+          col("ts_us").as("click_us"),
+          coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
+    }),
+
     // interval-overlap join: purchase attribution windows [ts, ts+30min)
     // overlapping click engagement windows [ts, ts+5min) per user — both
     // sides are intervals, bucketed equi-join, owner-bucket dedup-free
@@ -365,7 +450,20 @@ object Temporal {
     })
   )
 
-  def oracles: Map[String, String] = Map(
+  /** The native tier shares its declarative twin's oracle SQL verbatim —
+    * one ground truth, two engines pinned to it.
+    */
+  private def nativeOracles: Map[String, String] = Map(
+    "asof_native_backward" -> "asof_last_purchase",
+    "asof_native_forward" -> "asof_next_purchase",
+    "asof_native_nearest" -> "asof_nearest_purchase",
+    "asof_native_tolerance" -> "asof_tolerance_attrib",
+    "asof_native_same_day" -> "asof_same_day_purchase")
+
+  def oracles: Map[String, String] = baseOracles ++
+    nativeOracles.map { case (k, twin) => k -> baseOracles(twin) }
+
+  private def baseOracles: Map[String, String] = Map(
     "asof_last_purchase" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us,
         |       COALESCE(epoch_us(r.ts), -1) AS purchase_us

@@ -266,4 +266,37 @@ class GateSpec extends AnyFunSuite {
     val broken = Similarity.ivfLifecycleInvariants(e, dir).head()
     assert(broken.getAs[Long]("seg_count_mismatch") === 1L)
   }
+
+  test("bloomPruneInvariants: pruned_ok fires on an all-keys probe; a tampered index loses rows") {
+    import graft.operators.Layout
+    // an audit probing EVERY key must read every file: nothing can be
+    // pruned -> pruned_ok = 0 deterministically; all keys are real, so
+    // missed_rows stays 0
+    val allKeys = graft.Tables(spark, sf, "lineitem")
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSeq
+    val sat = Layout.bloomPruneInvariants(spark, sf,
+      probeKeys = Some(allKeys)).head()
+    assert(sat.getAs[Long]("pruned_ok") === 0L,
+      "probing every key cannot have pruned anything")
+    assert(sat.getAs[Long]("missed_rows") === 0L)
+    // the missed_rows arm, one level down on a layout this test owns: an
+    // index missing a file's row silently skips that file, losing exactly
+    // its probed rows -- the arithmetic the gate's counter pins at zero
+    val dir = java.nio.file.Files.createTempDirectory("bloom-gate").toString
+    val out = s"$dir/layout"
+    Seq.tabulate(400)(i => (i.toLong, i.toString)).toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(out)
+    val idx = Layout.bloomIndexOfFiles(spark, out, "k", expectedPerFile = 256, fpp = 0.01)
+    val probe = Seq(0L, 399L) // first and last file, necessarily distinct
+    val full = Layout.bloomPrunedRead(spark, out, idx, "k", probe)
+    assert(full.data.count() === 2L)
+    // drop the lexically-last index row: range files sort with the key, so
+    // that is the file holding k = 399
+    val n = idx.count().toInt
+    val tampered = idx.orderBy("file").limit(n - 1)
+    val broken = Layout.bloomPrunedRead(spark, out, tampered, "k", probe)
+    val missed = 2L - broken.data.count()
+    assert(missed === 1L, s"expected exactly the dropped file's row missing, got $missed")
+  }
 }

@@ -287,4 +287,37 @@ class RetrievalLayoutSpec extends AnyFunSuite {
       assert(canon <= ekeys(name), s"$name canonical above own key")
     }
   }
+
+  test("bloom index: inserted keys always hit; pruning skips most files on a clustered layout") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom-spec").toString
+    val out = s"$dir/layout"
+    // 8 range files over a key-ordered layout: key k lives only in file k/250
+    Seq.tabulate(2000)(i => (i.toLong, s"payload-$i"))
+      .toDF("k", "v")
+      .repartitionByRange(8, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(out)
+    val idx = Layout.bloomIndexOfFiles(spark, out, "k",
+      expectedPerFile = 512, fpp = 0.01)
+    assert(idx.count() === 8L)
+    // membership: every probed present key comes back exactly once, with its row
+    val probe = Seq(0L, 999L, 1999L)
+    val pr = Layout.bloomPrunedRead(spark, out, idx, "k", probe)
+    val rows = pr.data.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === probe.sorted.map(k => (k, s"payload-$k")))
+    // pruning: 3 keys live in 3 distinct files; fpp-driven false positives
+    // are possible but 8 -> <= 5 skips the layout on any plausible draw
+    assert(pr.filesTotal === 8L)
+    assert(pr.filesRead >= 3L && pr.filesRead <= 5L,
+      s"expected ~3 files read, got ${pr.filesRead}")
+    // an absent key yields zero rows (false positives cost scans, never rows)
+    val none = Layout.bloomPrunedRead(spark, out, idx, "k", Seq(123456789L))
+    assert(none.data.count() === 0L)
+  }
+
+  test("bloomPruneInvariants: clean run is all-green at sf0.001") {
+    val row = Layout.bloomPruneInvariants(spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Long]("rows_found") > 0L)
+    assert(row.getAs[Long]("missed_rows") === 0L)
+    assert(row.getAs[Long]("pruned_ok") === 1L)
+  }
 }
