@@ -192,6 +192,87 @@ object Layout {
         graft.functions.BloomFilterAgg(
           xxhash64(col(keyCol)), expectedPerFile, fpp).as("bloom"))
 
+  /** Incremental maintenance of [[bloomIndexOfFiles]] — the base+delta
+    * pattern the persisted IVF index already follows: index ONLY the files
+    * that appeared since `existing` was built and union the new rows in.
+    * Appended data never re-reads indexed files, so maintenance cost is
+    * O(new data), not O(table) — at 100 TB a full rebuild per ingest batch
+    * is the difference between an index you keep and one you abandon.
+    * File identity is the unique part-file NAME (job-UUID-stamped), so the
+    * match is robust to URI-scheme spelling differences between the
+    * catalog listing and `input_file_name()`.
+    */
+  def bloomIndexAppend(spark: SparkSession, path: String, existing: DataFrame,
+                       keyCol: String,
+                       expectedPerFile: Long = 1L << 14,
+                       fpp: Double = 0.01): DataFrame = {
+    def basename(f: String): String = f.substring(f.lastIndexOf('/') + 1)
+    val known = existing.select("file").collect().map(r => basename(r.getString(0))).toSet
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fresh = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+      .filterNot(f => known(basename(f)))
+    if (fresh.isEmpty) existing
+    else existing.unionByName(
+      spark.read.parquet(fresh.toSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.BloomFilterAgg(
+            xxhash64(col(keyCol)), expectedPerFile, fpp).as("bloom")))
+  }
+
+  /** Verification counters for [[bloomIndexAppend]]: after appending a
+    * batch to the layout, the incrementally-maintained index must be
+    * INDISTINGUISHABLE from a full rebuild — same file set with the same
+    * per-file row counts (`files_mismatch`), identical file-pruning
+    * decisions for the battery probe keys (`probe_files_mismatch` — byte
+    * drift between an appended filter and a rebuilt one would surface
+    * here), and the pruned read over the incremental index still finds
+    * every probed row (`missed_rows`, vs an independent full-scan count).
+    * `appended_files` > 0 proves the delta path actually ran (pinned as
+    * `append_ok` = 1). All counters pinned by DuckDB constants;
+    * `rows_found` is DuckDB-derivable from the raw table (base layout
+    * holds all of lineitem, the appended batch re-adds its
+    * `l_linenumber = 1` slice — both reproducible in SQL).
+    */
+  def bloomAppendInvariants(s: SparkSession, dir: String,
+                            expectedPerFile: Long = 1L << 14,
+                            fpp: Double = 0.01): DataFrame = {
+    val path = s"${graft.Tuning.scratchDirFor("graft-bloomapp", dir)}/layout"
+    li(s, dir)
+      .repartitionByRange(24, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    val base = bloomIndexOfFiles(s, path, "l_orderkey", expectedPerFile, fpp)
+      .localCheckpoint() // freeze: the scan must not see post-append files
+    val baseFiles = base.count()
+    li(s, dir).filter(col("l_linenumber") === 1)
+      .repartition(4)
+      .write.mode("append").parquet(path)
+    val inc = bloomIndexAppend(s, path, base, "l_orderkey", expectedPerFile, fpp)
+    val full = bloomIndexOfFiles(s, path, "l_orderkey", expectedPerFile, fpp)
+    // (file, n_rows) multiset equality via symmetric exceptAll (a
+    // full-outer on the key columns would coalesce them and hide misses)
+    def basename(c: Column): Column = element_at(split(c, "/"), -1)
+    val incF = inc.select(basename(col("file")).as("f"), col("n_rows"))
+    val fullF = full.select(basename(col("file")).as("f"), col("n_rows"))
+    val filesMismatch = incF.exceptAll(fullF).count() + fullF.exceptAll(incF).count()
+    val keys = bloomProbeKeys(s, dir)
+    val prInc = bloomPrunedRead(s, path, inc, "l_orderkey", keys)
+    val prFull = bloomPrunedRead(s, path, full, "l_orderkey", keys)
+    val probeMismatch = math.abs(prInc.filesRead - prFull.filesRead)
+    val found = prInc.data.count()
+    val expected = s.read.parquet(path)
+      .filter(col("l_orderkey").isin(keys: _*)).count()
+    import s.implicits._
+    Seq((found, expected - found, filesMismatch, probeMismatch,
+        if (inc.count() > baseFiles) 1L else 0L))
+      .toDF("rows_found", "missed_rows", "files_mismatch",
+        "probe_files_mismatch", "append_ok")
+  }
+
   /** Bloom-pruned point lookup: probe every file's filter with the
     * requested key hashes (DISTRIBUTED over the index — only file names
     * and hit flags ever reach the driver, the same metadata a scan
@@ -398,7 +479,9 @@ object Layout {
           col("l_partkey"), col("l_suppkey"))
     }),
     // the pruning-evidence gate: rows conserved AND files actually skipped
-    "layout_bloom_prune_check" -> ((s, dir) => bloomPruneInvariants(s, dir))
+    "layout_bloom_prune_check" -> ((s, dir) => bloomPruneInvariants(s, dir)),
+    // incremental index maintenance ≡ full rebuild (base+delta lifecycle)
+    "layout_bloom_append_check" -> ((s, dir) => bloomAppendInvariants(s, dir))
   )
 
   /** DuckDB Morton spread of the low 31 bits of expression `e` (same magic
@@ -454,6 +537,18 @@ object Layout {
         |   WHERE l_orderkey IN (b.mn, b.mx, (b.mn + b.mx) // 2)) AS rows_found,
         |  CAST(0 AS BIGINT) AS missed_rows,
         |  CAST(1 AS BIGINT) AS pruned_ok""".stripMargin,
+    "layout_bloom_append_check" ->
+      """WITH b AS (SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx FROM lineitem),
+        |k AS (SELECT DISTINCT key FROM
+        |      (SELECT UNNEST([b.mn, b.mx, (b.mn + b.mx) // 2]) AS key FROM b))
+        |SELECT
+        |  (SELECT COUNT(*) FROM lineitem, k WHERE l_orderkey = k.key) +
+        |  (SELECT COUNT(*) FROM lineitem, k
+        |   WHERE l_orderkey = k.key AND l_linenumber = 1) AS rows_found,
+        |  CAST(0 AS BIGINT) AS missed_rows,
+        |  CAST(0 AS BIGINT) AS files_mismatch,
+        |  CAST(0 AS BIGINT) AS probe_files_mismatch,
+        |  CAST(1 AS BIGINT) AS append_ok""".stripMargin,
     "layout_zonemap_zorder" -> zoneMapSql,
     "layout_prune_compare" ->
       s"""WITH zf AS ($zoneMapSql),

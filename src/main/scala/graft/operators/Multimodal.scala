@@ -14,9 +14,12 @@ import org.apache.spark.sql.types._
   * corpus as genuine PNG bytes whose content is pure integer arithmetic of
   * the id, so the decoded output is independently derivable by the DuckDB
   * oracle — an actual encode→decode round trip through a production
-  * codec). AUDIO/VIDEO codecs are not in the JDK, so that seam stays a
-  * clearly marked STUB ([[decodeStub]], a deterministic fake derived from
-  * the bytes). Either way the Spark-side shape is what matters at 100 TB:
+  * codec). AUDIO decode is REAL too ([[decodeAudio]]: the JDK's
+  * `javax.sound.sampled` WAV/PCM reader, with [[synthWavTable]] as its
+  * integer-derivable corpus). VIDEO and compressed-audio codecs are not
+  * in the JDK, so that seam stays a clearly marked STUB ([[decodeStub]],
+  * a deterministic fake derived from the bytes). Either way the
+  * Spark-side shape is what matters at 100 TB:
   * binary+struct schema, per-partition batched processing via
   * `mapPartitions` (the Scala analog of `mapInPandas`: one iterator per
   * partition, nothing per-row on the driver), column pruning around the
@@ -138,8 +141,108 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB decode for the codec-less media kinds (audio/video — no JDK
-    * codec exists; images go through the REAL [[decodeImage]]): a real
+  /** Deterministic synthetic WAV corpus: REAL RIFF/WAVE bytes encoded
+    * executor-side with the JDK's `javax.sound.sampled` writer (16-bit
+    * signed little-endian mono PCM at 8 kHz). Sample values and length are
+    * pure integer arithmetic of the id — `n = 400 + (id % 5)·80` samples,
+    * `s_j = ((id·31 + j·7) mod 2001) − 1000` — so the decode stage's
+    * expected output (length, integer sample sum, peak amplitude) is
+    * independently derivable from the id alone, the same
+    * encode→decode-through-a-production-codec property `synthPngTable`
+    * gives images. Per-partition batched; one clip is ~1 KB.
+    */
+  def synthWavTable(ids: DataFrame, idCol: String = "media_id"): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, 16, 1, true /*signed*/, false /*little-endian*/)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (400 + (id % 5) * 80).toInt
+        val raw = new Array[Byte](n * 2)
+        var j = 0
+        while (j < n) {
+          val s = (((id * 31 + j.toLong * 7) % 2001) - 1000).toInt
+          raw(2 * j) = (s & 0xFF).toByte
+          raw(2 * j + 1) = ((s >> 8) & 0xFF).toByte
+          j += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val bytes = bos.toByteArray
+        md.reset()
+        val sum = md.digest(bytes).map("%02x".format(_)).mkString
+        Row(id, bytes, Row("audio/wav", bytes.length.toLong, sum))
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode: the JDK `javax.sound.sampled` WAV reader over the
+    * binary payload, per-partition batched like [[decodeImage]]. Output is
+    * the stream's declared format plus bounded integer features — sample
+    * count, exact integer sample sum, peak |amplitude| — NEVER the sample
+    * buffer itself, so rows stay O(1) regardless of clip length. Integer
+    * features on purpose: they hash identically in any engine, where a
+    * float RMS would be summation-order-dependent. Undecodable or
+    * non-16-bit-PCM payloads yield null features (lenient-COPY, same as
+    * [[decodeImage]]); the compressed-codec seam (MP3/AAC — genuinely
+    * absent from the JDK) remains [[decodeStub]]'s.
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", LongType),
+      StructField("n_channels", LongType),
+      StructField("n_samples", LongType),
+      StructField("sum_samples", LongType),
+      StructField("peak_abs", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]]("payload")
+        val decoded: Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+          if (payload == null) None
+          else
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+                  fmt.getEncoding !=
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+              else Some((fmt, ais.readAllBytes()))
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+        decoded match {
+          case None => Row(id, null, null, null, null, null)
+          case Some((fmt, data)) =>
+            val channels = fmt.getChannels
+            val n = data.length / 2
+            var sum = 0L; var peak = 0L; var i = 0
+            while (i < n) {
+              val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xFF)).toLong
+              sum += s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              i += 1
+            }
+            Row(id, fmt.getSampleRate.toLong, channels.toLong,
+              (n / channels).toLong, sum, peak)
+        }
+      }
+    }(enc)
+  }
+
+  /** STUB decode for the codec-less media kinds (video, compressed audio —
+    * no JDK codec exists; images go through the REAL [[decodeImage]] and
+    * PCM/WAV audio through the REAL [[decodeAudio]]): a real
     * deployment plugs a codec in here (JNI/javacv/etc.); the fake derives
     * deterministic "dimensions" and a tiny "pixel" vector from the payload
     * bytes so downstream stages are exercised end-to-end. Runs
@@ -217,6 +320,14 @@ object Multimodal {
     // frame sampling plumbing (oracle: pure arithmetic cross product)
     "mm_frame_sample" -> ((s, dir) => {
       frameSample(asMediaTable(graft.Tables(s, dir, "documents")), nFrames = 4, stride = 10)
+    }),
+    // REAL WAV encode → javax.sound.sampled decode → integer features,
+    // per-partition batched; oracle-gated because the synthetic corpus's
+    // sample values are integer arithmetic of the id (see synthWavTable) —
+    // the audio twin of mm_decode_features
+    "mm_audio_features" -> ((s, dir) => {
+      decodeAudio(synthWavTable(
+        graft.Tables(s, dir, "documents"), idCol = "doc_id"))
     })
   )
 
@@ -229,6 +340,22 @@ object Multimodal {
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx
         |FROM documents, (SELECT unnest([0, 10, 20, 30]) AS f)""".stripMargin,
+    // independently derives what the REAL WAV round trip must produce:
+    // synthWavTable's PCM samples are integer arithmetic of the id, so the
+    // sum/peak fold in exact BIGINT — no float ever enters the compare
+    "mm_audio_features" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |              400 + (doc_id % 5) * 80 AS n FROM documents),
+        |s AS (SELECT media_id, n, UNNEST(generate_series(0, n - 1)) AS j FROM ids),
+        |v AS (SELECT media_id, n,
+        |        (media_id * 31 + j * 7) % 2001 - 1000 AS smp FROM s)
+        |SELECT media_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(SUM(smp) AS BIGINT) AS sum_samples,
+        |  CAST(MAX(ABS(smp)) AS BIGINT) AS peak_abs
+        |FROM v GROUP BY media_id, n""".stripMargin,
     // independently derives what the REAL PNG round trip must produce:
     // synthPngTable's two-tone fill is integer arithmetic of the id, and
     // the double expressions mirror decodeImage/extractFeatures' operation

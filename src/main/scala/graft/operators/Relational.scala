@@ -206,6 +206,21 @@ object Relational {
         .select(col("c_custkey"))
     }),
 
+    // Bloom-prefiltered semi join (beyond tier): lineitems of high-value
+    // orders (~3% selective key set). The key side folds into ONE broadcast
+    // Bloom sketch that thins the fact BEFORE its exchange; the exact semi
+    // join on the survivors keeps semantics row-identical (the oracle is a
+    // plain EXISTS — any Bloom false negative breaks the hash). The
+    // shuffle-reduction factor is spec-pinned in OperatorsSpec.
+    "j12_bloom_semi_join" -> ((s, dir) => {
+      val hv = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 480000.0)
+        .select(col("o_orderkey").as("l_orderkey"))
+      graft.operators.SkewJoin.bloomSemiJoin(
+          t(s, dir, "lineitem"), hv, "l_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+    }),
+
     // full-outer join — year-over-year customer churn: both sides carry
     // unmatched rows (lost vs newly-acquired customers), the case semi/anti
     // can't express. Aggregate-before-join keeps the shuffled sides at
@@ -759,6 +774,10 @@ object Relational {
     "j10_semi_join" ->
       """SELECT c_custkey FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j12_bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_totalprice > 480000.0)""".stripMargin,
     "a2_distinct" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
     "a3_collect_sorted" ->

@@ -23,4 +23,59 @@ object SkewJoin {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(exploded, Seq(key, saltCol)).drop(saltCol)
   }
+
+  /** Bloom-prefiltered left-semi join — the shuffle-reduction play for
+    * `fact ⋉ keyset` when the key set is selective but too large (or too
+    * dynamically computed) for a broadcast-hash join: first fold the key
+    * side into ONE Bloom filter (a partial-aggregated KB→MB-scale sketch
+    * via [[graft.functions.BloomFilterAgg]], shipped to executors as a
+    * broadcast variable, deserialized once per executor), pre-filter the
+    * fact against it BEFORE the fact's exchange, then run the exact semi
+    * join on the survivors. Result is row-identical to the plain semi join
+    * (Bloom false positives are caught by the exact join; false negatives
+    * are structurally impossible) but the fact-side shuffle carries only
+    * `match_rate + fpp` of the fact instead of all of it — at 100 TB the
+    * exchange is the cost, and this is the one knob that shrinks it
+    * without bucketing. Spark's own InjectRuntimeFilter plays the same
+    * trick for plan shapes it recognizes; this is the explicit spelling
+    * for programmatic key sets (dedup survivors, audit lists, incremental
+    * deltas) and it pre-filters at a caller-chosen fpp.
+    */
+  def bloomSemiJoin(fact: DataFrame, keys: DataFrame, key: String,
+                    expectedKeys: Long = 1L << 20,
+                    fpp: Double = 0.01): DataFrame =
+    bloomKeyFilter(fact, keys, key, expectedKeys, fpp)
+      .join(keys.select(col(key)).distinct(), Seq(key), "left_semi")
+
+  /** Just the pre-filter half of [[bloomSemiJoin]]: `fact` rows whose key
+    * MIGHT be in `keys` (superset of the true matches, narrower by
+    * ~`1 - match_rate - fpp`). Exposed separately so the reduction is
+    * measurable (spec-pinned) and so callers can hang other joins on the
+    * thinned fact.
+    */
+  def bloomKeyFilter(fact: DataFrame, keys: DataFrame, key: String,
+                     expectedKeys: Long = 1L << 20,
+                     fpp: Double = 0.01): DataFrame = {
+    val bloomBytes = keys
+      .agg(graft.functions.BloomFilterAgg(
+        xxhash64(col(key)), expectedKeys, fpp).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+    val bc = fact.sparkSession.sparkContext.broadcast(bloomBytes)
+    val probe = new BloomProbe(bc)
+    val probeUdf = udf((h: Long) => probe.contains(h))
+    fact.filter(probeUdf(xxhash64(col(key))))
+  }
+
+  /** Broadcast-backed probe: the filter deserializes ONCE per executor
+    * (transient lazy), not once per row — the udf closure carries only the
+    * broadcast handle.
+    */
+  private final class BloomProbe(
+      bytes: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      extends Serializable {
+    @transient private lazy val bf =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes.value))
+    def contains(h: Long): Boolean = bf.mightContainLong(h)
+  }
 }

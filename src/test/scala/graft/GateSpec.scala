@@ -15,8 +15,13 @@ import graft.operators.{Dedup, Clustering, QualityClassifier, Similarity,
   * the same test re-runs the clean path and asserts it stays at zero.
   * (BpeSpec carries the corrupted-merge-table twin for `text_bpe_train_check`.)
   *
-  * Coverage: 16 of the 18 battery `_check` gates carry an induced-violation
-  * test here or in BpeSpec. The two exceptions are principled, not gaps:
+  * Coverage: 18 of the 20 battery `_check` gates carry an induced-violation
+  * test here or in BpeSpec (the round-12 Bloom-index gates included: the
+  * prune gate's `pruned_ok` arm fires through its public probe-set knob and
+  * its `missed_rows` arm through a tampered index one level down; the
+  * append gate's `files_mismatch` arm through a phantom index row one level
+  * down — both layouts owned by the test because the entries rebuild their
+  * scratch layouts per run). The two exceptions are principled, not gaps:
   * `text_bpe_encode_check`'s round-trip counter is structurally zero for any
   * TABLE (BPE merging preserves concatenation, so only a code defect in
   * `encodeWord` — not a corrupt artifact or parameter — can flip it; the
@@ -298,5 +303,34 @@ class GateSpec extends AnyFunSuite {
     val broken = Layout.bloomPrunedRead(spark, out, tampered, "k", probe)
     val missed = 2L - broken.data.count()
     assert(missed === 1L, s"expected exactly the dropped file's row missing, got $missed")
+  }
+
+  test("bloomAppendInvariants arithmetic: a phantom index row fires files_mismatch") {
+    import graft.operators.Layout
+    // clean run first: every counter at its pinned value
+    val clean = Layout.bloomAppendInvariants(spark, sf).head()
+    assert(clean.getAs[Long]("missed_rows") === 0L)
+    assert(clean.getAs[Long]("files_mismatch") === 0L)
+    assert(clean.getAs[Long]("probe_files_mismatch") === 0L)
+    assert(clean.getAs[Long]("append_ok") === 1L)
+    // the files_mismatch arm, one level down on an owned layout: an index
+    // carrying a row for a file that does not exist on disk can never be
+    // reproduced by a rebuild -- the symmetric-difference counter the gate
+    // pins at zero is exactly what separates the two
+    val dir = java.nio.file.Files.createTempDirectory("bloom-append-gate").toString
+    val out = s"$dir/layout"
+    Seq.tabulate(200)(i => (i.toLong, i.toString)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(out)
+    val base = Layout.bloomIndexOfFiles(spark, out, "k", 256, 0.01).localCheckpoint()
+    val phantom = base.unionByName(
+      base.limit(1).withColumn("file", lit("file:/nowhere/part-phantom.parquet")))
+    val inc = Layout.bloomIndexAppend(spark, out, phantom, "k", 256, 0.01)
+    val full = Layout.bloomIndexOfFiles(spark, out, "k", 256, 0.01)
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .select(element_at(split(col("file"), "/"), -1).as("f"), col("n_rows"))
+    val mismatch = sig(inc).exceptAll(sig(full)).count() +
+      sig(full).exceptAll(sig(inc)).count()
+    assert(mismatch >= 1L, "phantom index row must surface in the symmetric difference")
   }
 }

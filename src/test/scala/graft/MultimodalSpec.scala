@@ -79,4 +79,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.filter(col("media_id") === 1L).collect().map(_.getInt(1)).sorted
       === Array(0, 5, 10))
   }
+
+  test("real WAV round trip: decoded format and integer features match the id formula") {
+    import graft.operators.Multimodal
+    val ids = Seq(3L, 17L, 42L).toDF("media_id")
+    val out = Multimodal.decodeAudio(Multimodal.synthWavTable(ids))
+      .orderBy("media_id").collect()
+    for (row <- out) {
+      val id = row.getLong(0)
+      val n = (400 + (id % 5) * 80).toInt
+      val samples = (0 until n).map(j => ((id * 31 + j.toLong * 7) % 2001) - 1000)
+      assert(row.getLong(1) === 8000L, "sample_rate")
+      assert(row.getLong(2) === 1L, "n_channels")
+      assert(row.getLong(3) === n.toLong, "n_samples")
+      assert(row.getLong(4) === samples.sum, s"sum_samples for id=$id")
+      assert(row.getLong(5) === samples.map(math.abs).max, s"peak_abs for id=$id")
+    }
+  }
+
+  test("audio decode is lenient: undecodable payloads yield null features") {
+    import graft.operators.Multimodal
+    val junk = Seq(
+      (1L, "not a wav at all".getBytes("UTF-8")),
+      (2L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "payload")
+    val out = Multimodal.decodeAudio(junk).orderBy("media_id").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      (1 to 5).foreach(i => assert(r.isNullAt(i), s"col $i should be null"))
+    }
+  }
 }

@@ -320,4 +320,33 @@ class RetrievalLayoutSpec extends AnyFunSuite {
     assert(row.getAs[Long]("missed_rows") === 0L)
     assert(row.getAs[Long]("pruned_ok") === 1L)
   }
+
+  test("bloomIndexAppend: delta-only maintenance is indistinguishable from a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom-append").toString
+    val out = s"$dir/layout"
+    Seq.tabulate(900)(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(3, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(out)
+    val base = Layout.bloomIndexOfFiles(spark, out, "k", 512, 0.01).localCheckpoint()
+    // no new files: append returns the existing index untouched
+    assert(Layout.bloomIndexAppend(spark, out, base, "k", 512, 0.01).count() === 3L)
+    // append a batch, maintain incrementally, compare against a rebuild
+    Seq.tabulate(300)(i => ((900 + i).toLong, s"w$i")).toDF("k", "v")
+      .repartition(2).write.mode("append").parquet(out)
+    val inc = Layout.bloomIndexAppend(spark, out, base, "k", 512, 0.01)
+    val full = Layout.bloomIndexOfFiles(spark, out, "k", 512, 0.01)
+    assert(inc.count() === 5L && full.count() === 5L)
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .select(element_at(split(col("file"), "/"), -1).as("f"), col("n_rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(sig(inc) === sig(full))
+    // probes through the incremental index see both old and new keys
+    val pr = Layout.bloomPrunedRead(spark, out, inc, "k", Seq(0L, 1199L))
+    assert(pr.data.count() === 2L)
+    // a self-healing property: a file row DROPPED from the base index is
+    // simply re-indexed by the delta pass (not silently lost)
+    val healed = Layout.bloomIndexAppend(spark, out,
+      base.orderBy("file").limit(2), "k", 512, 0.01)
+    assert(sig(healed) === sig(full))
+  }
 }

@@ -28,6 +28,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("bloom semi join: row-identical to plain semi, prefilter is a thin superset") {
+    val rnd = new scala.util.Random(31)
+    // 5000-row fact, 3% of keys selected
+    val fact = Seq.tabulate(5000)(i => ((i % 1000).toLong, s"row$i")).toDF("k", "payload")
+    val keys = (0L until 1000L).filter(_ => rnd.nextInt(100) < 3)
+      .map(k => (k, "sel")).toDF("k", "tag").select("k")
+    val plain = fact.join(keys, Seq("k"), "left_semi")
+      .orderBy("k", "payload").collect().map(_.toString)
+    val bloom = SkewJoin.bloomSemiJoin(fact, keys, "k")
+      .orderBy("k", "payload").collect().map(_.toString)
+    assert(bloom === plain)
+    // the prefilter must contain every true match and stay close to the
+    // true match count (fpp 0.01 over 1000 distinct keys: a handful of
+    // false-positive keys at most -- far below the 5000-row fact)
+    val pre = SkewJoin.bloomKeyFilter(fact, keys, "k")
+    val preCount = pre.count()
+    assert(preCount >= plain.length.toLong, "prefilter lost a true match")
+    assert(preCount <= plain.length.toLong + 250L,
+      s"prefilter barely reduced: $preCount of 5000 for ${plain.length} matches")
+  }
+
   test("bucketed tables join without a shuffle") {
     val mat = new Materializer(spark,
       java.nio.file.Files.createTempDirectory("bucket-wh").toString)
