@@ -503,11 +503,36 @@ object Similarity {
                     dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
     val s = e.sparkSession
     val cents = kMeansCentroids(e, cells, iters, dim)
+    // STAGED publication (r12): a REBUILD over a live index used to
+    // overwrite `centroids`/`segments` in place, so a concurrent reader
+    // raced a multi-second parquet write and died on half-written trees
+    // (observed: two battery processes sharing one scratch index). Build
+    // the complete new trees in a staging dir, then publish each with two
+    // FS metadata ops (retire-rename + install-rename) — a reader now sees
+    // the old complete index or the new complete one; the unreadable
+    // window shrinks from O(build) to O(ms). A crashed build leaves only
+    // the staging dir, which the next build scrubs; the live index is
+    // untouched until the trees are complete. (The compaction path has its
+    // own manifest-swap protocol; `-retired` is distinct from its
+    // `segments_old` on purpose.)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    val staging = s"$indexDir/build-staging"
+    fs.delete(p(staging), true)
     centroidFrame(s, cents).write.mode("overwrite")
-      .parquet(s"$indexDir/centroids")
+      .parquet(s"$staging/centroids")
     buildQuantizedIndex(e, cents, dim)
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/segments")
+      .parquet(s"$staging/segments")
+    for (part <- Seq("centroids", "segments")) {
+      val retired = p(s"$indexDir/$part-retired")
+      fs.delete(retired, true)
+      if (fs.exists(p(s"$indexDir/$part"))) fs.rename(p(s"$indexDir/$part"), retired)
+      fs.rename(p(s"$staging/$part"), p(s"$indexDir/$part"))
+      fs.delete(retired, true)
+    }
+    fs.delete(p(staging), true)
     s.read.parquet(s"$indexDir/segments")
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cell"))

@@ -178,6 +178,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Similarity: staged rebuild publishes atomically and scrubs crash leftovers") {
+    // r12: a rebuild over a LIVE index must never leave readers a
+    // half-written tree — build lands in `build-staging` and publishes via
+    // rename swap. Pins: (a) a stale staging dir (crashed prior build,
+    // simulated with junk the parquet reader would die on) is scrubbed, not
+    // merged; (b) after a rebuild neither staging nor -retired dirs remain;
+    // (c) the rebuilt index searches identically to a fresh one
+    // (deterministic k-means ⇒ exact equality).
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-rebuild-spec").toString
+    Similarity.buildIvfIndex(e, dir, cells = 12, iters = 3).count()
+    // simulate a crashed build: junk staging that must not survive
+    val staging = java.nio.file.Paths.get(dir, "build-staging", "segments")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.write(staging.resolve("part-junk.parquet"),
+      "not parquet".getBytes("UTF-8"))
+    Similarity.buildIvfIndex(e, dir, cells = 12, iters = 3).count()
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(leftovers === Set("centroids", "segments"),
+      s"rebuild left publication debris: $leftovers")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val fresh = java.nio.file.Files.createTempDirectory("ivf-rebuild-fresh").toString
+    Similarity.buildIvfIndex(e, fresh, cells = 12, iters = 3).count()
+    assert(rows(Similarity.searchIvfIndex(e, dir, k = 10, nProbe = 9)) ===
+      rows(Similarity.searchIvfIndex(e, fresh, k = 10, nProbe = 9)),
+      "rebuilt index drifted from a fresh build")
+  }
+
   test("Similarity: appended IVF×int8 index keeps recall; batch rows findable") {
     // centroids trained on 90% of the corpus, the vec_id%10==0 batch
     // appended without retraining. Recall floors against brute over the
