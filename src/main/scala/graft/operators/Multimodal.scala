@@ -240,9 +240,149 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic synthetic AVI corpus: REAL RIFF/AVI container bytes
+    * (Microsoft's public AVI 1.0 layout: `RIFF('AVI ' LIST('hdrl' avih
+    * LIST('strl' strh strf)) LIST('movi' 00db…))`) assembled executor-side.
+    * Geometry and timing are pure integer arithmetic of the id —
+    * `width = 16·(1 + id mod 9)`, `height = 16·(1 + id mod 7)`,
+    * `n_frames = 10 + id mod 20`, `us_per_frame = 20000 + (id mod 5)·10000`
+    * — so the container-parse stage's expected output is independently
+    * derivable from the id alone, the same property the PNG and WAV
+    * corpora carry. Frame payloads are uncompressed placeholder chunks
+    * (8 bytes each): the container structure is real, frame PIXELS are
+    * not — pixel decode is exactly the [[decodeStub]] seam.
+    */
+  def synthAviTable(ids: DataFrame, idCol: String = "media_id"): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val width = 16 * (1 + (id % 9)).toInt
+        val height = 16 * (1 + (id % 7)).toInt
+        val nFrames = (10 + id % 20).toInt
+        val usPerFrame = (20000 + (id % 5) * 10000).toInt
+        val bytes = buildAvi(id, width, height, nFrames, usPerFrame)
+        md.reset()
+        val sum = md.digest(bytes).map("%02x".format(_)).mkString
+        Row(id, bytes, Row("video/x-msvideo", bytes.length.toLong, sum))
+      }
+    }(enc)
+  }
+
+  private def buildAvi(id: Long, width: Int, height: Int, nFrames: Int,
+                       usPerFrame: Int): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] =
+      fourcc(cc) ++ u32(payload.length.toLong) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(subtype: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(subtype) ++ children)
+    // avih: MainAVIHeader — 14 little-endian u32s (public layout)
+    val avih = chunk("avih",
+      u32(usPerFrame.toLong) ++ u32(0L) ++ u32(0L) ++ u32(0L) ++
+        u32(nFrames.toLong) ++ u32(0L) ++ u32(1L) ++ u32(0L) ++
+        u32(width.toLong) ++ u32(height.toLong) ++
+        u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(0L))
+    // strh (AVIStreamHeader, 'vids'/'DIB ') + strf (BITMAPINFOHEADER)
+    val strh = chunk("strh",
+      fourcc("vids") ++ fourcc("DIB ") ++ u32(0L) ++ u32(0L) ++ u32(0L) ++
+        u32(usPerFrame.toLong) /*dwScale*/ ++ u32(1000000L) /*dwRate*/ ++
+        u32(0L) ++ u32(nFrames.toLong) ++ u32(0L) ++ u32(0L) ++ u32(0L) ++
+        u32(0L) ++ Array.fill(8)(0.toByte) /*rcFrame*/)
+    val strf = chunk("strf",
+      u32(40L) ++ u32(width.toLong) ++ u32(height.toLong) ++
+        Array((1 & 0xFF).toByte, 0.toByte) ++ Array((24 & 0xFF).toByte, 0.toByte) ++
+        u32(0L) ++ u32((width.toLong * height * 3)) ++
+        u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(0L))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val frames = (0 until nFrames).flatMap { f =>
+      chunk("00db", u32(id * 31 + f) ++ u32(id * 7 + f))
+    }.toArray
+    val movi = list("movi", frames)
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    bb.write(fourcc("RIFF")); bb.write(u32(body.length.toLong)); bb.write(body)
+    bb.toByteArray
+  }
+
+  /** REAL video-container metadata parse: a generic RIFF chunk walk (the
+    * container format is a public Microsoft spec) that locates the `avih`
+    * header inside the `hdrl` list and reads the little-endian geometry
+    * and timing words — width, height, frame count, µs-per-frame, derived
+    * duration. Per-partition batched like the other decoders, O(1) output
+    * per clip, and the walk never materializes frame data (it SKIPS the
+    * `movi` list wholesale — at 100 TB the movi payload is the file; the
+    * parse touches only the few-hundred-byte header). Non-RIFF /
+    * truncated / avih-less payloads yield null features (lenient-COPY).
+    * Frame pixel decode stays the documented [[decodeStub]] seam.
+    */
+  def parseVideoMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("n_frames", LongType),
+      StructField("us_per_frame", LongType),
+      StructField("duration_us", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]]("payload")
+        def le32(off: Int): Long =
+          (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+            ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+        def cc(off: Int): String =
+          if (off + 4 <= b.length)
+            new String(b, off, 4, "US-ASCII") else ""
+        // depth-first chunk walk over [from, until); returns the avih
+        // payload offset or -1. Descends into LISTs only — never copies.
+        def findAvih(from: Int, until: Int): Int = {
+          var off = from
+          while (off + 8 <= until) {
+            val id4 = cc(off); val szL = le32(off + 4)
+            val payloadEnd = off + 8L + szL
+            if (szL > Int.MaxValue || payloadEnd > until) return -1
+            val sz = szL.toInt
+            if (id4 == "avih" && sz >= 40) return off + 8
+            if (id4 == "LIST" && cc(off + 8) != "movi") {
+              val hit = findAvih(off + 12, payloadEnd.toInt)
+              if (hit >= 0) return hit
+            }
+            off = payloadEnd.toInt + (sz & 1)
+          }
+          -1
+        }
+        // try-wrapped like the codec decoders: ANY malformed byte pattern
+        // must degrade to null features, never fail the task
+        try {
+          val avih =
+            if (b == null || b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") -1
+            else findAvih(12,
+              math.min(b.length.toLong, 12L + le32(4)).toInt)
+          if (avih < 0 || avih + 40 > b.length) Row(id, null, null, null, null, null)
+          else {
+            val usPerFrame = le32(avih)
+            val nFrames = le32(avih + 16)
+            val w = le32(avih + 32); val h = le32(avih + 36)
+            Row(id, w, h, nFrames, usPerFrame, nFrames * usPerFrame)
+          }
+        } catch {
+          case _: RuntimeException => Row(id, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** STUB decode for the codec-less media kinds (video, compressed audio —
     * no JDK codec exists; images go through the REAL [[decodeImage]] and
-    * PCM/WAV audio through the REAL [[decodeAudio]]): a real
+    * PCM/WAV audio through the REAL [[decodeAudio]], and AVI container
+    * METADATA through the REAL [[parseVideoMeta]] — only the frame
+    * PIXELS remain codec-less): a real
     * deployment plugs a codec in here (JNI/javacv/etc.); the fake derives
     * deterministic "dimensions" and a tiny "pixel" vector from the payload
     * bytes so downstream stages are exercised end-to-end. Runs
@@ -328,6 +468,15 @@ object Multimodal {
     "mm_audio_features" -> ((s, dir) => {
       decodeAudio(synthWavTable(
         graft.Tables(s, dir, "documents"), idCol = "doc_id"))
+    }),
+    // REAL AVI container assembly → RIFF chunk-walk metadata parse,
+    // per-partition batched; oracle-gated because the synthetic corpus's
+    // header words are integer arithmetic of the id (see synthAviTable) —
+    // the video-container twin of mm_decode/mm_audio (frame pixels stay
+    // the documented stub seam)
+    "mm_video_meta" -> ((s, dir) => {
+      parseVideoMeta(synthAviTable(
+        graft.Tables(s, dir, "documents"), idCol = "doc_id"))
     })
   )
 
@@ -356,6 +505,17 @@ object Multimodal {
         |  CAST(SUM(smp) AS BIGINT) AS sum_samples,
         |  CAST(MAX(ABS(smp)) AS BIGINT) AS peak_abs
         |FROM v GROUP BY media_id, n""".stripMargin,
+    // independently derives what the RIFF walk must read back out of the
+    // assembled container: every header word is integer arithmetic of the id
+    "mm_video_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 * (1 + doc_id % 9) AS BIGINT) AS width,
+        |  CAST(16 * (1 + doc_id % 7) AS BIGINT) AS height,
+        |  CAST(10 + doc_id % 20 AS BIGINT) AS n_frames,
+        |  CAST(20000 + (doc_id % 5) * 10000 AS BIGINT) AS us_per_frame,
+        |  CAST((10 + doc_id % 20) * (20000 + (doc_id % 5) * 10000) AS BIGINT)
+        |    AS duration_us
+        |FROM documents""".stripMargin,
     // independently derives what the REAL PNG round trip must produce:
     // synthPngTable's two-tone fill is integer arithmetic of the id, and
     // the double expressions mirror decodeImage/extractFeatures' operation
