@@ -376,6 +376,34 @@ object TextAnalysis {
       .select(col("source"), col("n_s").as("n_tokens"), col("kl_nats"))
   }
 
+  /** Fixed-window overlapping chunking — the RAG/embedding-pipeline
+    * splitter: each document becomes `ceil(n_chars / stride)` chunks of up
+    * to `window` characters starting every `stride = window − overlap`
+    * characters, so consecutive chunks share `overlap` characters of
+    * context and every character lands in at least one chunk. A narrow,
+    * shuffle-FREE generate+project (sequence → explode → substring, all
+    * codegen'd): output volume is `(1 + overlap/stride)× corpus` and rows
+    * flow straight to the sink or the embedding stage — at 100 TB this is
+    * a map-only pass whose parallelism is the scan's. Deterministic ids
+    * (`doc_id`, `chunk_idx`) make downstream dedup/joins and re-chunking
+    * idempotent. Empty documents produce no chunks (there is no content to
+    * retrieve); boundary-snapped variants (sentence/token-aware) are a
+    * different window FUNCTION over the same generate+substring shape.
+    */
+  def chunkDocuments(d: DataFrame, window: Int, overlap: Int): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    d.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          floor((length(col("text")) - 1) / stride).cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx").cast("long") * stride).as("chunk_start"),
+        expr(s"substring(text, chunk_idx * $stride + 1, $window)").as("chunk_text"))
+      .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "documents")
 
@@ -458,7 +486,12 @@ object TextAnalysis {
 
     // per-source unigram KL drift vs the rest of the corpus (add-1
     // smoothing; decimal-summed terms so the oracle agrees bit-for-bit)
-    "drift_token_kl" -> ((s, dir) => tokenKlBySource(docs(s, dir)))
+    "drift_token_kl" -> ((s, dir) => tokenKlBySource(docs(s, dir))),
+
+    // RAG chunking: 80-char windows overlapping by 20 (stride 60) — a
+    // shuffle-free generate+substring pass, row-level oracle
+    "text_chunk_windows" -> ((s, dir) =>
+      chunkDocuments(docs(s, dir), window = 80, overlap = 20))
   )
 
   private val markerListSql: Map[String, String] =
@@ -628,6 +661,19 @@ object TextAnalysis {
         |  FROM grid)
         |SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
         |  ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS kl_nats
-        |FROM terms GROUP BY source, n_s""".stripMargin
+        |FROM terms GROUP BY source, n_s""".stripMargin,
+    // same window arithmetic re-derived: chunk i covers characters
+    // [i*60, i*60+80) 1-based-substr'd in both engines; empty docs chunkless
+    "text_chunk_windows" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    UNNEST(generate_series(0, CAST((length(text) - 1) // 60 AS INT))) AS i
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(i * 60 AS BIGINT) AS chunk_start,
+        |  substr(text, CAST(i * 60 + 1 AS INT), 80) AS chunk_text,
+        |  CAST(length(substr(text, CAST(i * 60 + 1 AS INT), 80)) AS BIGINT)
+        |    AS chunk_chars
+        |FROM c""".stripMargin
   )
 }

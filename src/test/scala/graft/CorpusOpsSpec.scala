@@ -885,4 +885,48 @@ class CorpusOpsSpec extends AnyFunSuite {
     val acc = QualityClassifier.heldOutAccuracy(scored)
     assert(acc >= 0.9, s"held-out accuracy $acc on contains(customer) at sf0.01")
   }
+
+  test("chunkDocuments: lossless overlapped cover, idempotent ids, empty-doc-free") {
+    import spark.implicits._
+    val window = 7; val overlap = 3; val stride = window - overlap
+    // lengths straddling every boundary case: empty, shorter than stride,
+    // exactly stride/window, one past window, long
+    val docs = Seq(0, 1, 3, 4, 7, 8, 23, 100).zipWithIndex.map { case (n, i) =>
+      (i.toLong, ("abcdefghij" * 12).take(n))
+    }.toDF("doc_id", "text")
+    // the splitter is a map-only generate+project: ZERO exchanges at any SF
+    val plan = TextAnalysis.chunkDocuments(docs, window, overlap)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.isEmpty, s"chunking must not shuffle:\n$plan")
+    val chunks = TextAnalysis.chunkDocuments(docs, window, overlap)
+      .orderBy("doc_id", "chunk_idx").collect()
+    assert(!chunks.exists(_.getLong(0) === 0L), "empty doc must produce no chunks")
+    val byDoc = chunks.groupBy(_.getLong(0))
+    for ((id, cs) <- byDoc) {
+      val text = docs.filter(col("doc_id") === id).head().getString(1)
+      // count: ceil(n / stride); indices dense from 0
+      assert(cs.length === (text.length + stride - 1) / stride, s"doc $id count")
+      assert(cs.map(_.getInt(1)).toSeq === (0 until cs.length), s"doc $id idx")
+      // every chunk is the exact substring at its recorded offset
+      for (c <- cs) {
+        val start = c.getLong(2).toInt
+        val t = c.getString(3)
+        assert(t === text.substring(start, math.min(start + window, text.length)),
+          s"doc $id chunk ${c.getInt(1)} content")
+        assert(c.getLong(4) === t.length.toLong)
+      }
+      // lossless reconstruction: stride-prefixes of all but the last chunk,
+      // then the last chunk whole
+      val rebuilt = cs.dropRight(1).map(_.getString(3).take(stride)).mkString +
+        cs.last.getString(3)
+      assert(rebuilt === text, s"doc $id reconstruction")
+      // consecutive chunks share exactly the overlap region
+      for (Array(a, b) <- cs.sliding(2).filter(_.length == 2)) {
+        val shared = a.getString(3).drop(stride)
+        assert(b.getString(3).startsWith(shared), s"doc $id overlap continuity")
+      }
+    }
+  }
 }
