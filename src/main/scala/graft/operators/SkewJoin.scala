@@ -39,7 +39,11 @@ object SkewJoin {
     * without bucketing. Spark's own InjectRuntimeFilter plays the same
     * trick for plan shapes it recognizes; this is the explicit spelling
     * for programmatic key sets (dedup survivors, audit lists, incremental
-    * deltas) and it pre-filters at a caller-chosen fpp.
+    * deltas) and it pre-filters at a caller-chosen fpp. Both halves of
+    * that division of labor are plan-pinned in ScaleSpec ("runtime-filter
+    * landscape"): the built-in rule FIRES on scan+selective-filter key
+    * sides — don't reinvent that — and never fires on programmatic ones,
+    * which is exactly this operator's lane.
     */
   def bloomSemiJoin(fact: DataFrame, keys: DataFrame, key: String,
                     expectedKeys: Long = 1L << 20,

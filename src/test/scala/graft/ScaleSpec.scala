@@ -49,6 +49,48 @@ class ScaleSpec extends AnyFunSuite {
       s"prefilter barely reduced: $preCount of 5000 for ${plain.length} matches")
   }
 
+  test("runtime-filter landscape: Spark injects on scan+filter shapes; " +
+      "bloomSemiJoin covers programmatic key sets") {
+    // Two halves of the same scale story. (1) When the semi join's key side
+    // is a SCANNED table narrowed by a selective predicate, Spark's own
+    // InjectRuntimeFilter plants a bloom_filter_might_contain prefilter on
+    // the fact side (with the size thresholds the optimizer uses at real
+    // scale lowered here so the tiny fixture qualifies) — the built-in
+    // optimizer already covers that shape, and graft must NOT reinvent it.
+    // (2) When the key side is PROGRAMMATIC (an in-memory frame, a dedup
+    // survivor set, an audit list — no scan, no selective source filter),
+    // the rule never fires even with every threshold at zero — THAT is the
+    // gap SkewJoin.bloomSemiJoin fills explicitly. Both pins are plan-level
+    // (the result equivalence is ScaleSpec's other bloom test + the oracle).
+    val dir = java.nio.file.Files.createTempDirectory("rtf").toString
+    Seq.tabulate(20000)(i => (i.toLong % 4000, s"row$i"))
+      .toDF("k", "payload").write.parquet(s"$dir/fact")
+    Seq.tabulate(4000)(i => (i.toLong, i % 97))
+      .toDF("k", "sel").write.parquet(s"$dir/keys")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def hasBloomProbe(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])))
+    val fact = s2.read.parquet(s"$dir/fact")
+    val scanKeys = s2.read.parquet(s"$dir/keys")
+      .filter(col("sel") === 0).select("k")
+    assert(hasBloomProbe(fact.join(scanKeys, Seq("k"), "left_semi")),
+      "Spark's InjectRuntimeFilter should fire on the scan+filter key side")
+    import s2.implicits._
+    val progKeys = (0L until 4000L by 97).map(k => (k, "x"))
+      .toDF("k", "tag").select("k")
+    assert(!hasBloomProbe(fact.join(progKeys, Seq("k"), "left_semi")),
+      "programmatic key sides are outside InjectRuntimeFilter's shape " +
+        "(if this starts firing on some Spark upgrade, bloomSemiJoin's " +
+        "scaladoc claim needs revisiting)")
+  }
+
   test("bucketed tables join without a shuffle") {
     val mat = new Materializer(spark,
       java.nio.file.Files.createTempDirectory("bucket-wh").toString)

@@ -933,4 +933,32 @@ class StreamingSpec extends AnyFunSuite {
     ).toDF("doc_id", "text"), Some(3L)).select("doc_id").as[Long].collect().toSet
     assert(a3 === Set(31L), s"delta-only restore lost history: $a3")
   }
+
+  test("streaming chunking twin: stateless map-only op runs unchanged on a stream") {
+    // chunkDocuments is a generate+project with no aggregation or state, so
+    // the SAME code must run under the streaming engine in Append mode with
+    // NO watermark — and emit exactly the batch result for the same rows,
+    // independent of micro-batch boundaries. This is the contract that lets
+    // the RAG splitter sit in the live ingest path.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val chunked = graft.operators.TextAnalysis.chunkDocuments(
+      input.toDF().toDF("doc_id", "text"), window = 7, overlap = 3)
+    val q = chunked.writeStream.format("memory")
+      .queryName("chunk_twin").outputMode("append").start()
+    try {
+      input.addData((1L, "abcdefghijklm"), (2L, ""))
+      q.processAllAvailable()
+      input.addData((3L, "abcd"))
+      q.processAllAvailable()
+      val got = spark.table("chunk_twin")
+        .orderBy("doc_id", "chunk_idx").collect().map(_.toSeq)
+      val want = graft.operators.TextAnalysis.chunkDocuments(
+        Seq((1L, "abcdefghijklm"), (2L, ""), (3L, "abcd")).toDF("doc_id", "text"),
+        window = 7, overlap = 3)
+        .orderBy("doc_id", "chunk_idx").collect().map(_.toSeq)
+      assert(got.toSeq === want.toSeq, "stream ≢ batch for the chunking twin")
+    } finally q.stop()
+  }
 }
