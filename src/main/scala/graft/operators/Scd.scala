@@ -138,6 +138,44 @@ object Scd {
     kept.unionByName(incoming.select(target.columns.toSeq.map(col): _*))
   }
 
+  /** Ordered CDC apply — a Debezium/DMS-style change feed folded into table
+    * state in ONE pass. Where [[mergeUpsert]] applies one pre-deduplicated
+    * batch, this resolves a feed that may carry SEVERAL versions of the
+    * same key, out of arrival order: each change row is a full row image
+    * plus `opCol` (`I`/`U` upsert, `D` delete) and a monotonic per-key
+    * `versionCol` (LSN / binlog position / commit ts); the per-key row with
+    * the HIGHEST version wins (last-writer-wins), and a winning delete
+    * removes the key. Base rows participate as version-0 images, so a key
+    * untouched by the feed survives unchanged and a key with any change
+    * history resolves against its base row by the same rule.
+    *
+    * Preconditions (standard CDC-log guarantees, not re-checked per row):
+    * feed versions are > 0 and unique per key — a duplicated (key, version)
+    * would make the winner nondeterministic, exactly as it would in the
+    * source log.
+    *
+    * Scale shape: ONE equi-shuffle of base ∪ feed on the key, then a
+    * rank-1-per-key filter that Catalyst executes as WindowGroupLimit
+    * (spec-pinned): each partition keeps one candidate row per key while
+    * scanning, O(1) state per key, no full per-key sort materialization.
+    * With the base bucketed on the key (the layout a maintained table
+    * earns) the base side never moves and only the feed shuffles.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, key: String,
+               opCol: String = "cdc_op",
+               versionCol: String = "cdc_version"): DataFrame = {
+    val dataCols = base.columns.toSeq
+    val all = base
+      .withColumn(opCol, lit("I")).withColumn(versionCol, lit(0L))
+      .unionByName(changes.select(
+        (dataCols.map(col) :+ col(opCol) :+ col(versionCol).cast("long")): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(versionCol).desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .select(dataCols.map(col): _*)
+  }
+
   // ---------------------------------------------------------------- battery
 
   /** Battery shapes, derived deterministically from the tables so the DuckDB
@@ -195,6 +233,31 @@ object Scd {
           lit(false).as("_delete"))
       val feed = updates.unionByName(tombstones).unionByName(inserts)
       mergeUpsert(o, feed, Seq("o_orderkey"), deleteWhen = Some(col("_delete")))
+    }),
+
+    // ordered CDC feed with OUT-OF-ORDER versions: v1 updates %5 keys
+    // (+1000), v2 updates %15 keys (+2000 — must beat its own key's v1),
+    // v3 deletes %7 keys (must beat any update), v1 inserts ghost keys.
+    // The feed is unioned in a deliberately shuffled order; version
+    // resolution, not arrival order, decides every key.
+    "cdc_apply" -> ((sp, dir) => {
+      val o = graft.Tables(sp, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      def img(rows: DataFrame, price: Column, op: String, v: Long) =
+        rows.select(col("o_orderkey"), price.as("o_totalprice"),
+          col("o_orderpriority"),
+          lit(op).as("cdc_op"), lit(v).as("cdc_version"))
+      val feed =
+        img(o.filter(col("o_orderkey") % 7 === 0), col("o_totalprice"), "D", 3L)
+          .unionByName(img(o.filter(col("o_orderkey") % 15 === 0),
+            col("o_totalprice") + 2000.0, "U", 2L))
+          .unionByName(img(o.filter(col("o_orderkey") % 5 === 0),
+            col("o_totalprice") + 1000.0, "U", 1L))
+          .unionByName(img(
+            o.filter(col("o_orderkey") % 11 === 0)
+              .withColumn("o_orderkey", col("o_orderkey") + 1000000000L),
+            lit(1.0), "I", 1L))
+      applyCdc(o, feed, "o_orderkey")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -251,5 +314,27 @@ object Scd {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         |  o_orderpriority
-        |FROM feed WHERE NOT _delete""".stripMargin)
+        |FROM feed WHERE NOT _delete""".stripMargin,
+    "cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority,
+        |    'I' AS cdc_op, 0 AS v
+        |  FROM orders),
+        |feed AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority, 'D' AS cdc_op, 3 AS v
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 2000.0, o_orderpriority, 'U', 2
+        |  FROM orders WHERE o_orderkey % 15 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 1000.0, o_orderpriority, 'U', 1
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, 1.0, o_orderpriority, 'I', 1
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM feed))
+        |SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM ranked WHERE rn = 1 AND cdc_op <> 'D'""".stripMargin)
 }

@@ -125,4 +125,26 @@ class ScdSpec extends AnyFunSuite {
     assert(files("p1") === p1Before, "untouched partition was rewritten")
     assert(files("p3").isEmpty, "fully-deleted partition directory survived")
   }
+
+  test("applyCdc: last-writer-wins across shuffled versions; WindowGroupLimit plan") {
+    // one key per lifecycle: untouched, single update, update-then-update
+    // (v2 beats v1), update-then-delete (delete wins), delete-then-revive
+    // (higher-version upsert beats an earlier delete), pure insert
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("k", "v")
+    // feed deliberately in scrambled arrival order
+    val feed = Seq(
+      (3L, "c2", "U", 2L), (4L, "dX", "U", 1L), (2L, "b1", "U", 1L),
+      (4L, "d-gone", "D", 2L), (5L, "e-gone", "D", 1L), (3L, "c1", "U", 1L),
+      (5L, "e-back", "U", 2L), (6L, "f", "I", 1L)
+    ).toDF("k", "v", "cdc_op", "cdc_version")
+    val out = Scd.applyCdc(base, feed, "k")
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "b1"), (3L, "c2"), (5L, "e-back"), (6L, "f")))
+    // the rank-1 filter must execute as WindowGroupLimit (O(1) per-key
+    // state during the scan), not a full window materialization
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
 }
