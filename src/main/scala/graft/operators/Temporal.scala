@@ -216,6 +216,42 @@ object Temporal {
       .drop("__b")
   }
 
+  /** Gap-filled resample — the time-series regularization step (pandas
+    * `resample().ffill()`, InfluxDB `fill(previous)`): per key, an
+    * evenly-spaced bucket grid over the observed range where each bucket
+    * carries its own aggregate when observations exist and the most recent
+    * prior bucket's aggregate otherwise (step-function carry; buckets
+    * before a key's first observation stay null — there is nothing to
+    * carry). `is_gap` marks filled buckets so downstream stats can weight
+    * real and carried points differently. Complements `resample_locf`
+    * below: LOCF aligns RAW observations onto a grid (as-of join, no
+    * aggregation); this operator AGGREGATES per bucket first and carries
+    * the bucket aggregate — the `resample().sum().ffill()` shape.
+    *
+    * Scale shape: ONE hash aggregation bounded by keys×buckets (map-side
+    * partial combine — the corpus never shuffles raw), a grid built
+    * lazily from `sequence(min,max)` × distinct keys (metadata-sized, no
+    * driver collect), and one per-key ordered window for the carry. The
+    * aggregate folds in DECIMAL so the carried values hash identically in
+    * any engine.
+    */
+  def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: Column, bucketWidth: Long): DataFrame = {
+    val bucket = expr(s"`$tsCol` div $bucketWidth")
+    val obs = df.groupBy(col(keyCol), bucket.as("bucket"))
+      .agg(sum(valueCol.cast("decimal(18,2)")).as("v"))
+    val bounds = df.agg(min(bucket).as("mn"), max(bucket).as("mx"))
+    val grid = df.select(col(keyCol)).distinct()
+      .crossJoin(bounds.select(explode(sequence(col("mn"), col("mx"))).as("bucket")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        last(col("v"), ignoreNulls = true).over(w)
+          .cast("double").as("value_ffill"),
+        col("v").isNull.as("is_gap"))
+  }
+
   /** 30 minutes in nanoseconds (events.ts is a nano-epoch long). */
   private val AttribWindowNs = 30L * 60 * 1000 * 1000 * 1000
 
@@ -447,7 +483,15 @@ object Temporal {
         .select(col("purchase_id"),
           coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
           coalesce(col("click_value"), lit(0.0)).as("click_value"))
-    })
+    }),
+
+    // gap-filled hourly resample of per-type event value sums: the grid is
+    // keys × observed-range buckets, empty hours carry the previous hour's
+    // sum (is_gap marks them), hours before a type's first observation
+    // stay null. Decimal-folded sums so both engines carry identical values.
+    "ts_resample_ffill" -> ((s, dir) =>
+      resampleFfill(events(s, dir), keyCol = "event_type", tsCol = "ts",
+        valueCol = col("value"), bucketWidth = 3600L * 1000 * 1000 * 1000))
   )
 
   /** The native tier shares its declarative twin's oracle SQL verbatim —
@@ -532,6 +576,26 @@ object Temporal {
         |  ON c.user_id = p.user_id
         | AND epoch_us(c.ts) > epoch_us(p.ts)
         | AND epoch_us(c.ts) <= epoch_us(p.ts) + 1800000000
-        |GROUP BY p.event_id""".stripMargin
+        |GROUP BY p.event_id""".stripMargin,
+    // same grid + carry re-derived: hourly buckets of epoch time, window
+    // carry via IGNORE NULLS last_value over the bucket order
+    "ts_resample_ffill" ->
+      """WITH obs AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(epoch_us(ts) // 3600000000) AS mn,
+        |             MAX(epoch_us(ts) // 3600000000) AS mx FROM events),
+        |grid AS (
+        |  SELECT k.event_type, UNNEST(generate_series(b.mn, b.mx)) AS bucket
+        |  FROM (SELECT DISTINCT event_type FROM events) k, b)
+        |SELECT g.event_type, g.bucket,
+        |  CAST(last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.event_type
+        |    ORDER BY g.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS value_ffill,
+        |  o.v IS NULL AS is_gap
+        |FROM grid g LEFT JOIN obs o
+        |  ON o.event_type = g.event_type AND o.bucket = g.bucket""".stripMargin
   )
 }

@@ -240,6 +240,47 @@ class TemporalSpec extends AnyFunSuite {
     assert(math.abs(prS(2L) - (1.0 - prS(1L)) / 3) < 1e-12, prS)
   }
 
+  test("triangles: K4, star, shared-edge pair — exact sets") {
+    // K4: every 3-subset is a triangle → 4 triangles, each node in 3
+    val k4 = (for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)).toDF("src", "dst")
+    val c4 = Clustering.triangleCounts(k4)
+      .as[(String, Long)].collect().toMap
+    assert(c4 === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    assert(Clustering.triangles(k4).count() === 4L)
+    // star: no triangles at all (and degree orientation builds zero wedges
+    // at the hub — the skew-robustness the operator exists for)
+    val star = Seq(("h", "x"), ("h", "y"), ("h", "z"), ("h", "w")).toDF("src", "dst")
+    assert(Clustering.triangles(star).count() === 0L)
+    // two triangles sharing edge b-c
+    val shared = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"))
+      .toDF("src", "dst")
+    val cs = Clustering.triangleCounts(shared).as[(String, Long)].collect().toMap
+    assert(cs === Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+  }
+
+  test("triangles: degree orientation matches brute force on a random graph") {
+    val rnd = new scala.util.Random(1234)
+    val n = 24
+    val edges = (for {
+      a <- 0 until n; b <- 0 until n if a < b && rnd.nextDouble() < 0.22
+    } yield (s"n$a", s"n$b"))
+    val adj = edges.toSet
+    def hasEdge(x: String, y: String) =
+      adj.contains((x, y)) || adj.contains((y, x))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = (for {
+      i <- nodes.indices; j <- i + 1 until nodes.length; k <- j + 1 until nodes.length
+      if hasEdge(nodes(i), nodes(j)) && hasEdge(nodes(j), nodes(k)) &&
+        hasEdge(nodes(i), nodes(k))
+    } yield Seq(nodes(i), nodes(j), nodes(k))).flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Clustering.triangleCounts(edges.toDF("src", "dst"))
+      .as[(String, Long)].collect().toMap
+    assert(got === brute)
+  }
+
   test("pageRank: dangling mass is redistributed (sum stays 1)") {
     // 1→2, 2 is dangling: without the fix, mass drains each round
     val g = Seq((1L, 2L)).toDF("src", "dst")
@@ -520,5 +561,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === Set(
       (1L, 0L, 0L, 4L), (1L, 1L, 3L, 7L), (1L, 2L, 6L, 10L),
       (2L, 0L, 0L, 1L)))
+  }
+
+  test("resampleFfill: gaps carry the prior bucket, leading buckets stay null") {
+    // buckets of width 10 over ts range [5, 38] → grid 0..3 for BOTH keys.
+    // key a observes in buckets 0 (2.5+1.0) and 3 (4.0) — buckets 1,2 carry
+    // 3.5; key b observes only in bucket 2 (7.0) — buckets 0,1 stay null
+    // (nothing to carry), bucket 3 carries 7.0.
+    val ev = Seq(
+      ("a", 5L, 2.5), ("a", 8L, 1.0), ("a", 38L, 4.0),
+      ("b", 27L, 7.0)
+    ).toDF("k", "ts", "value")
+    val out = graft.operators.Temporal
+      .resampleFfill(ev, "k", "ts", col("value"), bucketWidth = 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getBoolean(3))).toSet
+    assert(out === Set(
+      ("a", 0L, 3.5, false), ("a", 1L, 3.5, true),
+      ("a", 2L, 3.5, true), ("a", 3L, 4.0, false),
+      ("b", 0L, null, true), ("b", 1L, null, true),
+      ("b", 2L, 7.0, false), ("b", 3L, 7.0, true)))
   }
 }
