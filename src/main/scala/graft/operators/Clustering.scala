@@ -252,7 +252,93 @@ object Clustering {
       .select(col("e.src"), col("e.dst"))
   }
 
+  /** Mutual-top-k word co-occurrence graph over a document corpus: nodes
+    * are words, and each word keeps an edge to its `topK` strongest
+    * co-occurrence partners (by shared-document count, partner-name
+    * tie-break); the union over both endpoints, canonicalized
+    * `least/greatest`, is the edge set. The standard sparse backbone for
+    * corpus community structure — the raw co-occurrence graph saturates
+    * into a clique on any topically-uniform corpus (465/465 pairs co-occur
+    * on this one), carrying no structure for downstream graph ops.
+    *
+    * Scale shape: tokenization is map-side; pair counting is one shuffle
+    * bounded by (tokens-per-doc)² per doc; the top-k is a per-word
+    * WindowGroupLimit over a vocabulary-sized frame (vocab², worst case —
+    * metadata-sized next to the corpus).
+    */
+  def cooccurrenceTopKGraph(d: DataFrame, idCol: String, textCol: String,
+                            topK: Int): DataFrame = {
+    val tok = d.select(col(idCol).as("doc"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val pairs = tok.alias("a").join(tok.alias("b"),
+        col("a.doc") === col("b.doc") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("src"), col("b.w").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val sym = pairs.select(col("src").as("w"), col("dst").as("p"), col("n"))
+      .unionByName(pairs.select(col("dst").as("w"), col("src").as("p"), col("n")))
+    val byStrength = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("n").desc, col("p"))
+    sym.withColumn("rk", row_number().over(byStrength))
+      .filter(col("rk") <= topK)
+      .select(least(col("w"), col("p")).as("src"),
+        greatest(col("w"), col("p")).as("dst"))
+      .distinct()
+  }
+
+  /** Exact triangle enumeration by DEGREE ORIENTATION (Cohen's MapReduce
+    * formulation): orient every undirected edge toward its higher-(degree,
+    * id) endpoint, build wedges only at each edge's LOWER end, and close
+    * them with a semi-join. Each triangle materializes exactly once (at its
+    * minimum-order vertex), and the wedge count — the quadratic term — is
+    * Σ out-deg² where out-degree is bounded by √|E| under this orientation
+    * regardless of hub skew: a star graph builds ZERO wedges at its hub.
+    * That bound is what makes the operator survive power-law graphs at
+    * scale; the naive `a<b<c` id-ordered join (the oracle's form) puts
+    * every hub pair in one wedge set.
+    *
+    * Output: one row per triangle (a, b, c in orientation order) —
+    * orientation-independent as a SET, so the id-ordered oracle derives the
+    * identical per-node counts.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("src").as("n"))
+      .unionByName(edges.select(col("dst").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("n").as("src"), col("deg").as("sdeg")), Seq("src"))
+      .join(deg.select(col("n").as("dst"), col("deg").as("ddeg")), Seq("dst"))
+    val oriented = withDeg.select(
+        when(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")),
+          struct(col("src").as("u"), col("dst").as("v"),
+            col("ddeg").as("vdeg")))
+          .otherwise(struct(col("dst").as("u"), col("src").as("v"),
+            col("sdeg").as("vdeg"))).as("e"))
+      .select(col("e.u"), col("e.v"), col("e.vdeg"))
+    val wedges = oriented.select(col("u"), col("v").as("v1"), col("vdeg").as("d1"))
+      .join(oriented.select(col("u"), col("v").as("v2"), col("vdeg").as("d2")),
+        Seq("u"))
+      .filter(struct(col("d1"), col("v1")) < struct(col("d2"), col("v2")))
+    wedges
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")),
+        Seq("v1", "v2"), "left_semi")
+      .select(col("u").as("a"), col("v1").as("b"), col("v2").as("c"))
+  }
+
+  /** Per-node triangle participation over [[triangles]] output. */
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangles(edges)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-word triangle participation in the mutual-top-5 co-occurrence
+    // graph — full hash oracle (exact counts; DuckDB re-derives the graph
+    // and enumerates triangles by id order, which must yield the same set)
+    "graph_triangle_counts" -> ((s, dir) =>
+      triangleCounts(cooccurrenceTopKGraph(
+        graft.Tables(s, dir, "documents"), "doc_id", "text", topK = 5))),
+
     // near-dup pairs (true-Jaccard ≥ 0.8, the oracle-gated dedup output) →
     // duplicate clusters; cluster_id doubles as the survivor id
     "dedup_clusters" -> ((s, dir) =>
@@ -304,6 +390,34 @@ object Clustering {
   )
 
   def oracles: Map[String, String] = Map(
+    // graph re-derived verbatim; triangles enumerated by id-order joins
+    // (the naive form — fine at oracle scale) instead of degree orientation
+    "graph_triangle_counts" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id AS doc, w FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |     FROM documents) t
+        |  WHERE length(w) > 0),
+        |pc AS (SELECT a.w AS src, b.w AS dst, COUNT(*) AS n
+        |       FROM tok a JOIN tok b ON a.doc = b.doc AND a.w < b.w
+        |       GROUP BY 1, 2),
+        |sym AS (SELECT src AS w, dst AS p, n FROM pc
+        |        UNION ALL SELECT dst, src, n FROM pc),
+        |topk AS (SELECT w, p FROM
+        |  (SELECT w, p, ROW_NUMBER() OVER
+        |     (PARTITION BY w ORDER BY n DESC, p) AS rk FROM sym)
+        |  WHERE rk <= 5),
+        |e AS (SELECT DISTINCT LEAST(w, p) AS src, GREATEST(w, p) AS dst
+        |      FROM topk),
+        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |        FROM e e1
+        |        JOIN e e2 ON e2.src = e1.dst
+        |        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        |SELECT node, COUNT(*) AS n_tri FROM
+        |  (SELECT a AS node FROM tri
+        |   UNION ALL SELECT b FROM tri
+        |   UNION ALL SELECT c FROM tri) nodes
+        |GROUP BY node""".stripMargin,
     // node-count conservation derived independently; the mass/positivity
     // counters are constants BY DESIGN (see pageRankInvariants)
     "graph_pagerank_check" ->
