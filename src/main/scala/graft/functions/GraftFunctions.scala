@@ -63,6 +63,16 @@ object GraftFunctions {
         LshBandBuckets(exprs(0),
           intArg(exprs(1), "lsh_band_buckets"), intArg(exprs(2), "lsh_band_buckets"),
           intArg(exprs(3), "lsh_band_buckets"))
+      }),
+    ("jaro_winkler", classOf[JaroWinkler].getName,
+      exprs => {
+        arity("jaro_winkler", exprs, "2", exprs.size == 2)
+        JaroWinkler(exprs(0), exprs(1))
+      }),
+    ("unicode_fold", classOf[UnicodeFold].getName,
+      exprs => {
+        arity("unicode_fold", exprs, "1", exprs.size == 1)
+        UnicodeFold(exprs(0))
       }))
 
   def register(spark: SparkSession): Unit =

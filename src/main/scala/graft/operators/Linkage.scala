@@ -92,7 +92,25 @@ object Linkage {
     // CTE closure on the DuckDB side, pointer-jumping CC here)
     "er_resolved_entities" -> ((s, dir) =>
       resolveEntities(entities(parts(s, dir), "p_name", "p_partkey"),
-        nounBlock, maxLev = 2))
+        nounBlock, maxLev = 2)),
+    // Jaro-Winkler fuzzy tier (the native codegen'd expression): blocks on
+    // the FIRST name token — JW weights shared prefixes, so prefix blocking
+    // is the recall-aligned choice — and both engines filter on the ROUNDED
+    // score so a sub-round representation wiggle can't flip membership (the
+    // kernel is bit-identical to DuckDB's, pinned in JaroWinklerSpec).
+    "er_jaro_winkler" -> ((s, dir) => {
+      val ents = entities(parts(s, dir), "p_name", "p_partkey")
+      val a = ents.select(split(col("name"), " ").getItem(0).as("blk"),
+        col("name").as("name_a"))
+      val b = ents.select(split(col("name"), " ").getItem(0).as("blk"),
+        col("name").as("name_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          round(graft.functions.JaroWinkler.jaroWinkler(
+            col("name_a"), col("name_b")), 4).as("jw"))
+        .filter(col("jw") >= 0.85)
+    })
   )
 
   private val entitiesSql =
@@ -127,6 +145,13 @@ object Linkage {
          |             FROM reach GROUP BY id)
          |SELECT e.name, e.entity_key,
          |  COALESCE(c.cluster_id, e.entity_key) AS canonical_key, e.n_rows
-         |FROM e LEFT JOIN clusters c USING (entity_key)""".stripMargin
+         |FROM e LEFT JOIN clusters c USING (entity_key)""".stripMargin,
+    "er_jaro_winkler" ->
+      s"""WITH e AS ($entitiesSql),
+         |blk AS (SELECT split_part(name, ' ', 1) AS blk, * FROM e)
+         |SELECT a.name AS name_a, b.name AS name_b,
+         |  ROUND(jaro_winkler_similarity(a.name, b.name), 4) AS jw
+         |FROM blk a JOIN blk b ON a.blk = b.blk AND a.name < b.name
+         |WHERE ROUND(jaro_winkler_similarity(a.name, b.name), 4) >= 0.85""".stripMargin
   )
 }
