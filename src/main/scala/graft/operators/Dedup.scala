@@ -1189,7 +1189,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Unicode-canonical dedup groups: documents whose RAW texts differ but
+    * fold to the same accent/case/encoding-form-insensitive key
+    * ([[graft.functions.UnicodeFold]]: NFD → strip marks → lower). These are
+    * exactly the duplicates byte-exact dedup CANNOT see — NFC vs NFD
+    * spellings, case variants, diacritic-stripped mirrors of the same text —
+    * all common across web-scraped corpora. Groups whose members are
+    * byte-identical already belong to `dedup_exact_groups`; this operator
+    * keeps only `n_raw_forms > 1` groups so the two tiers partition the
+    * dup space cleanly.
+    *
+    * Scale shape: one map-side fold + md5 (both codegen'd), ONE shuffle on
+    * the 128-bit key with partial aggregation — the text itself never
+    * shuffles beyond the distinct-forms count, which can be dropped (or
+    * replaced by approx_count_distinct) at the 100 TB tier if the
+    * raw-form histogram isn't needed.
+    */
+  def unicodeFoldGroups(d: DataFrame, idCol: String, textCol: String): DataFrame =
+    d.withColumn("fold_key",
+        md5(graft.functions.UnicodeFold.unicodeFold(col(textCol))))
+      .groupBy(col("fold_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"),
+        countDistinct(col(textCol)).as("n_raw_forms"))
+      .filter(col("n_raw_forms") > 1)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // unicode-fold dedup over a planted corpus: accented (NFC), upper-cased,
+    // and DECOMPOSED-accent (NFD combining mark) variants of base docs must
+    // all merge with their originals under the fold key. Full hash oracle —
+    // the fold is engine-portable (see UnicodeFold scaladoc).
+    "dedup_unicode_fold" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val accented = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          translate(col("text"), "aeiou", "àéîöü").as("text"))
+      val cased = base.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          upper(col("text")).as("text"))
+      val decomposed = base.filter(col("doc_id") % 11 === 6)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          // "e" + U+0301 COMBINING ACUTE — the NFD spelling of é
+          regexp_replace(col("text"), "e", "e\u0301").as("text"))
+      unicodeFoldGroups(
+        base.unionByName(accented).unionByName(cased).unionByName(decomposed),
+        "doc_id", "text")
+    }),
 
     // exact dedup: duplicate-content groups with the survivor id
     "dedup_exact_groups" -> ((s, dir) => {
@@ -1324,6 +1369,29 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    // the same planted corpus re-derived; DuckDB's fold recipe
+    // lower(strip_accents(nfc_normalize(x))) is semantically identical to
+    // UnicodeFold's NFD→strip-Mn→lower on this character range (pinned in
+    // UnicodeFoldSpec against a DuckDB-generated fixture). The decomposed
+    // variant's replacement is "e" + U+0301 verbatim in the SQL text.
+    "dedup_unicode_fold" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, translate(text, 'aeiou', 'àéîöü')
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, upper(text)
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, replace(text, 'e', 'é')
+        |  FROM documents WHERE doc_id % 11 = 6)
+        |SELECT md5(lower(strip_accents(nfc_normalize(text)))) AS fold_key,
+        |  MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT text) AS n_raw_forms
+        |FROM corpus
+        |GROUP BY 1 HAVING COUNT(DISTINCT text) > 1""".stripMargin,
     // exact-dup pair count derived independently; the recall-floor and
     // hygiene counters are constants BY DESIGN (see simhashInvariants)
     "dedup_simhash_check" ->
