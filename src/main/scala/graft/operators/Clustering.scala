@@ -331,6 +331,85 @@ object Clustering {
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
 
+  /** k-core: the unique maximal subgraph in which every node has ≥ k
+    * neighbors — the standard graph-density filter in front of community
+    * detection (and, over an interaction graph, the "engaged-cohort"
+    * extractor). Computed by iterative peeling: drop all nodes of degree
+    * < k, re-count, repeat to fixpoint. Peeling is confluent, so ANY
+    * evaluation order converges to the same core — what lets the oracle
+    * re-derive it by a fixed unrolled round count.
+    *
+    * Input: one row per undirected edge (`src`, `dst`), no duplicates
+    * (multiplicity would inflate degrees). Output: the core's node set.
+    *
+    * Scale shape: each round is one degree aggregation + two semi-joins
+    * (all key-hash shuffles with partial aggregates; nothing driver-sized),
+    * lineage truncated per round via `localCheckpoint`, convergence
+    * detected by the monotone edge count — one scalar action per round,
+    * O(peel-depth) rounds total (the same iteration discipline as
+    * [[connectedComponents]]).
+    */
+  def kCore(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    var adj = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint()
+    var nEdges = adj.count()
+    var done = nEdges == 0L
+    while (!done) {
+      val keep = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      val next = adj.join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      val n2 = next.count()
+      done = n2 == nEdges
+      adj = next
+      nEdges = n2
+    }
+    adj.select(col("u").as("node")).distinct()
+  }
+
+  /** Distinct customer↔supplier trade edges (canonical direction, one row
+    * per pair) — the DEDUPLICATED twin of [[tradeEdges]] for operators
+    * where edge multiplicity would corrupt degrees (k-core peeling).
+    */
+  private def tradeEdgesDistinct(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = graft.Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1L << 40)).as("dst"))
+      .distinct()
+  }
+
+  /** Unrolled peeling oracle for [[kCore]]: `rounds` chained
+    * symmetrize→degree→filter rounds in plain SQL. Peeling is confluent
+    * and each extra round past the fixpoint is the identity, so any
+    * `rounds` ≥ the true peel depth yields exactly the core (observed
+    * depth on this graph: 1; 8 is the safety margin).
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    // every CTE MATERIALIZED: the round chain references each s_i three
+    // times, so default CTE inlining re-expands the whole prefix 3^rounds
+    // times (observed as a too-many-open-files parquet re-scan storm)
+    val sb = new StringBuilder(
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS u, l_suppkey + 1099511627776 AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)""".stripMargin)
+    for (i <- 0 until rounds) {
+      sb.append(s""",
+        |k$i AS MATERIALIZED (SELECT u FROM s$i GROUP BY u HAVING COUNT(*) >= $k),
+        |s${i + 1} AS MATERIALIZED (SELECT s.u, s.v FROM s$i s
+        |  JOIN k$i a ON s.u = a.u JOIN k$i b ON s.v = b.u)""".stripMargin)
+    }
+    sb.append(s"\nSELECT DISTINCT u AS node FROM s$rounds")
+    sb.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-word triangle participation in the mutual-top-5 co-occurrence
     // graph — full hash oracle (exact counts; DuckDB re-derives the graph
@@ -338,6 +417,13 @@ object Clustering {
     "graph_triangle_counts" -> ((s, dir) =>
       triangleCounts(cooccurrenceTopKGraph(
         graft.Tables(s, dir, "documents"), "doc_id", "text", topK = 5))),
+
+    // 40-core of the distinct customer↔supplier trade graph: the engaged
+    // cohort whose every member trades with ≥ 40 core counterparties.
+    // Full hash oracle — peeling is confluent, so DuckDB's fixed 8-round
+    // unroll reaches the identical fixpoint
+    "graph_kcore" -> ((s, dir) =>
+      kCore(tradeEdgesDistinct(s, dir), k = 40)),
 
     // near-dup pairs (true-Jaccard ≥ 0.8, the oracle-gated dedup output) →
     // duplicate clusters; cluster_id doubles as the survivor id
@@ -390,6 +476,7 @@ object Clustering {
   )
 
   def oracles: Map[String, String] = Map(
+    "graph_kcore" -> kCoreOracleSql(k = 40, rounds = 8),
     // graph re-derived verbatim; triangles enumerated by id-order joins
     // (the naive form — fine at oracle scale) instead of degree orientation
     "graph_triangle_counts" ->

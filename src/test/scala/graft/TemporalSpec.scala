@@ -281,6 +281,46 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("kCore: cascading peel, maximality, empty core") {
+    // path a-b-c-d-e with k=2: peeling cascades from both ends to empty
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("src", "dst")
+    assert(Clustering.kCore(path, k = 2).count() === 0L)
+    // triangle + tail c-d-e: 2-core is exactly the triangle (d peels only
+    // AFTER e does — a genuine multi-round cascade)
+    val triTail = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    assert(Clustering.kCore(triTail, k = 2).as[String].collect().toSet ===
+      Set("a", "b", "c"))
+    // K4: 3-core is everything; 4-core is empty
+    val k4 = (for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)).toDF("src", "dst")
+    assert(Clustering.kCore(k4, k = 3).count() === 4L)
+    assert(Clustering.kCore(k4, k = 4).count() === 0L)
+  }
+
+  test("kCore: matches brute-force peeling on a random graph") {
+    val rnd = new scala.util.Random(77)
+    val n = 30
+    val edges = (for {
+      a <- 0 until n; b <- 0 until n if a < b && rnd.nextDouble() < 0.18
+    } yield (s"n$a", s"n$b"))
+    for (k <- Seq(2, 3, 5)) {
+      var core = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = core.map(v => v -> edges.count(e =>
+          (e._1 == v && core(e._2)) || (e._2 == v && core(e._1)))).toMap
+        val next = core.filter(v => deg(v) >= k)
+        changed = next.size != core.size
+        core = next
+      }
+      val got = Clustering.kCore(edges.toDF("src", "dst"), k)
+        .as[String].collect().toSet
+      assert(got === core, s"k=$k")
+    }
+  }
+
   test("pageRank: dangling mass is redistributed (sum stays 1)") {
     // 1→2, 2 is dangling: without the fix, mass drains each round
     val g = Seq((1L, 2L)).toDF("src", "dst")
