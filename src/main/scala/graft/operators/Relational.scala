@@ -409,6 +409,26 @@ object Relational {
           min(col("k")).as("k_min"), max(col("k")).as("k_max"))
     }),
 
+    // S8's Spark-4-NATIVE twin: the same VARIANT-path aggregate through the
+    // engine's binary variant type instead of per-access string re-parsing —
+    // `try_parse_json` decodes each JSON document ONCE into the
+    // shredding-friendly binary encoding, `try_variant_get` does typed path
+    // access on those bytes. Same null-robust semantics (absent path or
+    // non-long value → null, counted, never dropped); at scale this is the
+    // form that wins when SEVERAL paths are extracted per row — one decode
+    // amortizes across all of them, where s8's get_json_object re-parses
+    // the string per path.
+    "s8c_variant_agg" -> ((s, dir) => {
+      val k = try_variant_get(try_parse_json(col("props")), "$.k", "long")
+      t(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+    }),
+
     // TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join driver —
     // the per-order rollup (group-cardinality-sized after its one shuffle)
     // filters DOWN to the few large orders before any dimension join, so
@@ -423,6 +443,31 @@ object Relational {
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("o_orderkey"),
           col("o_totalprice"), col("qsum").cast("double").as("sum_qty"))
+    }),
+
+    // TPC-H Q10 shape: returned-items revenue per customer over one quarter.
+    // Both fact inputs are thinned BEFORE the join — the date window on
+    // orders and the returnflag on lineitem reach their scans as pushed
+    // filters — then one customer-keyed aggregate; nation broadcasts. The
+    // decimal-fold keeps the revenue exact, so the top-20 order (revenue
+    // desc, custkey) is engine-deterministic.
+    "q10_returned_items" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01") &&
+          col("o_orderdate").cast("date") < lit("1996-04-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
     }),
 
     // ranking family: rank/dense_rank/ntile (beyond the reference's W1).
@@ -890,6 +935,17 @@ object Relational {
         |  CAST(SUM(k) AS BIGINT) AS k_sum,
         |  MIN(k) AS k_min, MAX(k) AS k_max
         |FROM kv GROUP BY event_type""".stripMargin,
+    // identical oracle shape to s8 — the variant tier must agree with the
+    // string-path tier row for row (same TRY_CAST missing semantics)
+    "s8c_variant_agg" ->
+      """WITH kv AS (SELECT event_type,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |  CAST(SUM(k) AS BIGINT) AS k_sum,
+        |  MIN(k) AS k_min, MAX(k) AS k_max
+        |FROM kv GROUP BY event_type""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsum
@@ -900,6 +956,19 @@ object Relational {
         |FROM orders
         |JOIN big ON o_orderkey = big.l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+        |  SELECT c_custkey, c_name, c_acctbal, n_name,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+        |  GROUP BY c_custkey, c_name, c_acctbal, n_name)
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "w4_rank_suite" ->
       """SELECT c_custkey, c_nationkey,
         |  RANK() OVER w AS rnk,

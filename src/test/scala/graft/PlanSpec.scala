@@ -43,6 +43,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
   }
 
+  test("q10: returnflag reaches the lineitem scan; nation broadcasts") {
+    // the joined plan is AQE-wrapped, so scans hide behind the adaptive
+    // node — assert on the printed plan (which includes scan metadata)
+    val plan = q("q10_returned_items").queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
   test("left join + IS NOT NULL is rewritten to inner (EliminateOuterJoin)") {
     val joins = q("j6_left_null_filter").queryExecution.optimizedPlan.collect {
       case j: Join => j.joinType
