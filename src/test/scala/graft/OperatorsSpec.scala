@@ -724,6 +724,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(4L) === ((10L, 10L, 1.0)))
   }
 
+  test("variant path access agrees with string path access on hostile shapes") {
+    // the two S8 tiers (get_json_object string re-parse vs native VARIANT
+    // binary decode) must yield identical k on every JSON shape, not just
+    // the all-numeric corpus: present long, numeric string (BOTH parse to
+    // 12 — and DuckDB's TRY_CAST agrees), missing path, malformed document,
+    // SQL null, JSON null, nested extra fields
+    val shapes = Seq(
+      """{"k": 5}""", """{"k": "12"}""", """{"j": 1}""", "not json",
+      null, """{"k": null}""", """{"k": 7, "x": [1, 2]}""", """{"k": -3}""")
+    val df = shapes.toDF("props")
+    val viaString = df.select(
+      get_json_object(col("props"), "$.k").cast("long").as("k")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+    val viaVariant = df.select(
+      try_variant_get(try_parse_json(col("props")), "$.k", "long").as("k"))
+      .collect()
+      .map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+    assert(viaVariant === Seq(5L, 12L, null, null, null, null, 7L, -3L))
+    assert(viaString === viaVariant)
+  }
+
   test("TextAnalysis: bigram LM scores repetitive text above token soup") {
     val d = Seq(
       (0L, "a b a b a b a b"), // high-count bigrams under the corpus model
