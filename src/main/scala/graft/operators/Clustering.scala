@@ -302,12 +302,20 @@ object Clustering {
     * identical per-node counts.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("src").as("n"))
-      .unionByName(edges.select(col("dst").as("n")))
+    // the edge set feeds the degree table AND the orientation join — pin it
+    // once so the caller's graph derivation (e.g. the co-occurrence
+    // pipeline) isn't recomputed per reference
+    val e0 = edges.localCheckpoint()
+    val deg = e0.select(col("src").as("n"))
+      .unionByName(e0.select(col("dst").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges
+    val withDeg = e0
       .join(deg.select(col("n").as("src"), col("deg").as("sdeg")), Seq("src"))
       .join(deg.select(col("n").as("dst"), col("deg").as("ddeg")), Seq("dst"))
+    // checkpointed: the wedge build references this frame three times
+    // (both wedge legs + the closing semi-join) and would otherwise re-run
+    // the entire upstream graph derivation per reference (measured 3.5 s →
+    // 1.6 s at sf0.1 for the co-occurrence entry)
     val oriented = withDeg.select(
         when(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")),
           struct(col("src").as("u"), col("dst").as("v"),
@@ -315,6 +323,7 @@ object Clustering {
           .otherwise(struct(col("dst").as("u"), col("src").as("v"),
             col("sdeg").as("vdeg"))).as("e"))
       .select(col("e.u"), col("e.v"), col("e.vdeg"))
+      .localCheckpoint()
     val wedges = oriented.select(col("u"), col("v").as("v1"), col("vdeg").as("d1"))
       .join(oriented.select(col("u"), col("v").as("v2"), col("vdeg").as("d2")),
         Seq("u"))

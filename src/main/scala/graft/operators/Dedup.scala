@@ -86,6 +86,75 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Prefix-filtered EXACT set-similarity join (SSJoin/PPJoin family,
+    * Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08): the third candidate
+    * strategy for the same Jaccard-pairs contract — `ngramJaccardPairs` is
+    * the O(N²) oracle baseline, `minhashLshPairs` is approximate (recall
+    * < 1 by design); this one is EXACT *and* subquadratic. Under any shared
+    * total token order, two sets with Jaccard ≥ t must collide within
+    * their first `|x| − ⌈t·|x|⌉ + 1` tokens (if the prefixes were
+    * disjoint, every common token would sit in both suffixes, capping the
+    * overlap below the threshold) — so candidates come from ONE equi-join
+    * on prefix tokens, with rare-first ordering (global doc-frequency asc)
+    * making those prefix postings the shortest, plus the standard length
+    * filter `t·|y| ≤ |x| ≤ |y|/t`. Each candidate is verified with the
+    * codegen'd two-pointer intersect; output ≡ the brute-force tier row
+    * for row (spec-pinned at several thresholds).
+    *
+    * Scale shape: a doc-frequency aggregate, a per-doc top-(prefix) window,
+    * an equi-join on prefix tokens (shuffle bounded by posting-list sizes
+    * of the RAREST ~(1−t) fraction of each doc), and a verify join — no
+    * all-pairs stage anywhere.
+    */
+  def jaccardPrefixPairs(d: DataFrame, threshold: Double): DataFrame = {
+    val sh = d.select(col("doc_id"), hashedShingles(col("text")).as("g"))
+      .withColumn("sz", size(col("g"))).filter(col("sz") > 0)
+      .localCheckpoint() // reused by the ranking, candidate, and verify arms
+    val tok = sh.select(col("doc_id"), explode(col("g")).as("tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    // prefix length n − ⌈t·n⌉ + 1, float-guarded: t·n computed in binary
+    // can land a hair ABOVE the exact product and bump the ceil, SHORTENING
+    // the prefix and silently breaking completeness — the +1e-9 floor form
+    // only ever errs one token LONGER (more candidates, never fewer)
+    val plen = col("sz") - floor(lit(threshold) * col("sz") + lit(1e-9)) + 1
+    val prefix = tok.join(dfreq, Seq("tok"))
+      .withColumn("rk", row_number().over(byRarity))
+      .join(sh.select(col("doc_id"), col("sz")), Seq("doc_id"))
+      .filter(col("rk") <= plen)
+      .select(col("tok"), col("doc_id"), col("sz"), col("rk"))
+    // PPJoin positional filter: at a collision row, every OTHER common
+    // token follows it in the global order on BOTH sides (an earlier
+    // common token would itself be an earlier collision), so the
+    // achievable intersection is 1 + min(remaining suffix lengths); a
+    // qualifying pair needs I ≥ ⌈t/(1+t)·(nx+ny)⌉ and its FIRST collision
+    // row always passes, so dropping failing rows loses no pair. Measured
+    // at sf0.1: 52M raw collision rows → 7.2M surviving the length +
+    // positional filters BEFORE the distinct shuffle. (The −1e-9 is the
+    // same ceil float-guard as plen, erring on the weaker bound.)
+    val needI = ceil(lit(threshold / (1 + threshold)) *
+      (col("x.sz") + col("y.sz")) - lit(1e-9))
+    val cand = prefix.alias("x").join(prefix.alias("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.sz") >= lit(threshold) * col("y.sz") &&
+          col("y.sz") >= lit(threshold) * col("x.sz") &&
+          lit(1) + least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk")) >= needI)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("g").as("ga"),
+        col("sz").as("na")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("g").as("gb"),
+        col("sz").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.SortedIntersectSize(col("ga"), col("gb")).as("i"),
+        (col("na") + col("nb")).as("ab"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") / (col("ab") - col("i")), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** MinHash+LSH near-dup pairs: k=32 hashes, 4 bands × 8 rows; candidates
     * from band-bucket collisions, verified with true Jaccard ≥ threshold.
     *
@@ -1265,6 +1334,21 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairsAdaptive(docs(s, dir), threshold = 0.8)),
 
+    // the same Jaccard-pairs contract via PREFIX FILTERING — exact AND
+    // subquadratic in the near-dup-sparse regime (vs the brute baseline
+    // above and the approximate LSH tier below). The gate runs a
+    // deterministic third of the corpus: THIS corpus's pairwise baseline
+    // similarity (~0.65 vs threshold 0.8) keeps ~27% of all pairs as
+    // candidates even after the length + positional filters — a density
+    // no candidate strategy can prune away — so the full-corpus form
+    // prices at 11 s while the 60-k-row brute broadcast kernel does 2 s;
+    // on a real (low-overlap) corpus the comparison inverts, and the
+    // full-corpus row equality with the brute tier is spec-pinned at
+    // three thresholds
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      jaccardPrefixPairs(docs(s, dir).filter(col("doc_id") % 3 === 0),
+        threshold = 0.8)),
+
     // edit-distance near-dup pairs (exact length-bucket blocking + banded
     // levenshtein; oracle recomputes the unbanded distance over a<b pairs)
     "dedup_edit_distance" -> ((s, dir) =>
@@ -1445,6 +1529,19 @@ object Dedup {
       """WITH sh AS (SELECT doc_id,
         |  list_distinct(list_transform(range(1, length(text) - 1), i -> text[i:i+2])) AS g
         |FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |        len(list_distinct(a.g || b.g)), 4) AS jac
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |      len(list_distinct(a.g || b.g)), 4) >= 0.8""".stripMargin,
+    // identical contract to dedup_ngram_jaccard — the prefix-filter tier
+    // must reproduce the brute tier's rows exactly (same oracle text; like
+    // its siblings, gated at sf0.01 where the DuckDB side is quadratic)
+    "dedup_jaccard_prefix" ->
+      """WITH sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, length(text) - 1), i -> text[i:i+2])) AS g
+        |FROM documents WHERE doc_id % 3 = 0)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
         |        len(list_distinct(a.g || b.g)), 4) AS jac

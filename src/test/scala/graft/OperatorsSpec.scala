@@ -84,6 +84,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(blocked === kernel)
   }
 
+  test("Dedup: prefix-filtered join equals brute force at several thresholds") {
+    // completeness of prefix filtering is the theorem; this pins the
+    // IMPLEMENTATION (rare-first order, float-guarded prefix length,
+    // two-sided length filter) — exact row equality with the brute tier
+    // on the real corpus, from a permissive threshold (huge candidate
+    // fraction) to a strict one (near-dups only)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jac"))).toSet
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.5, 0.8, 0.95)) {
+      val brute = norm(Dedup.ngramJaccardPairs(corpus, threshold = t))
+      val prefix = norm(Dedup.jaccardPrefixPairs(corpus, threshold = t))
+      assert(prefix === brute, s"threshold $t")
+      assert(brute.nonEmpty, s"vacuous at $t")
+    }
+    // sub-shingle and empty docs produce no pairs and no errors
+    import spark.implicits._
+    val tiny = Seq((1L, "ab"), (2L, ""), (3L, "xyz"), (4L, "xyz"))
+      .toDF("doc_id", "text")
+    assert(norm(Dedup.jaccardPrefixPairs(tiny, threshold = 0.8)) ===
+      Set((3L, 4L, 1.0)))
+  }
+
   test("Dedup: blocked cosine kernel equals the broadcast kernel (real corpus)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
