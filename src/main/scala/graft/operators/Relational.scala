@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fn.Keys
+import graft.operators.Sampling
 import graft.serve.{Eq, Filters, NumBetween}
 
 /** The relational operator battery — every scan/filter/join/agg/window/sort/
@@ -368,6 +369,46 @@ object Relational {
       profile(t(s, dir, "lineitem"), "l_partkey", "lineitem")
         .unionByName(profile(t(s, dir, "lineitem"), "l_suppkey", "lineitem"))
         .unionByName(profile(t(s, dir, "orders"), "o_custkey", "orders"))
+    }),
+
+    // Join-cardinality estimator (the second planner diagnostic next to
+    // diag_skew_report): |A ⋈_k B| from two 1024-bucket key histograms —
+    // each side reduces MAP-SIDE to ≤ 1024 rows before any exchange, so
+    // the estimate costs two scans and a metadata-sized join at ANY scale.
+    // The raw bucketed dot product Σ_b cntA_b·cntB_b is BIASED upward by
+    // the in-bucket cross terms — E[dot] = J + (|A||B| − J)/nb, which
+    // DOMINATES when distinct keys ≫ buckets (measured here: dot 88.5M vs
+    // true 600k) — so the emitted estimate is the unbiased inversion
+    // (nb·dot − |A||B|)/(nb − 1), the classic count-sketch inner-product
+    // correction. The exact size Σ_key cntA·cntB (a distinct-key shuffle —
+    // cheap next to materializing the join, but key-cardinality-sized
+    // where the sketch is constant-sized) and the relative error are
+    // emitted too, so the gate certifies the accuracy contract on this
+    // data. md5-derived buckets = engine-portable.
+    "diag_join_estimate" -> ((s, dir) => {
+      val nb = 1024
+      def hist(df: DataFrame, key: String) = df
+        .groupBy(Sampling.hashBucket(col(key), nb).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val dot = hist(o, "o_orderkey").as("ha")
+        .join(hist(li, "l_orderkey").as("hb"), Seq("bucket"))
+        .agg(sum(col("ha.cnt") * col("hb.cnt")).as("dot"))
+      val sizes = o.agg(count(lit(1)).as("na"))
+        .crossJoin(li.agg(count(lit(1)).as("nb_rows")))
+      def keyCnt(df: DataFrame, key: String) = df
+        .groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+      val exact = keyCnt(o, "o_orderkey").as("ka")
+        .join(keyCnt(li, "l_orderkey").as("kb"), Seq("k"))
+        .agg(sum(col("ka.cnt") * col("kb.cnt")).as("exact_rows"))
+      dot.crossJoin(sizes).crossJoin(exact)
+        .select(col("dot"), col("exact_rows"),
+          round((lit(nb) * col("dot") - col("na") * col("nb_rows"))
+            .cast("double") / (nb - 1), 2).as("est_rows"))
+        .select(col("est_rows"), col("exact_rows"),
+          round((col("est_rows") - col("exact_rows")) * 100.0 /
+            col("exact_rows"), 4).as("err_pct"))
     }),
 
     // equi-DEPTH histogram (the planner-statistics companion to a14's
@@ -887,6 +928,27 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
         |WHERE r_name = 'EUROPE'
         |GROUP BY n_name""".stripMargin,
+    // same md5 bucket formula as the engine's Sampling.hashBucket
+    "diag_join_estimate" ->
+      """WITH ha AS (
+        |  SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT % 1024 AS bucket,
+        |         COUNT(*) AS cnt FROM orders GROUP BY 1),
+        |hb AS (
+        |  SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::UBIGINT % 1024 AS bucket,
+        |         COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        |d AS (SELECT CAST(SUM(ha.cnt * hb.cnt) AS BIGINT) AS dot
+        |      FROM ha JOIN hb USING (bucket)),
+        |sz AS (SELECT (SELECT COUNT(*) FROM orders) AS na,
+        |              (SELECT COUNT(*) FROM lineitem) AS nb_rows),
+        |ka AS (SELECT o_orderkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1),
+        |kb AS (SELECT l_orderkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        |ex AS (SELECT CAST(SUM(ka.cnt * kb.cnt) AS BIGINT) AS exact_rows
+        |       FROM ka JOIN kb USING (k)),
+        |est AS (SELECT ROUND(CAST(1024 * dot - na * nb_rows AS DOUBLE) / 1023, 2) AS est_rows
+        |        FROM d, sz)
+        |SELECT est_rows, exact_rows,
+        |  ROUND((est_rows - exact_rows) * 100.0 / exact_rows, 4) AS err_pct
+        |FROM est, ex""".stripMargin,
     "diag_skew_report" ->
       """WITH p AS (SELECT l_partkey AS k FROM lineitem),
         |sp AS (SELECT l_suppkey AS k FROM lineitem),
