@@ -291,6 +291,44 @@ object Sampling {
     counts.crossJoin(nSel).crossJoin(selNotRaw).crossJoin(topk)
   }
 
+  /** Forward-chaining time split with an embargo gap — the temporal
+    * counterpart of [[groupSplit]]'s leakage discipline: train is strictly
+    * before the cutoff, test strictly after cutoff + embargo, and the rows
+    * in between are QUARANTINED (the standard guard against look-ahead
+    * leakage through lagged/windowed features that straddle the boundary —
+    * a test-set row whose 6-hour rolling feature reaches back into train
+    * would leak future labels backward). The cutoff sits at `trainPct`% of
+    * the OBSERVED time range — pure long arithmetic (`min + (max−min)·p/100`
+    * with integer floor division), so any engine derives the identical
+    * boundary; a rank-based quantile cutoff would hinge on interpolation
+    * float behavior at ns magnitudes where doubles no longer hold integers.
+    *
+    * Scale shape: one min/max agg over the timestamp column, broadcast
+    * back as two scalars; the split label itself is a codegen'd projection
+    * — no shuffle beyond whatever the caller aggregates next.
+    */
+  def timeSplit(d: DataFrame, tsCol: Column, trainPct: Int = 80,
+                embargo: Long = 0L): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct in (0,100), got $trainPct")
+    val b = d.agg(min(tsCol).as("__mn"), max(tsCol).as("__mx"))
+    // integer `div`, not `/`: Column `/` on longs promotes to DOUBLE, and
+    // at ns timestamp magnitudes (≫ 2^53) the product no longer fits a
+    // double exactly — the boundary would drift from any engine doing the
+    // arithmetic in integers. Decomposed as q·p + (r·p) div 100 with
+    // (q, r) = (range div 100, range % 100): ⌊range·p/100⌋ exactly, but
+    // range·p never materializes (it overflows long for ns ranges under
+    // ANSI mode — r·p stays < 100·100)
+    val cutoff = expr(
+      s"""__mn + ((__mx - __mn) div 100) * $trainPct
+         |     + (((__mx - __mn) % 100) * $trainPct) div 100""".stripMargin)
+    d.crossJoin(broadcast(b))
+      .withColumn("split",
+        when(tsCol < cutoff, "train")
+          .when(tsCol >= cutoff + embargo, "test")
+          .otherwise("embargo"))
+      .drop("__mn", "__mx")
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "documents")
 
@@ -301,6 +339,23 @@ object Sampling {
       docs(s, dir).select(col("doc_id"),
         hashBucket(col("doc_id")).as("bucket"),
         hashSplit(col("doc_id")).as("split"))),
+
+    // forward-chaining time split with a 6-hour embargo over events (µs
+    // grain — ns would overflow double exactness in the decimal fold
+    // downstream engines): per-split conservation stats; the per-split
+    // min/max ARE the leakage evidence (train max < cutoff ≤ embargo rows
+    // < cutoff+6h ≤ test min), re-derived exactly by the oracle
+    "sample_time_split" -> ((s, dir) => {
+      val ev = graft.Tables(s, dir, "events")
+        .select(expr("ts div 1000").as("ts_us"), col("user_id"), col("value"))
+      timeSplit(ev, col("ts_us"), trainPct = 80,
+          embargo = 6L * 3600 * 1000 * 1000)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          min(col("ts_us")).as("min_us"), max(col("ts_us")).as("max_us"))
+    }),
 
     // leakage-aware split: label keyed on the exact-dedup fingerprint so
     // duplicate documents can never straddle train/test — row-level output,
@@ -373,6 +428,20 @@ object Sampling {
   )
 
   def oracles: Map[String, String] = Map(
+    // identical integer boundary arithmetic (µs grain, floor division)
+    "sample_time_split" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, user_id, value FROM events),
+        |b AS (SELECT MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM e),
+        |s AS (SELECT user_id, value, ts_us,
+        |  CASE WHEN ts_us < mn + ((mx - mn) * 80) // 100 THEN 'train'
+        |       WHEN ts_us >= mn + ((mx - mn) * 80) // 100 + 21600000000 THEN 'test'
+        |       ELSE 'embargo' END AS split
+        |  FROM e, b)
+        |SELECT split, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(ts_us) AS min_us, MAX(ts_us) AS max_us
+        |FROM s GROUP BY split""".stripMargin,
     // conservation columns derived from raw documents; violation counters
     // are constants BY DESIGN — DuckDB cannot run the hashed-bigram model,
     // but a selection/scoring bug turns a Spark-side zero nonzero

@@ -120,6 +120,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
   }
 
+  test("Sampling.timeSplit: boundaries, embargo quarantine, integer cutoff") {
+    import graft.operators.Sampling
+    // range [0, 1000], 80% cutoff = 800, embargo 50 → train < 800,
+    // embargo [800, 850), test ≥ 850
+    val d = Seq(0L, 100L, 799L, 800L, 849L, 850L, 999L, 1000L).toDF("ts")
+    val got = Sampling.timeSplit(d, col("ts"), trainPct = 80, embargo = 50L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(0L -> "train", 100L -> "train", 799L -> "train",
+      800L -> "embargo", 849L -> "embargo",
+      850L -> "test", 999L -> "test", 1000L -> "test"))
+    // the leakage contract on the real corpus: max(train) < min(embargo)
+    // ≤ ... < min(test), with the embargo gap exactly covering the window
+    val ev = Tables(spark, sf2, "events")
+      .select(expr("ts div 1000").as("ts_us"))
+    val emb = 6L * 3600 * 1000 * 1000
+    val spans = Sampling.timeSplit(ev, col("ts_us"), 80, emb)
+      .groupBy(col("split"))
+      .agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(spans("train")._2 < spans("embargo")._1 ||
+      spans.get("embargo").isEmpty)
+    assert(spans("test")._1 - spans("train")._2 > emb)
+    // ns-magnitude cutoff arithmetic stays exact (the `div` vs `/` trap):
+    // with min=0 and max = 1.6e18, the 80% boundary is exactly 1.28e18
+    val big = Seq(0L, 1280000000000000000L - 1, 1280000000000000000L,
+      1600000000000000000L).toDF("ts")
+    val gotBig = Sampling.timeSplit(big, col("ts"), 80, 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotBig(1280000000000000000L - 1) === "train")
+    assert(gotBig(1280000000000000000L) === "test")
+  }
+
   test("Sampling.groupSplitByKey: a transitive near-dup family draws one split label") {
     // the documented near-dup composition: CC roots over a pair graph
     // become the split key, so the WHOLE transitive family (even docs never
