@@ -888,7 +888,179 @@ object Similarity {
         .otherwise(0L).as("recall_floor_violation"))
   }
 
+  /** Top-k candidates per query with their vectors and norms carried —
+    * the input frame MMR re-ranks. Same plan shape as [[bruteForceTopK]]
+    * (broadcast query set, streamed corpus, norms computed once).
+    */
+  def mmrCandidates(e: DataFrame, k: Int, dim: Option[Int]): DataFrame = {
+    val par = graft.Tuning.fanout(e.sparkSession)
+    val base = e.select(col("vec_id"), col("embedding"),
+      normC(col("embedding"), dim).as("nrm"))
+    val corpus = if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+    val q = querySet(e).withColumn("qnrm", normC(col("q_emb"), dim))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("nrm"),
+        (dotC(col("q_emb"), col("embedding"), dim) /
+          (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** MMR diversified re-rank (Maximal Marginal Relevance, Carbonell &
+    * Goldstein SIGIR'98): from each query's top-`k` cosine candidates,
+    * greedily pick `m` results maximizing
+    * `λ·relevance − (1−λ)·max_sim_to_already_picked` — the standard
+    * redundancy suppressor for RAG context assembly (near-duplicate
+    * passages waste the context window the retriever fills).
+    *
+    * The candidate generation is the distributed part (one broadcast join,
+    * identical shape to the exact top-k); the greedy selection is
+    * per-query iterative geometry over a BOUNDED array (≤ k items — the
+    * documented UDF exception, same category as LTTB), with pairwise sims
+    * computed inside the kernel in the engine's sequential-double contract
+    * so the DataFrame-native margin verifier ([[mmrInvariantsOn]])
+    * reproduces the objectives bit-for-bit via `dotN`.
+    *
+    * Output: (q_id, neighbor_id, pick ∈ 1..min(m,k), mmr) — `mmr` is the
+    * raw objective at pick time.
+    */
+  def mmrRerank(e: DataFrame, k: Int, m: Int, lambda: Double,
+                dim: Option[Int]): DataFrame = {
+    val sel = udf { (arr: Seq[org.apache.spark.sql.Row]) =>
+      val n = arr.length
+      val ids = arr.map(_.getLong(1)).toArray
+      val cosV = arr.map(_.getDouble(2)).toArray
+      val embV = arr.map(_.getSeq[Float](3).toArray).toArray
+      val nrmV = arr.map(_.getDouble(4)).toArray
+      def sim(i: Int, j: Int): Double = {
+        val a = embV(i); val b = embV(j)
+        var s = 0.0; var x = 0
+        while (x < a.length) { s += a(x).toDouble * b(x).toDouble; x += 1 }
+        s / (nrmV(i) * nrmV(j))
+      }
+      val picked = new Array[Boolean](n)
+      // TRUE running max — init to -Inf, not 0: cosine sims can be
+      // NEGATIVE, and flooring the max at 0 understates the diversity
+      // penalty's sign (caught by the margin gate at sf0.1). The
+      // empty-set convention (penalty 0 before any pick) applies only
+      // at t = 1, where no prior exists for ANY candidate.
+      val maxSim = Array.fill(n)(Double.NegativeInfinity)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+      var t = 1
+      val mm = math.min(m, n)
+      while (t <= mm) {
+        var best = -1; var bestObj = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            val penalty = if (t == 1) 0.0 else maxSim(i)
+            val obj = lambda * cosV(i) - (1 - lambda) * penalty
+            // strict >: ties resolve to the earlier (higher-relevance,
+            // lower-id) candidate — the array arrives rank-sorted
+            if (obj > bestObj) { bestObj = obj; best = i }
+          }
+          i += 1
+        }
+        picked(best) = true
+        out += ((ids(best), t, bestObj))
+        i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            val sv = sim(i, best)
+            if (sv > maxSim(i)) maxSim(i) = sv
+          }
+          i += 1
+        }
+        t += 1
+      }
+      out.toSeq
+    }
+    mmrCandidates(e, k, dim)
+      .groupBy(col("q_id"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("vec_id"),
+        col("cos"), col("embedding"), col("nrm")))).as("c"))
+      .select(col("q_id"), explode(sel(col("c"))).as("p"))
+      .select(col("q_id"), col("p._1").as("neighbor_id"),
+        col("p._2").as("pick"), col("p._3").as("mmr"))
+  }
+
+  /** MMR semantic gate over a GIVEN picks frame (separated so the
+    * non-vacuity test can feed tampered picks): every counter is derived
+    * with DataFrame-native vector math (`dotN` — the same sequential-double
+    * contract as the kernel), never by re-running the greedy. Violations:
+    * per-query pick count ≠ min(m, #cands); duplicate picks; first pick ≠
+    * the top-relevance candidate; and the greedy margin — at every step t,
+    * the picked candidate's objective `λ·cos − (1−λ)·max_{t'<t} sim` must
+    * be ≥ every still-available candidate's, within 1e-9.
+    */
+  def mmrInvariantsOn(e: DataFrame, picks: DataFrame, k: Int, m: Int,
+                      lambda: Double, dim: Option[Int]): DataFrame = {
+    val cands = mmrCandidates(e, k, dim).localCheckpoint()
+    val p = picks.localCheckpoint()
+    val nQ = cands.select(col("q_id")).distinct()
+      .agg(count(lit(1)).as("n_queries"))
+    val counts = cands.groupBy(col("q_id")).agg(count(lit(1)).as("nc"))
+      .join(p.groupBy(col("q_id")).agg(count(lit(1)).as("np")), Seq("q_id"))
+      .agg(coalesce(sum(when(col("np") =!=
+        least(lit(m), col("nc")), 1L).otherwise(0L)), lit(0L))
+        .as("pick_count_violations"))
+    val dups = p.groupBy(col("q_id"), col("neighbor_id"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(when(col("n") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("dup_pick_violations"))
+    val first = p.filter(col("pick") === 1)
+      .join(cands.filter(col("rank") === 1)
+        .select(col("q_id"), col("vec_id").as("top_id")), Seq("q_id"))
+      .agg(coalesce(sum(when(col("neighbor_id") =!= col("top_id"), 1L)
+        .otherwise(0L)), lit(0L)).as("first_pick_violations"))
+    // availability grid: candidate u at step t, its max sim to picks < t
+    val pVec = p.join(cands.select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("p_emb"), col("nrm").as("p_nrm")),
+      Seq("q_id", "neighbor_id"))
+    val steps = p.select(col("q_id"), col("pick").as("t"),
+      col("neighbor_id").as("picked_id"))
+    val grid = cands.join(steps, Seq("q_id"))
+    val priorSim = grid.join(pVec.select(col("q_id"),
+          col("pick").as("tp"), col("p_emb"), col("p_nrm")), Seq("q_id"))
+      .filter(col("tp") < col("t"))
+      .groupBy(col("q_id"), col("t"), col("vec_id"))
+      .agg(max(dotC(col("embedding"), col("p_emb"), dim) /
+        (col("nrm") * col("p_nrm"))).as("max_prior"))
+    val objGrid = grid
+      .join(priorSim, Seq("q_id", "t", "vec_id"), "left")
+      // available at t = not picked strictly before t
+      .join(p.select(col("q_id"), col("neighbor_id").as("vec_id"),
+        col("pick").as("pt")), Seq("q_id", "vec_id"), "left")
+      .filter(col("pt").isNull || col("pt") >= col("t"))
+      .withColumn("obj", lit(lambda) * col("cos") -
+        lit(1 - lambda) * coalesce(col("max_prior"), lit(0.0)))
+    val margins = objGrid
+      .groupBy(col("q_id"), col("t"), col("picked_id"))
+      .agg(max(col("obj")).as("best_obj"),
+        max(when(col("vec_id") === col("picked_id"), col("obj"))).as("picked_obj"))
+      .agg(coalesce(sum(when(col("picked_obj") < col("best_obj") - 1e-9, 1L)
+        .otherwise(0L)), lit(0L)).as("margin_violations"))
+    nQ.crossJoin(counts).crossJoin(dups).crossJoin(first).crossJoin(margins)
+  }
+
+  def mmrInvariants(e: DataFrame, k: Int, m: Int, lambda: Double,
+                    dim: Option[Int]): DataFrame =
+    mmrInvariantsOn(e, mmrRerank(e, k, m, lambda, dim), k, m, lambda, dim)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MMR-diversified top-10 from the exact top-20 (rows-only: float
+    // greedy; the semantic gate below is the oracle-checked contract)
+    "retrieval_mmr_topk" -> ((s, dir) =>
+      mmrRerank(emb(s, dir), k = 20, m = 10, lambda = 0.7,
+          dim = Some(graft.Tables.EmbeddingDim))
+        .select(col("q_id"), col("neighbor_id"), col("pick"),
+          round(col("mmr"), 6).as("mmr"))),
+    // the MMR semantic gate: DuckDB derives the query-set size and pins
+    // the violation counters at zero
+    "retrieval_mmr_check" -> ((s, dir) =>
+      mmrInvariants(emb(s, dir), k = 20, m = 10, lambda = 0.7,
+        dim = Some(graft.Tables.EmbeddingDim))),
     // exact cosine top-10 (oracle-gated; ranks only)
     "ann_brute_topk" -> ((s, dir) =>
       bruteForceTopK(emb(s, dir), k = 10, dim = Some(graft.Tables.EmbeddingDim))),
@@ -982,6 +1154,17 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    // query-set size derived independently; the selection-contract
+    // counters are constants BY DESIGN (see mmrInvariantsOn — every one is
+    // recomputed with DataFrame-native vector math, never by re-running
+    // the greedy)
+    "retrieval_mmr_check" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(0 AS BIGINT) AS pick_count_violations,
+        |  CAST(0 AS BIGINT) AS dup_pick_violations,
+        |  CAST(0 AS BIGINT) AS first_pick_violations,
+        |  CAST(0 AS BIGINT) AS margin_violations
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     // corpus / query-set conservation derived independently; the lifecycle
     // contract counters are constants BY DESIGN (see ivfLifecycleInvariants)
     "ann_ivf_lifecycle_check" ->

@@ -15,8 +15,10 @@ import graft.operators.{Dedup, Clustering, QualityClassifier, Similarity,
   * the same test re-runs the clean path and asserts it stays at zero.
   * (BpeSpec carries the corrupted-merge-table twin for `text_bpe_train_check`.)
   *
-  * Coverage: 18 of the 20 battery `_check` gates carry an induced-violation
-  * test here or in BpeSpec (the round-12 Bloom-index gates included: the
+  * Coverage: 19 of the 21 battery `_check` gates carry an induced-violation
+  * test here or in BpeSpec (`retrieval_mmr_check` included — reversed pick
+  * order fires first-pick + margin, a duplicated pick row fires the
+  * dup/count arms; the round-12 Bloom-index gates too: the
   * prune gate's `pruned_ok` arm fires through its public probe-set knob and
   * its `missed_rows` arm through a tampered index one level down; the
   * append gate's `files_mismatch` arm through a phantom index row one level
@@ -35,6 +37,34 @@ class GateSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
+
+  test("mmrInvariantsOn: tampered picks fire the margin and first-pick counters") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dim = Some(graft.Tables.EmbeddingDim)
+    val clean = Similarity.mmrRerank(e, k = 10, m = 5, lambda = 0.7, dim)
+      .localCheckpoint()
+    val ok = Similarity.mmrInvariantsOn(e, clean, k = 10, m = 5, 0.7, dim)
+      .collect().head
+    assert(ok.getAs[Long]("pick_count_violations") === 0L)
+    assert(ok.getAs[Long]("dup_pick_violations") === 0L)
+    assert(ok.getAs[Long]("first_pick_violations") === 0L)
+    assert(ok.getAs[Long]("margin_violations") === 0L)
+    assert(ok.getAs[Long]("n_queries") > 0L)
+    // reverse each query's pick order: pick 1 becomes the greedy's LAST
+    // choice — first_pick and margin must both fire
+    val tampered = clean.withColumn("pick",
+      (lit(6) - col("pick")).cast("int"))
+    val bad = Similarity.mmrInvariantsOn(e, tampered, k = 10, m = 5, 0.7, dim)
+      .collect().head
+    assert(bad.getAs[Long]("first_pick_violations") > 0L, bad.toString)
+    assert(bad.getAs[Long]("margin_violations") > 0L, bad.toString)
+    // duplicate a pick row: the count and dup counters fire
+    val dup = clean.unionByName(clean.limit(1))
+    val bad2 = Similarity.mmrInvariantsOn(e, dup, k = 10, m = 5, 0.7, dim)
+      .collect().head
+    assert(bad2.getAs[Long]("dup_pick_violations") +
+      bad2.getAs[Long]("pick_count_violations") > 0L, bad2.toString)
+  }
 
   test("tokenTopKInvariants: missing_top_m fires when k cannot hold top-m") {
     // exact top-2 is {aa, bb}; a top-1 sketch can surface only one of them

@@ -747,6 +747,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(4L) === ((10L, 10L, 1.0)))
   }
 
+  test("MMR rerank suppresses redundant near-duplicate candidates") {
+    // query (id 0) + a tight near-dup cluster along the query axis + one
+    // off-axis candidate: relevance-only top-2 = the two clones; MMR at
+    // λ=0.5 spends pick 2 on the diverse candidate instead
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),     // the query (vec_id % 100 == 0)
+      (1L, Array(0.99f, 0.1f, 0f, 0f)), // clone 1 (most relevant)
+      (2L, Array(0.98f, 0.12f, 0f, 0f)), // clone 2 (next by relevance)
+      (3L, Array(0.7f, -0.7f, 0f, 0f)) // diverse (less relevant)
+    ).toDF("vec_id", "embedding")
+    val relevanceOnly = Similarity.bruteForceTopK(e, k = 2, dim = Some(4))
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(relevanceOnly === Seq(1L, 2L))
+    val mmr = Similarity.mmrRerank(e, k = 3, m = 2, lambda = 0.5, Some(4))
+      .orderBy(col("pick")).collect().map(_.getLong(1)).toSeq
+    assert(mmr === Seq(1L, 3L), s"MMR should diversify, got $mmr")
+  }
+
   test("variant path access agrees with string path access on hostile shapes") {
     // the two S8 tiers (get_json_object string re-parse vs native VARIANT
     // binary decode) must yield identical k on every JSON shape, not just
