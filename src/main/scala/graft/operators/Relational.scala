@@ -222,6 +222,26 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
     }),
 
+    // salted skew join (beyond tier) — the manual hot-key spreader for when
+    // AQE's skew splitting isn't enough: the fact takes a whole-row-hash
+    // salt, the dimension explodes ×16, and each hot supplier key spreads
+    // over 16 reducers. Result must be ROW-IDENTICAL to the plain inner
+    // join — the oracle is that plain join, so any salt-alignment bug
+    // (missed (key, salt) pair, dropped salt bucket) breaks the hash.
+    // Aggregated per nation so the gate also exercises the post-join shape.
+    "j13_salted_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"),
+          col("l_discount"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.operators.SkewJoin.saltedInnerJoin(li, sup, "suppkey", buckets = 16)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
     // full-outer join — year-over-year customer churn: both sides carry
     // unmatched rows (lost vs newly-acquired customers), the case semi/anti
     // can't express. Aggregate-before-join keeps the shuffled sides at
@@ -864,6 +884,12 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_orderkey = l_orderkey AND o_totalprice > 480000.0)""".stripMargin,
+    // the plain unsalted join — row-identity is the salted join's contract
+    "j13_salted_agg" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
     "a2_distinct" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
     "a3_collect_sorted" ->

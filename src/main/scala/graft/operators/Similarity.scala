@@ -1000,9 +1000,12 @@ object Similarity {
     val p = picks.localCheckpoint()
     val nQ = cands.select(col("q_id")).distinct()
       .agg(count(lit(1)).as("n_queries"))
+    // LEFT join from the candidate side: a query missing from the picks
+    // entirely must count as a violation, not silently drop from the join
     val counts = cands.groupBy(col("q_id")).agg(count(lit(1)).as("nc"))
-      .join(p.groupBy(col("q_id")).agg(count(lit(1)).as("np")), Seq("q_id"))
-      .agg(coalesce(sum(when(col("np") =!=
+      .join(p.groupBy(col("q_id")).agg(count(lit(1)).as("np")),
+        Seq("q_id"), "left")
+      .agg(coalesce(sum(when(coalesce(col("np"), lit(0L)) =!=
         least(lit(m), col("nc")), 1L).otherwise(0L)), lit(0L))
         .as("pick_count_violations"))
     val dups = p.groupBy(col("q_id"), col("neighbor_id"))
@@ -1039,7 +1042,10 @@ object Similarity {
       .groupBy(col("q_id"), col("t"), col("picked_id"))
       .agg(max(col("obj")).as("best_obj"),
         max(when(col("vec_id") === col("picked_id"), col("obj"))).as("picked_obj"))
-      .agg(coalesce(sum(when(col("picked_obj") < col("best_obj") - 1e-9, 1L)
+      // a NULL picked_obj means the pick at t is not in the candidate set
+      // at all — that IS a violation, and `NULL < x` must not read as clean
+      .agg(coalesce(sum(when(col("picked_obj").isNull ||
+        col("picked_obj") < col("best_obj") - 1e-9, 1L)
         .otherwise(0L)), lit(0L)).as("margin_violations"))
     nQ.crossJoin(counts).crossJoin(dups).crossJoin(first).crossJoin(margins)
   }

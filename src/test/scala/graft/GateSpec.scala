@@ -64,6 +64,21 @@ class GateSpec extends AnyFunSuite {
       .collect().head
     assert(bad2.getAs[Long]("dup_pick_violations") +
       bad2.getAs[Long]("pick_count_violations") > 0L, bad2.toString)
+    // drop one query's picks entirely: the count arm must see the MISSING
+    // query (left-join guard), not silently lose it from the join
+    val q0 = clean.select(min(col("q_id"))).head.getLong(0)
+    val missing = clean.filter(col("q_id") =!= q0)
+    val bad3 = Similarity.mmrInvariantsOn(e, missing, k = 10, m = 5, 0.7, dim)
+      .collect().head
+    assert(bad3.getAs[Long]("pick_count_violations") > 0L, bad3.toString)
+    // point one pick at an id outside the candidate set: the margin arm's
+    // null guard fires (NULL picked_obj must not read as clean)
+    val phantom = clean.withColumn("neighbor_id",
+      when(col("pick") === 2 && col("q_id") === q0, lit(999999999L))
+        .otherwise(col("neighbor_id")))
+    val bad4 = Similarity.mmrInvariantsOn(e, phantom, k = 10, m = 5, 0.7, dim)
+      .collect().head
+    assert(bad4.getAs[Long]("margin_violations") > 0L, bad4.toString)
   }
 
   test("tokenTopKInvariants: missing_top_m fires when k cannot hold top-m") {
