@@ -103,4 +103,20 @@ object BloomFilterAgg {
   /** Deserialize + probe (lookup side). */
   def mightContain(bytes: Array[Byte], hash: Long): Boolean =
     BloomFilter.readFrom(new ByteArrayInputStream(bytes)).mightContainLong(hash)
+
+  /** `mightContainLong(hashed)` as a codegen'd Catalyst predicate — Spark's
+    * own runtime-filter expression (`BloomFilterMightContain`) with the
+    * serialized filter inlined as a foldable binary literal, so the filter
+    * deserializes once per task and the probe stays inside whole-stage
+    * codegen. This is the ONE spelling every Bloom probe in the engine uses
+    * (dedup admit tier, skew-join prefilter): on a 100 TB fact scan the probe
+    * runs once per row, and a ScalaUDF there would both break the codegen
+    * span and pay a per-row boxing lambda.
+    */
+  def mightContainCol(bloomBytes: Array[Byte], hashed: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      GraftColumnBridge.expression(hashed)))
+  }
 }

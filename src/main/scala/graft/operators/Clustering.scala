@@ -398,7 +398,12 @@ object Clustering {
     * symmetrize→degree→filter rounds in plain SQL. Peeling is confluent
     * and each extra round past the fixpoint is the identity, so any
     * `rounds` ≥ the true peel depth yields exactly the core (observed
-    * depth on this graph: 1; 8 is the safety margin).
+    * depth on this graph: 1 at sf0.01 AND sf0.1; 8 is the safety margin).
+    * If a generator/sf change ever deepens the peel past `rounds`, the
+    * oracle would be silently wrong — so it SELF-CHECKS: a poison row
+    * (node = −1) is unioned in whenever the last two rounds still differ,
+    * turning "unrolled too shallow" into a loud, distinctive hash
+    * mismatch instead of a mystery failure.
     */
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
     // every CTE MATERIALIZED: the round chain references each s_i three
@@ -415,7 +420,10 @@ object Clustering {
         |s${i + 1} AS MATERIALIZED (SELECT s.u, s.v FROM s$i s
         |  JOIN k$i a ON s.u = a.u JOIN k$i b ON s.v = b.u)""".stripMargin)
     }
-    sb.append(s"\nSELECT DISTINCT u AS node FROM s$rounds")
+    sb.append(s"""
+      |SELECT DISTINCT u AS node FROM s$rounds
+      |UNION ALL
+      |SELECT -1 AS node WHERE (SELECT COUNT(*) FROM s${rounds - 1}) <> (SELECT COUNT(*) FROM s$rounds)""".stripMargin)
     sb.toString
   }
 

@@ -135,10 +135,14 @@ object Dedup {
     // same ceil float-guard as plen, erring on the weaker bound.)
     val needI = ceil(lit(threshold / (1 + threshold)) *
       (col("x.sz") + col("y.sz")) - lit(1e-9))
+    // Length filter with the same float guard as plen/needI: t·sz computed
+    // in binary can round a hair ABOVE the exact product at an exact
+    // boundary ratio (e.g. t=0.8 with sizes 4:5), dropping a qualifying
+    // pair — the −1e-9 only ever admits extra candidates (verified away).
     val cand = prefix.alias("x").join(prefix.alias("y"),
         col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
-          col("x.sz") >= lit(threshold) * col("y.sz") &&
-          col("y.sz") >= lit(threshold) * col("x.sz") &&
+          col("x.sz") >= lit(threshold) * col("y.sz") - lit(1e-9) &&
+          col("y.sz") >= lit(threshold) * col("x.sz") - lit(1e-9) &&
           lit(1) + least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk")) >= needI)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
@@ -1057,13 +1061,8 @@ object Dedup {
     * predicate — Spark's own runtime-filter expression with the filter bytes
     * inlined as a foldable literal (deserialized once per task, not per row).
     */
-  private def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column = {
-    import org.apache.spark.sql.GraftColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    GraftColumnBridge.column(BloomFilterMightContain(
-      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
-      GraftColumnBridge.expression(value)))
-  }
+  private def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column =
+    graft.functions.BloomFilterAgg.mightContainCol(bloomBytes, value)
 
   /** Corpus fingerprints that actually occur in the (small) maybe set — the
     * Bloom tier's verification probe. The maybe set broadcasts into a

@@ -191,6 +191,16 @@ object Multimodal {
     * non-16-bit-PCM payloads yield null features (lenient-COPY, same as
     * [[decodeImage]]); the compressed-codec seam (MP3/AAC — genuinely
     * absent from the JDK) remains [[decodeStub]]'s.
+    *
+    * Channel contract: `n_samples` counts FRAMES (interleaved sample
+    * groups, i.e. raw samples / channels — the duration unit), while
+    * `sum_samples` and `peak_abs` fold over EVERY interleaved channel
+    * sample. On mono input (the synthetic corpus) the two views coincide;
+    * on multi-channel PCM the fold is deliberately all-channel (a
+    * cross-channel sum and global peak are well-defined and
+    * order-independent), so `sum_samples` is NOT `n_samples` rows of one
+    * channel — consumers wanting per-channel stats must de-interleave
+    * upstream.
     */
   def decodeAudio(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(

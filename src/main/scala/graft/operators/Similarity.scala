@@ -528,8 +528,9 @@ object Similarity {
     for (part <- Seq("centroids", "segments")) {
       val retired = p(s"$indexDir/$part-retired")
       fs.delete(retired, true)
-      if (fs.exists(p(s"$indexDir/$part"))) fs.rename(p(s"$indexDir/$part"), retired)
-      fs.rename(p(s"$staging/$part"), p(s"$indexDir/$part"))
+      if (fs.exists(p(s"$indexDir/$part")))
+        renameOrThrow(fs, p(s"$indexDir/$part"), retired)
+      renameOrThrow(fs, p(s"$staging/$part"), p(s"$indexDir/$part"))
       fs.delete(retired, true)
     }
     fs.delete(p(staging), true)
@@ -626,6 +627,17 @@ object Similarity {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sessionState.newHadoopConf())
 
+  /** `fs.rename` that refuses to swallow failure: HDFS-style FileSystems
+    * signal a failed rename by RETURNING FALSE (no exception), so an
+    * unchecked publication/commit rename would leave the index silently
+    * stale or missing and only surface at some later read. Every
+    * lifecycle rename goes through here.
+    */
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            dst: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(src, dst), s"filesystem rename failed: $src -> $dst")
+
   /** `_SUCCESS`-style existence probe through the Hadoop FS API — the index
     * lives on HDFS/S3 in production, never behind java.io.File, so battery
     * guards and readers must use the same filesystem the writers do.
@@ -711,9 +723,9 @@ object Similarity {
       val view = resolveSegmentDirs(spark, indexDir)
       if (view.head.endsWith("segments_old")) {
         fs.delete(p("segments_compacting"), true) // stale, never committed
-        fs.rename(p("segments_old"), p("segments"))
+        renameOrThrow(fs, p("segments_old"), p("segments"))
       } else {
-        fs.rename(p("segments_compacting"), p("segments"))
+        renameOrThrow(fs, p("segments_compacting"), p("segments"))
         fs.delete(p("segments_old"), true)
       }
     }
@@ -738,8 +750,8 @@ object Similarity {
     val mf = fs.create(new org.apache.hadoop.fs.Path(tmp, FoldedManifest), true)
     try mf.write(deltas.map(_.getName).sorted.mkString("\n").getBytes("UTF-8"))
     finally mf.close()
-    fs.rename(p("segments"), p("segments_old"))
-    fs.rename(tmp, p("segments"))             // atomic commit
+    renameOrThrow(fs, p("segments"), p("segments_old"))
+    renameOrThrow(fs, tmp, p("segments"))     // atomic commit
     deltas.foreach(fs.delete(_, true))        // cleanup: idempotent from here
     fs.delete(p("segments_old"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/segments/$FoldedManifest"), false)

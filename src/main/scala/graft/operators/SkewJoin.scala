@@ -64,22 +64,12 @@ object SkewJoin {
       .agg(graft.functions.BloomFilterAgg(
         xxhash64(col(key)), expectedKeys, fpp).as("bloom"))
       .head().getAs[Array[Byte]](0)
-    val bc = fact.sparkSession.sparkContext.broadcast(bloomBytes)
-    val probe = new BloomProbe(bc)
-    val probeUdf = udf((h: Long) => probe.contains(h))
-    fact.filter(probeUdf(xxhash64(col(key))))
-  }
-
-  /** Broadcast-backed probe: the filter deserializes ONCE per executor
-    * (transient lazy), not once per row — the udf closure carries only the
-    * broadcast handle.
-    */
-  private final class BloomProbe(
-      bytes: org.apache.spark.broadcast.Broadcast[Array[Byte]])
-      extends Serializable {
-    @transient private lazy val bf =
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bytes.value))
-    def contains(h: Long): Boolean = bf.mightContainLong(h)
+    // Native codegen'd probe (BloomFilterMightContain with the filter bytes
+    // as a foldable literal) — same spelling as the dedup admit tier, so the
+    // probe stays inside the fact scan's whole-stage-codegen span instead of
+    // crossing a ScalaUDF wall per row (PlanSpec pins the absence of any
+    // ScalaUDF in this plan).
+    fact.filter(graft.functions.BloomFilterAgg.mightContainCol(
+      bloomBytes, xxhash64(col(key))))
   }
 }

@@ -47,6 +47,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(preCount >= plain.length.toLong, "prefilter lost a true match")
     assert(preCount <= plain.length.toLong + 250L,
       s"prefilter barely reduced: $preCount of 5000 for ${plain.length} matches")
+    // r13: the probe is the NATIVE BloomFilterMightContain expression
+    // (filter bytes as a foldable literal), not a ScalaUDF — on the 100 TB
+    // fact-scan path this predicate runs once per row, and a UDF there
+    // would break the scan's whole-stage-codegen span. Pin against a
+    // PARQUET-backed fact (the production shape): on the in-memory fixture
+    // above, ConvertToLocalRelation constant-folds the whole probe into a
+    // LocalTableScan — itself proof the expression is optimizer-evaluable,
+    // which no ScalaUDF is — so the plan-shape pin needs a real scan.
+    val pqDir = java.nio.file.Files.createTempDirectory("bloomprobe").toString
+    fact.write.mode("overwrite").parquet(pqDir)
+    val prePq = SkewJoin.bloomKeyFilter(spark.read.parquet(pqDir), keys, "k")
+    assert(prePq.count() === preCount)
+    val prePlan = prePq.queryExecution.executedPlan.toString
+    assert(!prePlan.contains("UDF") && !prePlan.toLowerCase.contains("scalaudf"),
+      s"bloomKeyFilter probe regressed to a ScalaUDF:\n${prePlan.take(800)}")
+    assert(prePlan.contains("might_contain"),
+      s"native BloomFilterMightContain missing from probe plan:\n${prePlan.take(800)}")
+    // `*(n)` is toString's whole-stage-codegen marker; the probe Filter
+    // must carry it (a UDF-bearing Filter loses the star)
+    assert("""\*\(\d+\) Filter might_contain""".r.findFirstIn(prePlan).isDefined,
+      s"probe Filter fell out of whole-stage codegen:\n${prePlan.take(800)}")
   }
 
   test("runtime-filter landscape: Spark injects on scan+filter shapes; " +
