@@ -209,7 +209,22 @@ object Bpe {
     * merge learning, rank-table persistence, or the encode loop that
     * drops/duplicates/fabricates a symbol flips `roundtrip_violations`.
     */
-  def encodeInvariants(d: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def encodeInvariants(d: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    encodeInvariantsWith(d, merges, encodeWord)
+
+  /** [[encodeInvariants]] with the encoder itself injectable — the seam
+    * that makes the `text_bpe_encode_check` gate provably non-vacuous.
+    * BPE merging preserves concatenation for ANY merge table (merges only
+    * ever join adjacent symbols), so no corrupt artifact or parameter can
+    * flip the round-trip counter through the real [[encodeWord]] — the
+    * only thing that can is an encode-loop code defect. GateSpec therefore
+    * injects a deliberately defective encoder (symbol-dropping) here and
+    * asserts both counters fire; production always goes through
+    * [[encodeInvariants]], whose plan is identical.
+    */
+  private[graft] def encodeInvariantsWith(
+      d: DataFrame, merges: Seq[(String, String)],
+      encoder: (String, Map[(String, String), Int]) => Seq[String]): DataFrame = {
     val spark = d.sparkSession
     val ranksB = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
     val stats = udf { (words: Seq[String]) =>
@@ -218,7 +233,7 @@ object Bpe {
       words.foreach { w =>
         if (w.nonEmpty) {
           nw += 1
-          val toks = encodeWord(w, ranks)
+          val toks = encoder(w, ranks)
           if (toks.mkString("") != w + EndOfWord) rt += 1
           if (toks.length < 1 || toks.length > w.length) bd += 1
         }

@@ -531,6 +531,33 @@ object Relational {
           col("c_acctbal"), col("n_name"))
     }),
 
+    // TPC-H Q17 shape (r13): CORRELATED scalar subquery — per-brand revenue
+    // from "small" line items, where small means below 20% of that PART's
+    // own average quantity. Deliberately written as the correlated SQL form
+    // (the one lane the battery's other 200+ entries never exercise) so
+    // Catalyst's decorrelation does the rewrite: the per-row
+    // `(SELECT 0.2*AVG(..) WHERE l2.l_partkey = p_partkey)` becomes ONE
+    // partkey-grained aggregate joined back to the fact — per-row subquery
+    // execution would be O(rows × group) and is plan-pinned absent in
+    // PlanSpec. AVG(l_quantity) is cross-engine exact here: quantities are
+    // integers ≤ 50, so every partial sum is an exactly-representable
+    // double regardless of summation order, and the revenue fold is the
+    // q10 decimal-then-double discipline.
+    "q17_small_quantity_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("q17_part")
+      s.sql("""
+        SELECT p_brand,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+            AS avg_yearly,
+          COUNT(*) AS n_small
+        FROM q17_lineitem JOIN q17_part ON p_partkey = l_partkey
+        WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                            FROM q17_lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand""")
+    }),
+
     // ranking family: rank/dense_rank/ntile (beyond the reference's W1).
     "w4_rank_suite" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -1057,6 +1084,16 @@ object Relational {
         |    AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
         |  GROUP BY c_custkey, c_name, c_acctbal, n_name)
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q17_small_quantity_revenue" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  COUNT(*) AS n_small
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin,
     "w4_rank_suite" ->
       """SELECT c_custkey, c_nationkey,
         |  RANK() OVER w AS rnk,

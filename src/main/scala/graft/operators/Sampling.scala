@@ -259,6 +259,18 @@ object Sampling {
     // assembly plan; `sel` (k rows) is likewise reused by three branches
     val scored = dsirScores(d, isTarget).localCheckpoint()
     val sel = dsirSelect(scored, k).localCheckpoint()
+    dsirInvariantsOn(scored, sel)
+  }
+
+  /** The verification half of [[dsirInvariants]] against a CALLER-SUPPLIED
+    * selection — the seam that makes the `sample_dsir_check` gate provably
+    * non-vacuous: production passes [[dsirSelect]]'s output (via
+    * [[dsirInvariants]], identical plan), while GateSpec passes a tampered
+    * selection (a top-k row swapped for a non-top-k one) and asserts
+    * `topk_violations` fires. `sel` must carry `doc_id` and the `gumbel`
+    * key as produced by [[gumbelKeys]] over the same scored frame.
+    */
+  private[graft] def dsirInvariantsOn(scored: DataFrame, sel: DataFrame): DataFrame = {
     val counts = scored.agg(
         sum(when(col("is_tgt"), 1L).otherwise(0L)).as("n_tgt"),
         sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("n_raw"),

@@ -15,7 +15,7 @@ import graft.operators.{Dedup, Clustering, QualityClassifier, Similarity,
   * the same test re-runs the clean path and asserts it stays at zero.
   * (BpeSpec carries the corrupted-merge-table twin for `text_bpe_train_check`.)
   *
-  * Coverage: 19 of the 21 battery `_check` gates carry an induced-violation
+  * Coverage: ALL 21 battery `_check` gates carry an induced-violation
   * test here or in BpeSpec (`retrieval_mmr_check` included — reversed pick
   * order fires first-pick + margin, a duplicated pick row fires the
   * dup/count arms; the round-12 Bloom-index gates too: the
@@ -23,14 +23,13 @@ import graft.operators.{Dedup, Clustering, QualityClassifier, Similarity,
   * its `missed_rows` arm through a tampered index one level down; the
   * append gate's `files_mismatch` arm through a phantom index row one level
   * down — both layouts owned by the test because the entries rebuild their
-  * scratch layouts per run). The two exceptions are principled, not gaps:
-  * `text_bpe_encode_check`'s round-trip counter is structurally zero for any
-  * TABLE (BPE merging preserves concatenation, so only a code defect in
-  * `encodeWord` — not a corrupt artifact or parameter — can flip it; the
-  * artifact-corruption side is covered by the train gate's test), and
-  * `sample_dsir_check`'s top-k counter is bound to the selection by the
-  * shared `gumbelKeys` construction (CorpusOpsSpec pins the degenerate
-  * empty-register case and rerun determinism instead).
+  * scratch layouts per run). The final two landed in r13 through explicit
+  * verification seams: `text_bpe_encode_check` fires via an injected
+  * symbol-dropping encoder (`Bpe.encodeInvariantsWith` — BPE merging
+  * preserves concatenation for any TABLE, so only an encoder defect can
+  * flip the counter, and the seam injects exactly that), and
+  * `sample_dsir_check` fires via a tampered selection handed to
+  * `Sampling.dsirInvariantsOn` (top-1 row swapped for the (k+1)-th).
   */
 class GateSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -377,5 +376,53 @@ class GateSpec extends AnyFunSuite {
     val mismatch = sig(inc).exceptAll(sig(full)).count() +
       sig(full).exceptAll(sig(inc)).count()
     assert(mismatch >= 1L, "phantom index row must surface in the symmetric difference")
+  }
+
+  test("encodeInvariantsWith: a symbol-dropping encoder fires the round-trip counter") {
+    // BPE merging preserves concatenation for ANY merge table, so the only
+    // thing that can flip roundtrip_violations is an encode-loop defect —
+    // inject one through the encoder seam: drop the first symbol of every
+    // multi-symbol word (and collapse to a bare char for singletons, which
+    // also violates the w+EndOfWord form), then assert the counter fires
+    // while the real encoder stays clean on the same inputs.
+    import graft.operators.Bpe
+    val d = (0L until 20L).map(id => (id, s"alpha beta gamma doc$id"))
+      .toDF("doc_id", "text")
+    val merges = Seq(("a", "l"), ("al", "p"))
+    val clean = Bpe.encodeInvariants(d, merges).head()
+    assert(clean.getAs[Long]("roundtrip_violations") === 0L)
+    assert(clean.getAs[Long]("bounds_violations") === 0L)
+    assert(clean.getAs[Long]("n_words") > 0L)
+    val defective: (String, Map[(String, String), Int]) => Seq[String] =
+      (w, ranks) => Bpe.encodeWord(w, ranks).drop(1)
+    val broken = Bpe.encodeInvariantsWith(d, merges, defective).head()
+    assert(broken.getAs[Long]("roundtrip_violations") > 0L, broken.toString)
+    // dropping a symbol can also empty a 1-symbol word → bounds fires too
+    assert(broken.getAs[Long]("n_words") === clean.getAs[Long]("n_words"))
+  }
+
+  test("dsirInvariantsOn: a swapped selection row fires the top-k counter") {
+    // violation direction: remove the STRONGEST selected row and admit the
+    // (k+1)-th instead — the dropped top-1 becomes an unselected row that
+    // strictly precedes the tampered selection's boundary, which is
+    // exactly what topk_violations exists to catch.
+    import graft.operators.Sampling
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = Sampling.dsirScores(d, col("text").contains("customer"))
+      .localCheckpoint()
+    val keyed = Sampling.gumbelKeys(scored).localCheckpoint()
+    val ordered = keyed.orderBy(col("gumbel").desc, col("doc_id"))
+      .select(col("doc_id"), col("log_w"), col("gumbel"))
+    val k = 20
+    val sel = ordered.limit(k).localCheckpoint()
+    val cleanRow = Sampling.dsirInvariantsOn(scored, sel).head()
+    assert(cleanRow.getAs[Long]("topk_violations") === 0L)
+    assert(cleanRow.getAs[Long]("n_selected") === k.toLong)
+    // tampered selection: drop the top-1 row, append the (k+1)-th — the
+    // dropped top-1 is now unselected yet precedes the new boundary
+    val tampered = ordered.limit(k + 1)
+      .exceptAll(ordered.limit(1)).localCheckpoint()
+    val badRow = Sampling.dsirInvariantsOn(scored, tampered).head()
+    assert(badRow.getAs[Long]("topk_violations") > 0L, badRow.toString)
   }
 }

@@ -311,4 +311,25 @@ class PlanSpec extends AnyFunSuite {
         s"$name shuffled the corpus for a join:\n${plan.take(1200)}")
     }
   }
+
+  test("Q17's correlated scalar subquery is decorrelated into one aggregate join") {
+    // the per-row `(SELECT 0.2*AVG(..) WHERE l2.l_partkey = p_partkey)`
+    // must leave NO subquery node in the physical plan — Catalyst's
+    // decorrelation rewrites it to a partkey-grained aggregate joined back
+    // to the fact. A surviving scalar-subquery node would mean per-row
+    // re-execution: O(rows × group) at 100 TB.
+    val df = q("q17_small_quantity_revenue")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Subquery") && !plan.contains("scalar-subquery"),
+      s"correlated subquery survived to execution:\n${plan.take(1200)}")
+    // the rewrite's signature: an avg aggregate over lineitem joined back
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs.exists(_.aggregateExpressions.map(_.sql).mkString.contains("avg")),
+      s"no decorrelated avg aggregate in optimized plan:\n${df.queryExecution.optimizedPlan.toString.take(1200)}")
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size >= 2, // part⋈lineitem + the decorrelated avg join
+      s"expected the decorrelated aggregate join:\n${df.queryExecution.optimizedPlan.toString.take(1200)}")
+  }
 }
