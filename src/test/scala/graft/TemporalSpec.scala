@@ -299,6 +299,24 @@ class TemporalSpec extends AnyFunSuite {
     assert(Clustering.kCore(k4, k = 4).count() === 0L)
   }
 
+  test("kCore: batched peeling ≡ single-step peeling on a deep cascade") {
+    // 24-node path with a K5 anchor at one end, k=2: the path unravels one
+    // node per peel STEP from the free end (peel depth ~22 — the shape
+    // that motivates batching), the K5 survives. maxBatch=1 is the
+    // pre-batching engine; the geometric default must reach the identical
+    // fixpoint in far fewer driver rounds.
+    val path = (0 until 23).map(i => (s"p$i", s"p${i + 1}"))
+    val anchor = for {
+      a <- Seq("p0", "q1", "q2", "q3", "q4")
+      b <- Seq("p0", "q1", "q2", "q3", "q4") if a < b
+    } yield (a, b)
+    val edges = (path ++ anchor).toDF("src", "dst")
+    val expected = Set("p0", "q1", "q2", "q3", "q4")
+    assert(Clustering.kCore(edges, k = 2, maxBatch = 1).as[String].collect().toSet
+      === expected)
+    assert(Clustering.kCore(edges, k = 2).as[String].collect().toSet === expected)
+  }
+
   test("kCore: matches brute-force peeling on a random graph") {
     val rnd = new scala.util.Random(77)
     val n = 30
