@@ -558,6 +558,38 @@ object Relational {
         GROUP BY p_brand""")
     }),
 
+    // TPC-H Q22 shape (r13): the EXISTENTIAL decorrelation lane — Q17
+    // covers correlated SCALAR subqueries; this covers correlated
+    // NOT EXISTS, which Catalyst must rewrite to a left-anti join (plan-
+    // pinned: no surviving subquery, one anti join), plus two uncorrelated
+    // scalar subqueries for the balance bar. "Churned high-balance
+    // accounts per nation": above-average balance, no order since
+    // 2001-01-01 (this generator gives every customer SOME order, so the
+    // anti-join needs the window to be non-trivial — 615/1500 qualify at
+    // sf0.01; the cutoff is a direct TIMESTAMP bound, not CAST(..AS DATE),
+    // so the predicate reaches the orders parquet scan — a cast around the
+    // column would block pushdown, and the pin below checks it).
+    // The above-average bar is the exact decimal product form
+    // `bal·n > Σbal` rather than `bal > avg(bal)`: a float avg differs in
+    // its last ulp across engines at this summation size, and a boundary
+    // row flipping would break the hash contract.
+    "q22_churned_balances" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q22_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q22_orders")
+      s.sql("""
+        SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        FROM q22_customer
+        WHERE CAST(c_acctbal AS DECIMAL(18,4)) *
+              (SELECT COUNT(*) FROM q22_customer WHERE c_acctbal > 0.0) >
+              (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+               FROM q22_customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM q22_orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        GROUP BY c_nationkey""")
+    }),
+
     // ranking family: rank/dense_rank/ntile (beyond the reference's W1).
     "w4_rank_suite" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -1094,6 +1126,18 @@ object Relational {
         |                    FROM lineitem l2
         |                    WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand""".stripMargin,
+    "q22_churned_balances" ->
+      """SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) *
+        |      (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0) >
+        |      (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+        |       FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY c_nationkey""".stripMargin,
     "w4_rank_suite" ->
       """SELECT c_custkey, c_nationkey,
         |  RANK() OVER w AS rnk,

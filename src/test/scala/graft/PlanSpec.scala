@@ -332,4 +332,23 @@ class PlanSpec extends AnyFunSuite {
     assert(joins.size >= 2, // part⋈lineitem + the decorrelated avg join
       s"expected the decorrelated aggregate join:\n${df.queryExecution.optimizedPlan.toString.take(1200)}")
   }
+
+  test("Q22's correlated NOT EXISTS is decorrelated into a left-anti join") {
+    // the existential lane: `NOT EXISTS (SELECT .. WHERE o_custkey =
+    // c_custkey ..)` must become one LeftAnti join — a surviving
+    // existential subquery would probe orders once per customer row
+    val df = q("q22_churned_balances")
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("LeftAnti"),
+      s"no anti join in Q22's physical plan:\n${physical.take(1200)}")
+    assert(!physical.contains("exists-subquery") && !physical.contains("in-subquery"),
+      s"existential subquery survived to execution:\n${physical.take(1200)}")
+    // the date bound must reach the orders scan as a pushed filter — the
+    // anti join's build side is the THINNED recent-orders slice, not the
+    // whole orders table. (String pin, not scans(): the join sits inside
+    // AQE query stages, which the SparkPlan tree collect doesn't descend.)
+    assert(physical.contains("GreaterThanOrEqual(o_orderdate"),
+      s"window not pushed into the orders scan:\n${physical.take(2000)}")
+  }
 }
