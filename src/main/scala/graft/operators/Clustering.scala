@@ -356,11 +356,15 @@ object Clustering {
     * Peels are BATCHED (r13): real social-graph degeneracy puts the peel
     * depth in the hundreds, and one driver action per peel would mean
     * hundreds of sequential jobs — so each driver round chains `batch`
-    * peels lazily (every intermediate level `persist`ed, so the 3-way
-    * re-reference inside a peel — degree agg + two semi-joins — computes
-    * each level ONCE per batch and the logical plan stays linear in the
-    * batch, not 3^batch), truncates lineage with one `localCheckpoint`,
-    * and checks the monotone edge count once. The batch size ramps
+    * peels and pays ONE action (the batch-end count materializes every
+    * level as stages of a single job). Each level is a LAZY local
+    * checkpoint (`localCheckpoint(eager = false)`): the next level's plan
+    * sees a LogicalRDD LEAF, which (a) keeps the analyzed plan
+    * constant-size per level — chaining raw DataFrames instead blows up
+    * 3^batch, because Catalyst's transformUp copies the 3-way-referenced
+    * subtree (degree agg + two semi-joins) per PATH, an OOM at batch 16 —
+    * and (b) computes each level once (checkpoint implies caching), with
+    * lineage truncation falling out for free. The batch size ramps
     * geometrically 1→2→…→`maxBatch`, so a shallow graph (the common case;
     * this corpus peels in 1) pays at most one wasted no-op peel, while a
     * depth-d graph needs only ~log₂(maxBatch) + d/maxBatch driver rounds
@@ -384,11 +388,10 @@ object Clustering {
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
     }
     while (!done) {
-      val levels = Iterator.iterate(adj)(c => peel(c).persist())
-        .slice(1, batch + 1).toIndexedSeq
-      val next = levels.last.localCheckpoint() // one job materializes all levels
-      val n2 = next.count()
-      levels.foreach(_.unpersist(blocking = false))
+      var next = adj
+      for (_ <- 0 until batch)
+        next = peel(next).localCheckpoint(eager = false)
+      val n2 = next.count() // ONE job materializes the whole batch
       done = n2 == nEdges || n2 == 0L
       adj = next
       nEdges = n2
