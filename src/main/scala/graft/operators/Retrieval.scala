@@ -195,6 +195,41 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("fused_rank"))
   }
 
+  /** Exact phrase matching through a POSITIONAL posting list (r13) — the
+    * retrieval primitive BM25's bag-of-words scoring cannot express:
+    * "these tokens, CONSECUTIVE, in this order". Each phrase term's
+    * postings are projected to `(doc_id, anchor = pos − i)` — an
+    * occurrence of the whole phrase is exactly one anchor shared by every
+    * term — so the phrase becomes a chain of EQUI-joins on
+    * `(doc_id, anchor)` and the output is per-doc occurrence counts plus
+    * the first match position (0-based). No post-join window, no regex
+    * over raw text.
+    *
+    * Scale shape: the corpus is tokenized in ONE pass and immediately
+    * thinned to the phrase's own tokens (`isin` + localCheckpoint — the
+    * surviving postings are term-document-frequency-sized, the thing a
+    * persisted inverted index would serve directly), so every join
+    * shuffles posting lists, never documents; the closing aggregate is
+    * match-bounded. A LIKE/regex scan instead re-reads every document
+    * byte per query and can't use an index at all.
+    */
+  def phraseMatches(d: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val post = d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase.distinct: _*))
+      .localCheckpoint() // df-bounded; referenced once per phrase term
+    phrase.zipWithIndex.map { case (t, i) =>
+        post.filter(col("tok") === t)
+          .select(col("doc_id"), (col("pos") - i).as("anchor"))
+      }
+      .reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("anchor")).cast("long").as("first_pos"))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -206,7 +241,13 @@ object Retrieval {
     // RRF fusion of cosine + L2 dense arms (oracle-gated — rank-only math)
     "retrieval_rrf_fuse" -> ((s, dir) => rrfFuseTopK(emb(s, dir))),
     // BM25 relevance × global quality prior (oracle-gated)
-    "retrieval_hybrid_quality" -> ((s, dir) => bm25QualityHybrid(docs(s, dir)))
+    "retrieval_hybrid_quality" -> ((s, dir) => bm25QualityHybrid(docs(s, dir))),
+    // positional-index phrase search: per-doc occurrence counts + first
+    // position of the consecutive pair "fast table" (oracle-gated — the
+    // oracle re-derives the posting lists with the proven-portable
+    // tokenizer and replays the same anchor-alignment join in SQL)
+    "retrieval_phrase_match" -> ((s, dir) =>
+      phraseMatches(docs(s, dir), Seq("fast", "table")))
   )
 
   /** Shared BM25 scoring CTE chain (→ `sc(query_id, doc_id, score)`) —
@@ -298,6 +339,22 @@ object Retrieval {
         |SELECT query_id, doc_id, fused_rank FROM (
         |  SELECT query_id, doc_id,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS fused_rank
-        |  FROM f) WHERE fused_rank <= 10""".stripMargin
+        |  FROM f) WHERE fused_rank <= 10""".stripMargin,
+    // positional postings re-derived with the same tokenizer; anchors
+    // 0-based on both sides (DuckDB's generate_subscripts is 1-based,
+    // hence the −1)
+    "retrieval_phrase_match" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, UNNEST(t.l) AS tok, generate_subscripts(t.l, 1) - 1 AS pos
+        |  FROM documents,
+        |  LATERAL (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                              x -> len(x) > 0) AS l) t
+        |  WHERE text IS NOT NULL),
+        |t0 AS (SELECT doc_id, pos AS anchor FROM toks WHERE tok = 'fast'),
+        |t1 AS (SELECT doc_id, pos - 1 AS anchor FROM toks WHERE tok = 'table')
+        |SELECT doc_id, COUNT(*) AS n_occurrences,
+        |  CAST(MIN(anchor) AS BIGINT) AS first_pos
+        |FROM t0 JOIN t1 USING (doc_id, anchor)
+        |GROUP BY doc_id""".stripMargin
   )
 }

@@ -349,4 +349,26 @@ class RetrievalLayoutSpec extends AnyFunSuite {
       base.orderBy("file").limit(2), "k", 512, 0.01)
     assert(sig(healed) === sig(full))
   }
+
+  test("phraseMatches: anchor alignment — order, adjacency, overlap, repeats") {
+    import graft.operators.Retrieval
+    val d = Seq(
+      (1L, "a b c a b c"),        // "a b" twice; "b a" once (positions 1-2)
+      (2L, "b a b"),              // "a b" once at 1; "b a" once at 0
+      (3L, "a a a"),              // repeated-term phrase "a a" overlaps: 2
+      (4L, "a c b"),              // terms present but NOT adjacent → no match
+      (5L, "x y z")               // no terms at all
+    ).toDF("doc_id", "text")
+    def rows(p: Seq[String]) =
+      Retrieval.phraseMatches(d, p).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(Seq("a", "b")) === Seq((1L, 2L, 0L), (2L, 1L, 1L)))
+    // "b a": doc 1 never has them adjacent (b is always followed by c)
+    assert(rows(Seq("b", "a")) === Seq((2L, 1L, 0L)))
+    // overlapping occurrences of a repeated-term phrase both count
+    assert(rows(Seq("a", "a")) === Seq((3L, 2L, 0L)))
+    // 3-term phrase exercises the full join chain
+    assert(rows(Seq("a", "b", "c")) === Seq((1L, 2L, 0L)))
+    assert(rows(Seq("c", "a", "b")) === Seq((1L, 1L, 2L)))
+  }
 }
