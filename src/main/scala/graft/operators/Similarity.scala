@@ -105,6 +105,89 @@ object Similarity {
         col("label").as("neg_label"), col("rank"))
   }
 
+  /** Margin-based bitext pair mining (r13) — the parallel-corpus curation
+    * operator (Artetxe & Schwenk, ACL 2019's margin criterion, the CCMatrix
+    * recipe): a raw cosine threshold cannot separate true translation pairs
+    * from hubs (vectors near EVERYTHING), so each candidate pair is scored
+    * by its cosine relative to both endpoints' neighborhoods —
+    *
+    *   margin(x, y) = cos(x, y) / (½·(avgₖ cos(x, NNₖ(x)) + avgₖ cos(y, NNₖ(y))))
+    *
+    * with x from the "source" collection (even vec_ids), y from the
+    * "target" (odd), and the reported pair per query its ARGMAX-margin
+    * forward neighbor, flagged mutual when the query is also the
+    * candidate's backward rank-1.
+    *
+    * Determinism contract: ranking uses the raw sequential-double cosine
+    * (the portable kernel every ANN oracle already pins), but the
+    * neighborhood AVERAGES quantize each cosine to an exact long
+    * (`round(cos·1e6)`) BEFORE summing — a double sum over k neighbors is
+    * summation-order-dependent in its last ulp, where integer sums are
+    * associative, so the margin is one division of exact integers and
+    * hashes identically in any engine.
+    *
+    * Scale shape: NO quadratic stage — the query set (every 20th source
+    * vector; deterministic and scale-independent like [[querySet]]) is
+    * broadcast against the streamed target collection (forward arm), and
+    * the ≤ k·|Q| distinct forward candidates broadcast back against the
+    * streamed source collection (backward arm). Two corpus scans total; at
+    * 100 TB either arm drops onto [[searchIvfIndex]]'s probe path
+    * unchanged (the brute arms here are the exact yardstick, as
+    * everywhere in this module).
+    */
+  def marginBitextPairs(e: DataFrame, k: Int = 4,
+                        dim: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"marginBitextPairs needs k >= 1, got $k")
+    val par = graft.Tuning.fanout(e.sparkSession)
+    def widen(d: DataFrame): DataFrame =
+      if (d.rdd.getNumPartitions < par) d.repartition(par) else d
+    val cos6 = (c: Column) => round(c * lit(1e6)).cast("long")
+    val src = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"),
+        normC(col("embedding"), dim).as("nrm"))
+    val tgt = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"),
+        normC(col("embedding"), dim).as("nrm"))
+    val q = e.filter(col("vec_id") % 20 === 0) // even ⇒ all in src
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normC(col("embedding"), dim).as("qnrm"))
+    val wF = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("tgt_id"))
+    val fwd = widen(tgt).join(broadcast(q), lit(true))
+      .select(col("q_id"), col("vec_id").as("tgt_id"),
+        (dotC(col("q_emb"), col("embedding"), dim) /
+          (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(wF))
+      .filter(col("rk") <= k)
+      .localCheckpoint() // feeds the sum, the candidate set, and the final join
+    val fsum = fwd.groupBy(col("q_id"))
+      .agg(sum(cos6(col("cos"))).as("fsum6"))
+    val cand = fwd.select(col("tgt_id")).distinct()
+      .join(tgt, col("tgt_id") === col("vec_id"))
+      .select(col("tgt_id"), col("embedding").as("c_emb"), col("nrm").as("cnrm"))
+    val wB = Window.partitionBy(col("tgt_id")).orderBy(col("cos").desc, col("src_id"))
+    val bwd = widen(src).join(broadcast(cand), lit(true))
+      .select(col("tgt_id"), col("vec_id").as("src_id"),
+        (dotC(col("c_emb"), col("embedding"), dim) /
+          (col("cnrm") * col("nrm"))).as("cos"))
+      .withColumn("brk", row_number().over(wB))
+      .filter(col("brk") <= k)
+      .localCheckpoint() // feeds the sum and the mutuality probe
+    val bsum = bwd.groupBy(col("tgt_id"))
+      .agg(sum(cos6(col("cos"))).as("bsum6"))
+    val mutual = bwd.filter(col("brk") === 1)
+      .select(col("tgt_id"), col("src_id").as("b1_src"))
+    val wM = Window.partitionBy(col("q_id"))
+      .orderBy(col("margin").desc, col("tgt_id"))
+    fwd.join(fsum, "q_id").join(bsum, "tgt_id").join(mutual, "tgt_id")
+      .select(col("q_id"), col("tgt_id"),
+        round(cos6(col("cos")) * lit(2.0) * k /
+          (col("fsum6") + col("bsum6")), 6).as("margin"),
+        (col("b1_src") === col("q_id")).as("is_mutual"))
+      .withColumn("mrk", row_number().over(wM))
+      .filter(col("mrk") === 1)
+      .select(col("q_id"), col("tgt_id"), col("margin"), col("is_mutual"))
+  }
+
   /** Random-hyperplane LSH ANN: bands × bitsPerBand sign bits; candidates
     * collide in ≥1 band; exact cosine ranks the candidates.
     *
@@ -1107,6 +1190,12 @@ object Similarity {
     // floor oracle-gated by ann_recall_check)
     "ann_lsh_topk" -> ((s, dir) => lshTopK(emb(s, dir), k = 10)),
 
+    // margin-criterion bitext mining over the even/odd collection split
+    // (oracle-gated — integer-exact neighborhood sums, portable cosines)
+    "mine_bitext_pairs" -> ((s, dir) =>
+      marginBitextPairs(emb(s, dir), k = 4,
+        dim = Some(graft.Tables.EmbeddingDim))),
+
     // the ANN-tier semantic gate — per-query hygiene and spec-pinned
     // recall floors vs the DuckDB-verified exact baseline, one row per tier
     "ann_recall_check" -> ((s, dir) => annRecallInvariants(emb(s, dir))),
@@ -1238,6 +1327,57 @@ object Similarity {
         |SELECT q_id, vec_id AS neighbor_id, label AS neg_label, rank FROM (
         |  SELECT q_id, vec_id, label,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-        |  FROM c) WHERE rank <= 10""".stripMargin
+        |  FROM c) WHERE rank <= 10""".stripMargin,
+    // margin bitext mining: same sequential-double cosine kernel as
+    // ann_brute_topk; neighborhood sums over ROUND(cos·1e6) BIGINTs so the
+    // k-element averages are associative-exact in both engines
+    "mine_bitext_pairs" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 20 = 0),
+        |tgt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+        |src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |fraw AS (
+        |  SELECT q.q_id, t.vec_id AS tgt_id,
+        |    list_sum(list_transform(range(1, len(t.embedding) + 1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE))) /
+        |    (SQRT(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))) *
+        |     SQRT(list_sum(list_transform(range(1, len(t.embedding) + 1),
+        |      i -> CAST(t.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q CROSS JOIN tgt t),
+        |fwdk AS (SELECT * FROM (
+        |  SELECT q_id, tgt_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, tgt_id) AS rk
+        |  FROM fraw) WHERE rk <= 4),
+        |fsum AS (SELECT q_id, SUM(CAST(ROUND(cos * 1e6) AS BIGINT)) AS fsum6
+        |  FROM fwdk GROUP BY q_id),
+        |cand AS (SELECT DISTINCT f.tgt_id, t.embedding AS c_emb
+        |  FROM fwdk f JOIN tgt t ON t.vec_id = f.tgt_id),
+        |braw AS (
+        |  SELECT c.tgt_id, s.vec_id AS src_id,
+        |    list_sum(list_transform(range(1, len(s.embedding) + 1),
+        |      i -> CAST(c.c_emb[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))) /
+        |    (SQRT(list_sum(list_transform(range(1, len(c.c_emb) + 1),
+        |      i -> CAST(c.c_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))) *
+        |     SQRT(list_sum(list_transform(range(1, len(s.embedding) + 1),
+        |      i -> CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM cand c CROSS JOIN src s),
+        |bwdk AS (SELECT * FROM (
+        |  SELECT tgt_id, src_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS brk
+        |  FROM braw) WHERE brk <= 4),
+        |bsum AS (SELECT tgt_id, SUM(CAST(ROUND(cos * 1e6) AS BIGINT)) AS bsum6
+        |  FROM bwdk GROUP BY tgt_id),
+        |mut AS (SELECT tgt_id, src_id AS b1_src FROM bwdk WHERE brk = 1),
+        |scored AS (
+        |  SELECT f.q_id, f.tgt_id,
+        |    ROUND(CAST(ROUND(f.cos * 1e6) AS BIGINT) * 2.0 * 4 /
+        |      (fs.fsum6 + bs.bsum6), 6) AS margin,
+        |    (m.b1_src = f.q_id) AS is_mutual
+        |  FROM fwdk f JOIN fsum fs USING (q_id) JOIN bsum bs USING (tgt_id)
+        |  JOIN mut m USING (tgt_id))
+        |SELECT q_id, tgt_id, margin, is_mutual FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY margin DESC, tgt_id) AS mrk FROM scored)
+        |WHERE mrk = 1""".stripMargin
   )
 }

@@ -803,4 +803,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(0L)._2 > r(1L)._2,
       s"repetitive doc should outscore token soup: $r")
   }
+
+  test("margin bitext mining: planted twin wins, mutual; hub pair is not mutual") {
+    // query 0's embedding is DUPLICATED as target 1 (a true translation
+    // pair: cosine 1, each other's nearest neighbor) while target 5 is a
+    // hub — moderately close to every source. The planted pair must be
+    // query 0's argmax-margin pick with is_mutual=true; query 20 (whose
+    // nearest target is the hub) picks the hub, but the hub's backward
+    // rank-1 is NOT query 20's axis — so its pair reports is_mutual=false.
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),       // src + query (%20==0)
+      (20L, Array(0f, 1f, 0f, 0f)),      // src + query
+      (2L, Array(0.9f, 0.1f, 0.2f, 0f)), // src filler (backward neighborhoods)
+      (4L, Array(0.1f, 0.9f, 0.1f, 0f)), // src filler
+      (1L, Array(1f, 0f, 0f, 0f)),       // planted twin of query 0
+      (3L, Array(0.2f, 0.3f, 0.9f, 0f)), // off-axis target
+      (5L, Array(0.6f, 0.55f, 0.3f, 0f)) // hub: close to both axes
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.marginBitextPairs(e, k = 2, dim = Some(4))
+      .orderBy("q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSeq
+    assert(rows.map(t => (t._1, t._2)) === Seq((0L, 1L), (20L, 5L)), rows.toString)
+    assert(rows(0)._3, "planted twin must be mutual")
+    assert(!rows(1)._3, "hub pick must not be mutual (its backward top-1 is q0's axis)")
+    // determinism: identical output on a rerun
+    val again = Similarity.marginBitextPairs(e, k = 2, dim = Some(4))
+      .orderBy("q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSeq
+    assert(again === rows)
+  }
 }
