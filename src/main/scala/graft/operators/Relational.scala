@@ -601,6 +601,20 @@ object Relational {
           ntile(4).over(w).as("quartile"))
     }),
 
+    // distribution ranks (r13) — the two window functions w4 leaves out.
+    // The unique (acctbal DESC, custkey) ordering makes every row its own
+    // peer group, so percent_rank = (rank−1)/(n−1) and cume_dist = rank/n
+    // are single divisions of exact small integers — bit-identical in any
+    // engine, no rounding discipline needed.
+    "w6_dist_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+    }),
+
     // time-RANGE window frame (beyond): sliding 1-hour lookback per user —
     // a RangeFrame, physically distinct from w2's RowFrame (peers at equal
     // ts all enter the frame; frame bounds move by VALUE, not row count).
@@ -1143,6 +1157,12 @@ object Relational {
         |  RANK() OVER w AS rnk,
         |  DENSE_RANK() OVER w AS drnk,
         |  NTILE(4) OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+    "w6_dist_suite" ->
+      """SELECT c_custkey, c_nationkey,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
     "w5_time_range_window" ->
