@@ -214,4 +214,30 @@ class PropertySpec extends AnyFunSuite {
       assert(db >= 0.0 && db < 1.0, s"dup_bigram out of range: $db")
     }
   }
+
+  test("phraseMatches agrees with a sliding-window reference on random corpora") {
+    // two independent spellings of the same contract: the engine's
+    // posting-list anchor-alignment joins vs a local sliding-window scan.
+    // Tiny vocabulary on purpose — maximal repeated-token and overlap
+    // density, where an off-by-one in anchor arithmetic would surface.
+    val vocab = Seq("a", "b", "c")
+    for (round <- 0 until 3) {
+      val docs = Seq.tabulate(40) { i =>
+        (i.toLong,
+          Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "))
+      }
+      val phrase = Seq.fill(2 + round % 2)(vocab(rnd.nextInt(vocab.size)))
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").toSeq
+        val anchors = toks.indices.dropRight(phrase.size - 1)
+          .filter(a => phrase.indices.forall(j => toks(a + j) == phrase(j)))
+        if (anchors.isEmpty) None
+        else Some(id -> (anchors.size.toLong, anchors.min.toLong))
+      }.toMap
+      val got = graft.operators.Retrieval.phraseMatches(docs.toDF("doc_id", "text"), phrase)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === want, s"round $round phrase=$phrase")
+    }
+  }
 }
