@@ -67,8 +67,8 @@ object SkewJoin {
     // Native codegen'd probe (BloomFilterMightContain with the filter bytes
     // as a foldable literal) — same spelling as the dedup admit tier, so the
     // probe stays inside the fact scan's whole-stage-codegen span instead of
-    // crossing a ScalaUDF wall per row (PlanSpec pins the absence of any
-    // ScalaUDF in this plan).
+    // crossing a ScalaUDF wall per row (ScaleSpec pins the plan UDF-free
+    // and the probe Filter codegen-starred against a parquet scan).
     fact.filter(graft.functions.BloomFilterAgg.mightContainCol(
       bloomBytes, xxhash64(col(key))))
   }
