@@ -378,6 +378,23 @@ class GateSpec extends AnyFunSuite {
     assert(mismatch >= 1L, "phantom index row must surface in the symmetric difference")
   }
 
+  test("bitextIvfInvariants: an unattainable agreement floor fires; clean run green") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val clean = Similarity.bitextIvfInvariants(e, k = 4).head()
+    assert(clean.getAs[Long]("n_queries") > 0L)
+    assert(clean.getAs[Long]("exact_rows_mismatch") === 0L)
+    assert(clean.getAs[Long]("approx_rows_mismatch") === 0L)
+    assert(clean.getAs[Long]("parity_violations") === 0L)
+    assert(clean.getAs[Long]("dup_violations") === 0L)
+    assert(clean.getAs[Long]("agreement_floor_violation") === 0L)
+    // agreement is ≤ 1 by construction, so a floor above 1 is unattainable
+    // for ANY output — the counter must fire through the public knob
+    val broken = Similarity.bitextIvfInvariants(e, k = 4, agreementFloor = 1.01)
+      .head()
+    assert(broken.getAs[Long]("agreement_floor_violation") === 1L)
+  }
+
   test("encodeInvariantsWith: a symbol-dropping encoder fires the round-trip counter") {
     // BPE merging preserves concatenation for ANY merge table, so the only
     // thing that can flip roundtrip_violations is an encode-loop defect —

@@ -832,4 +832,19 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSeq
     assert(again === rows)
   }
+
+  test("IVF bitext mining at full probe width degrades to the exact tier") {
+    // nProbe = cells probes every cell, so the candidate set is the whole
+    // collection and the probed tier must reproduce the exact tier's
+    // output bit-for-bit (same ordering keys, same margin arithmetic) —
+    // the exactness anchor the agreement gate's floor is calibrated from
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("q_id").collect().map(_.toString).toSeq
+    val exact = canon(Similarity.marginBitextPairs(e, k = 4,
+      dim = Some(graft.Tables.EmbeddingDim)))
+    val fullProbe = canon(Similarity.marginBitextPairsIvf(e, k = 4,
+      cells = 6, nProbe = 6, iters = 2))
+    assert(fullProbe === exact)
+  }
 }
