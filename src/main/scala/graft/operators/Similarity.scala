@@ -277,9 +277,13 @@ object Similarity {
                           nProbe: Int = 9, iters: Int = 3,
                           dim: Int = graft.Tables.EmbeddingDim,
                           agreementFloor: Double = 0.85): DataFrame = {
-    val exact = marginBitextPairs(e, k, Some(dim)).localCheckpoint()
-    val approx = marginBitextPairsIvf(e, k, cells, nProbe, iters, dim)
-      .localCheckpoint()
+    // the two tiers are independent action chains — materialize them
+    // concurrently ([[graft.Tuning.concurrently]]) so the gate prices the
+    // slower of the two, not their sum
+    val Seq(exact, approx) = graft.Tuning.concurrently(Seq[() => DataFrame](
+      () => marginBitextPairs(e, k, Some(dim)).localCheckpoint(),
+      () => marginBitextPairsIvf(e, k, cells, nProbe, iters, dim)
+        .localCheckpoint()))
     val nq = e.filter(col("vec_id") % 20 === 0)
       .agg(count(lit(1)).cast("long").as("n_queries"))
     val exRows = exact.agg(count(lit(1)).as("n"))

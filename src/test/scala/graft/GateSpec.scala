@@ -15,8 +15,9 @@ import graft.operators.{Dedup, Clustering, QualityClassifier, Similarity,
   * the same test re-runs the clean path and asserts it stays at zero.
   * (BpeSpec carries the corrupted-merge-table twin for `text_bpe_train_check`.)
   *
-  * Coverage: ALL 21 battery `_check` gates carry an induced-violation
-  * test here or in BpeSpec (`retrieval_mmr_check` included — reversed pick
+  * Coverage: ALL 22 battery `_check` gates carry an induced-violation
+  * test here or in BpeSpec (22nd = r13's `bitext_ivf_check`, whose
+  * unattainable-agreement-floor test landed with the gate itself) (`retrieval_mmr_check` included — reversed pick
   * order fires first-pick + margin, a duplicated pick row fires the
   * dup/count arms; the round-12 Bloom-index gates too: the
   * prune gate's `pruned_ok` arm fires through its public probe-set knob and
