@@ -590,6 +590,46 @@ object Relational {
         GROUP BY c_nationkey""")
     }),
 
+    // TPC-H Q21 shape (r13): the DOUBLE-existential decorrelation lane —
+    // a correlated EXISTS and a correlated NOT EXISTS over the SAME
+    // derived relation, each with a non-equi correlation term
+    // (`f2.l_suppkey <> f1.l_suppkey`). Catalyst must plan one left-semi
+    // and one left-anti join carrying that mixed equi+non-equi condition
+    // — per-row subquery loops here would be O(rows × order-size) twice
+    // over the fact table (plan-pinned in PlanSpec: no surviving
+    // subqueries, exactly one LeftSemi and one LeftAnti). The generator
+    // has no receipt/commit dates, so "late" is shipped >60 days after
+    // the order date — the lateness flag lives on a lineitem⋈orders CTE
+    // that all three references share, which also makes this the one
+    // battery entry where decorrelation runs over a WITH-relation rather
+    // than a base table. Counts are exact integers; s_name is unique per
+    // supplier and ≤100 groups exist, so the LIMIT never ties.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("q21_orders")
+      t(s, dir, "supplier").createOrReplaceTempView("q21_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("q21_nation")
+      s.sql("""
+        WITH flagged AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+          FROM q21_lineitem JOIN q21_orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F')
+        SELECT s_name, n_nationkey AS nation_key, COUNT(*) AS numwait
+        FROM flagged f1
+        JOIN q21_supplier ON s_suppkey = f1.l_suppkey
+        JOIN q21_nation ON n_nationkey = s_nationkey
+        WHERE f1.late
+          AND EXISTS (SELECT 1 FROM flagged f2
+                      WHERE f2.l_orderkey = f1.l_orderkey
+                        AND f2.l_suppkey <> f1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM flagged f3
+                          WHERE f3.l_orderkey = f1.l_orderkey
+                            AND f3.l_suppkey <> f1.l_suppkey AND f3.late)
+        GROUP BY s_name, n_nationkey
+        ORDER BY numwait DESC, s_name LIMIT 100""")
+    }),
+
     // ranking family: rank/dense_rank/ntile (beyond the reference's W1).
     "w4_rank_suite" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -1152,6 +1192,25 @@ object Relational {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH flagged AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, n_nationkey AS nation_key, COUNT(*) AS numwait
+        |FROM flagged f1
+        |JOIN supplier ON s_suppkey = f1.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE f1.late
+        |  AND EXISTS (SELECT 1 FROM flagged f2
+        |              WHERE f2.l_orderkey = f1.l_orderkey
+        |                AND f2.l_suppkey <> f1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM flagged f3
+        |                  WHERE f3.l_orderkey = f1.l_orderkey
+        |                    AND f3.l_suppkey <> f1.l_suppkey AND f3.late)
+        |GROUP BY s_name, n_nationkey
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "w4_rank_suite" ->
       """SELECT c_custkey, c_nationkey,
         |  RANK() OVER w AS rnk,

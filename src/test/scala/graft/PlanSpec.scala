@@ -351,4 +351,24 @@ class PlanSpec extends AnyFunSuite {
     assert(physical.contains("GreaterThanOrEqual(o_orderdate"),
       s"window not pushed into the orders scan:\n${physical.take(2000)}")
   }
+
+  test("Q21's twin existentials decorrelate into one semi and one anti join") {
+    // the double-existential lane: a correlated EXISTS and a correlated
+    // NOT EXISTS over the same CTE, each with the non-equi
+    // `l_suppkey <> l_suppkey` term. Both must be planned as joins —
+    // surviving existential subqueries would probe the lineitem⋈orders
+    // relation once per fact row, twice.
+    val df = q("q21_waiting_suppliers")
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("LeftSemi"),
+      s"no semi join in Q21's physical plan:\n${physical.take(1600)}")
+    assert(physical.contains("LeftAnti"),
+      s"no anti join in Q21's physical plan:\n${physical.take(1600)}")
+    assert(!physical.contains("exists-subquery") && !physical.contains("in-subquery"),
+      s"existential subquery survived to execution:\n${physical.take(1600)}")
+    // the CTE's own filter must reach the orders scan in every expansion
+    assert(physical.contains("EqualTo(o_orderstatus,F)"),
+      s"status filter not pushed into the orders scan:\n${physical.take(2400)}")
+  }
 }
