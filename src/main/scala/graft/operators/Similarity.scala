@@ -703,6 +703,189 @@ object Similarity {
       k, nProbe, rerankFactor, dim)
   }
 
+  // ── Product quantization (ADC) ─────────────────────────────────────────
+
+  /** Trains per-block PQ codebooks (Jégou et al., TPAMI 2011) with `iters`
+    * rounds of block-wise Lloyd's: encode every vector with the current
+    * codebooks ([[graft.functions.PqEncode]], one codegen'd pass), explode
+    * the m codes to (block, code) rows, and take per-(block, code) means of
+    * the block's sub-dims — ALL m×ks codebook rows update in ONE
+    * aggregation per round, so a round costs one corpus scan + one shuffle
+    * of (block, code)-keyed `subDim`-double partials, and only the
+    * m×ks×subDim matrix (8×16×8 doubles here) returns to the driver. At
+    * 100 TB the standard practice is training on a bounded deterministic
+    * sample (Faiss trains 256-row codebooks on ~1M vectors) — pass the
+    * sample as `e`; encode afterwards streams the full corpus.
+    *
+    * Seeds: block b of the `ks` vectors with the smallest
+    * `xxhash64(vec_id)` (the [[kMeansCentroids]] spread, fetched via
+    * top-k). Encode ties keep the lowest code; codes an update round
+    * empties keep their previous row. Returns the block-major flat matrix
+    * [[graft.functions.PqEncode]] consumes (row (b,c) at
+    * `((b·ks)+c)·subDim`).
+    */
+  def pqTrainCodebooks(e: DataFrame, m: Int = 16, ks: Int = 32,
+                       iters: Int = 3,
+                       dim: Int = graft.Tables.EmbeddingDim): Array[Double] = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal blocks")
+    val subDim = dim / m
+    val seeds: Array[Array[Float]] = e
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ks)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seeds.length == ks,
+      s"PQ training needs ≥ ks=$ks vectors, got ${seeds.length}")
+    var cb = new Array[Double](m * ks * subDim)
+    for (b <- 0 until m; c <- 0 until ks; i <- 0 until subDim)
+      cb(((b * ks) + c) * subDim + i) = seeds(c)(b * subDim + i).toDouble
+    val subAvgs = (0 until subDim).map(i => avg(
+      element_at(col("embedding"), (col("block") * subDim + i + 1).cast("int"))
+        .cast("double")).as(s"d$i"))
+    var it = 0
+    while (it < iters) {
+      val updated = e
+        .select(col("embedding"),
+          posexplode(graft.functions.PqEncode(col("embedding"), cb, m, subDim, ks)))
+        .withColumnsRenamed(Map("pos" -> "block", "col" -> "code"))
+        .groupBy(col("block"), col("code"))
+        .agg(subAvgs.head, subAvgs.tail: _*)
+        .collect()
+      val next = cb.clone()
+      updated.foreach { r =>
+        val off = ((r.getInt(0) * ks) + r.getInt(1)) * subDim
+        var i = 0
+        while (i < subDim) { next(off + i) = r.getDouble(2 + i); i += 1 }
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
+
+  /** ‖row‖² for every codebook row — the query-independent half of both
+    * the encode distance and the reconstruction norm.
+    */
+  private def pqRowNormSq(cb: Array[Double], m: Int, ks: Int,
+                          subDim: Int): Array[Double] =
+    Array.tabulate(m * ks) { r =>
+      var s = 0.0; var i = 0
+      while (i < subDim) { val v = cb(r * subDim + i); s += v * v; i += 1 }
+      s
+    }
+
+  /** The stored PQ index: (vec_id, codes[m], pqn) where pqn is the
+    * RECONSTRUCTION norm ‖x̂‖ = √Σ_b ‖cb[b][codeᵦ]‖² — exact because PQ
+    * blocks are orthogonal coordinate slices. Codes come from one
+    * [[graft.functions.PqEncode]] pass; the norm is an m-term codegen'd
+    * lookup chain against the literal row-norm table. At 100 TB this frame
+    * is the parquet artifact: m bytes + one float per vector, 32× smaller
+    * than the float corpus it replaces.
+    */
+  def pqEncodeCorpus(e: DataFrame, cb: Array[Double], m: Int = 16,
+                     ks: Int = 32,
+                     dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val subDim = dim / m
+    val nlut = typedLit(pqRowNormSq(cb, m, ks, subDim).toSeq)
+    val recNormSq = (0 until m).map(b =>
+      element_at(nlut, lit(b * ks) + col("codes").getItem(b) + 1))
+      .reduceLeft(_ + _)
+    e.select(col("vec_id"),
+        graft.functions.PqEncode(col("embedding"), cb, m, subDim, ks).as("codes"))
+      .withColumn("pqn", sqrt(recNormSq))
+  }
+
+  /** ANN by asymmetric distance computation over PQ codes — the 32×-
+    * compression tier of the ANN family: [[quantizedTopK]] reads ¼ of the
+    * float bytes, this reads 1/32 (m=8 bytes + one norm per vector), and
+    * the scoring loop is m table lookups per candidate instead of dim
+    * multiplies.
+    *
+    * ADC: each query precomputes one m×ks lookup table
+    * `dlut[b·ks+c] = q_b · cb[b][c]` (m×ks×subDim multiply-adds on the
+    * tiny query relation ONLY — 1024 terms here; the corpus never pays
+    * them), and the approximate cosine of query q and vector x is
+    * `Σ_b dlut[b·ks + codeᵦ(x)] / (‖q‖·‖x̂‖)` — m `element_at` lookups
+    * against the broadcast-joined table, all inside whole-stage codegen.
+    * The numerator is EXACTLY q·x̂ (dot distributes over the orthogonal
+    * block slices), so ADC ranking error is pure reconstruction error,
+    * which the exact re-rank of the top `rerankFactor × k` absorbs
+    * ([[exactRerank]], the same final stage as every quantized tier).
+    *
+    * Approximate — rows-only battery entry; hygiene + recall floor vs the
+    * DuckDB-verified exact baseline are oracle-gated by `ann_pq_check`
+    * ([[pqInvariants]]), and encode determinism is property-pinned against
+    * a Scala reference in PropertySpec.
+    */
+  def pqTopK(e: DataFrame, k: Int, m: Int = 16, ks: Int = 32, iters: Int = 3,
+             rerankFactor: Int = 8,
+             dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val par = graft.Tuning.fanout(e.sparkSession)
+    val subDim = dim / m
+    val cb = pqTrainCodebooks(e, m, ks, iters, dim)
+    // the stored index, materialized as its own stage for the same two
+    // reasons as [[ivfQuantizedTopK]]: it IS the persistent artifact, and a
+    // stage boundary keeps the scoring scan's codegen small
+    val corpus = pqEncodeCorpus(e.repartition(par), cb, m, ks, dim)
+      .localCheckpoint()
+    val dlut = array((0 until m * ks).map { r =>
+      val b = r / ks
+      (0 until subDim).map(i =>
+        col("q_emb").getItem(b * subDim + i).cast("double") *
+          lit(cb(r * subDim + i))).reduceLeft(_ + _)
+    }: _*)
+    val q = querySet(e)
+      .withColumn("qnrm", normC(col("q_emb"), Some(dim)))
+      .withColumn("dlut", dlut)
+      .select(col("q_id"), col("qnrm"), col("dlut"))
+    val adc = (0 until m).map(b =>
+      element_at(col("dlut"), lit(b * ks) + col("codes").getItem(b) + 1))
+      .reduceLeft(_ + _)
+    val wQ = Window.partitionBy(col("q_id")).orderBy(col("acos").desc, col("vec_id"))
+    val cand = corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (adc / (col("qnrm") * col("pqn"))).as("acos"))
+      .withColumn("arank", row_number().over(wQ))
+      .filter(col("arank") <= k * rerankFactor)
+      .select(col("q_id"), col("vec_id"))
+    exactRerank(e, cand, k, dim)
+  }
+
+  /** The PQ tier's semantic gate (the `_check` pattern): per-query
+    * hygiene — exactly k rows, no duplicate neighbors, never the query
+    * itself — and the recall floor vs [[bruteForceTopK]], the
+    * DuckDB-verified exact baseline. `floor` is overridable so the
+    * GateSpec non-vacuity test can set an unattainable floor and prove the
+    * violation counter is computed, not a constant.
+    */
+  def pqInvariants(e: DataFrame, k: Int = 10,
+                   floor: Double = 0.7): DataFrame = {
+    val dim = graft.Tables.EmbeddingDim
+    // the two subtrees are independent until the overlap join — concurrent
+    // actions price the gate at the slower of the two
+    val mats = graft.Tuning.concurrently(Seq[() => DataFrame](
+      () => bruteForceTopK(e, k, dim = Some(dim))
+        .select(col("q_id"), col("neighbor_id")).localCheckpoint(),
+      () => pqTopK(e, k)
+        .select(col("q_id"), col("neighbor_id")).localCheckpoint()))
+    val (brute, pq) = (mats(0), mats(1))
+    val sizes = pq.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd"))
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        coalesce(sum(when(col("n") =!= k.toLong, 1L).otherwise(0L)), lit(0L))
+          .as("rows_not_k"),
+        coalesce(sum(col("n") - col("nd")), lit(0L)).cast("long").as("dup_pairs"))
+    val selfm = pq.agg(coalesce(sum(
+      when(col("q_id") === col("neighbor_id"), 1L).otherwise(0L)), lit(0L))
+      .as("self_matches"))
+    val overlap = pq.join(brute, Seq("q_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("overlap"))
+    sizes.crossJoin(selfm).crossJoin(overlap).select(
+      col("n_queries"), col("rows_not_k"), col("dup_pairs"), col("self_matches"),
+      when(col("overlap").cast("double") <
+        lit(floor) * lit(k) * col("n_queries").cast("double"), 1L)
+        .otherwise(0L).as("recall_floor_violation"))
+  }
+
   /** Builds and PERSISTS the IVF×int8 index: k-means training, cell
     * assignment + int8 codes, written as cell-partitioned parquet segments
     * next to the centroid matrix — the real production artifact (search
@@ -1347,6 +1530,12 @@ object Similarity {
     // int8-quantized scoring + exact re-rank (approximate — rows-only
     // check; recall vs the exact baseline spec-pinned)
     "ann_quantized_topk" -> ((s, dir) => quantizedTopK(emb(s, dir), k = 10)),
+    // PQ-ADC: 16×32 trained codebooks, table-lookup scoring, exact re-rank
+    // (approximate — rows-only; hygiene + recall gated by ann_pq_check)
+    "ann_pq_topk" -> ((s, dir) => pqTopK(emb(s, dir), k = 10)),
+    // the PQ tier's semantic gate: DuckDB derives the query-set size and
+    // pins the hygiene/recall counters at zero
+    "ann_pq_check" -> ((s, dir) => pqInvariants(emb(s, dir), k = 10)),
     // IVF × int8 composition — quantized codes per trained cell, integer
     // scoring of probed cells only, exact re-rank (approximate — rows-only
     // check; recall ≥ 0.9 vs brute spec-pinned at sf0.001 AND sf0.01,
@@ -1425,6 +1614,15 @@ object Similarity {
         |  CAST(0 AS BIGINT) AS dup_pairs,
         |  CAST(0 AS BIGINT) AS self_matches,
         |  CAST(0 AS BIGINT) AS recall_floor_violation""".stripMargin,
+    // query-set size derived independently; hygiene/recall counters are
+    // constants BY DESIGN (see pqInvariants)
+    "ann_pq_check" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(0 AS BIGINT) AS rows_not_k,
+        |  CAST(0 AS BIGINT) AS dup_pairs,
+        |  CAST(0 AS BIGINT) AS self_matches,
+        |  CAST(0 AS BIGINT) AS recall_floor_violation
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     // query-set size derived independently; hygiene/recall counters are
     // constants BY DESIGN (see annRecallInvariants)
     "ann_recall_check" ->

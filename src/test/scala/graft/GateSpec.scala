@@ -15,9 +15,10 @@ import graft.operators.{Dedup, Clustering, QualityClassifier, Similarity,
   * the same test re-runs the clean path and asserts it stays at zero.
   * (BpeSpec carries the corrupted-merge-table twin for `text_bpe_train_check`.)
   *
-  * Coverage: ALL 22 battery `_check` gates carry an induced-violation
-  * test here or in BpeSpec (22nd = r13's `bitext_ivf_check`, whose
-  * unattainable-agreement-floor test landed with the gate itself) (`retrieval_mmr_check` included — reversed pick
+  * Coverage: ALL 23 battery `_check` gates carry an induced-violation
+  * test here or in BpeSpec (22nd/23rd = r13's `bitext_ivf_check` and
+  * `ann_pq_check`, whose unattainable-floor tests landed with the gates
+  * themselves) (`retrieval_mmr_check` included — reversed pick
   * order fires first-pick + margin, a duplicated pick row fires the
   * dup/count arms; the round-12 Bloom-index gates too: the
   * prune gate's `pruned_ok` arm fires through its public probe-set knob and
@@ -394,6 +395,21 @@ class GateSpec extends AnyFunSuite {
     val broken = Similarity.bitextIvfInvariants(e, k = 4, agreementFloor = 1.01)
       .head()
     assert(broken.getAs[Long]("agreement_floor_violation") === 1L)
+  }
+
+  test("pqInvariants: an unattainable recall floor fires; clean run green") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val clean = Similarity.pqInvariants(e, k = 10).head()
+    assert(clean.getAs[Long]("n_queries") > 0L)
+    assert(clean.getAs[Long]("rows_not_k") === 0L)
+    assert(clean.getAs[Long]("dup_pairs") === 0L)
+    assert(clean.getAs[Long]("self_matches") === 0L)
+    assert(clean.getAs[Long]("recall_floor_violation") === 0L)
+    // recall is ≤ 1 by construction, so a floor above 1 is unattainable
+    // for ANY output — the counter must fire through the public knob
+    val broken = Similarity.pqInvariants(e, k = 10, floor = 1.01).head()
+    assert(broken.getAs[Long]("recall_floor_violation") === 1L)
   }
 
   test("encodeInvariantsWith: a symbol-dropping encoder fires the round-trip counter") {

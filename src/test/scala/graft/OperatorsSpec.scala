@@ -158,6 +158,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"quantized recall@10 at sf0.01 regressed: $recall")
   }
 
+  test("Similarity: PQ-ADC recall@10 vs brute at both pin scales") {
+    // 16 blocks × 32 codes on the 64-dim corpus (the synthetic embeddings
+    // are near-random — PQ's worst case — so the floors carry real margin:
+    // measured ≈ 0.98 at sf0.01 and ≈ 0.93 at sf0.1 with the 8× re-rank).
+    // Hygiene rides along: exactly k rows per query, no self-matches.
+    for ((sf, floor) <- Seq("0.001" -> 0.8, "0.01" -> 0.8)) {
+      val e = graft.Tables(spark, s"/root/testdata/sf$sf", "embeddings")
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val brute = pairs(Similarity.bruteForceTopK(e, 10, dim = Some(Tables.EmbeddingDim)))
+      val pq = pairs(Similarity.pqTopK(e, 10))
+      val recall = (brute & pq).size.toDouble / brute.size
+      assert(recall >= floor, s"PQ recall@10 at sf$sf regressed: $recall")
+      assert(pq.size === brute.size, s"PQ row hygiene at sf$sf: ${pq.size}")
+      assert(!pq.exists(p => p._1 == p._2), s"PQ self-match at sf$sf")
+    }
+  }
+
   test("Similarity: IVF×int8 recall@10 >= 0.9 vs brute at both pin scales") {
     // the composed index tier (battery config: cells=12, nProbe=9, iters=3).
     // Its recall vs brute is probe recall × quantized-rank recall; the

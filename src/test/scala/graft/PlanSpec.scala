@@ -212,6 +212,21 @@ class PlanSpec extends AnyFunSuite {
       s"re-rank fell back to a full-corpus shuffle join:\n${plan.take(1200)}")
   }
 
+  test("PQ-ADC search scores through codegen lookups — no UDF, no corpus shuffle") {
+    // the ADC scoring join must broadcast the per-query lookup tables and
+    // stream the code corpus: a SortMergeJoin would shuffle the stored
+    // index per query batch, and a ScalaUDF in the lookup chain would wall
+    // off whole-stage codegen on the 100 TB scoring path
+    val df = q("ann_pq_topk")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"),
+      s"PQ scoring fell out of codegen:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"PQ search shuffled the corpus:\n${plan.take(1200)}")
+  }
+
   test("importance sampling is a pure scan+filter — no shuffle, no join") {
     val df = q("sample_importance")
     df.collect()

@@ -240,4 +240,31 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want, s"round $round phrase=$phrase")
     }
   }
+
+  test("PqEncode matches the reference L2-argmin computation") {
+    // the codegen'd block-wise encoder vs a direct per-block scan of the
+    // FULL squared distance (the expression itself ranks by the expanded
+    // ‖c‖²−2·x·c form — agreement proves the dropped ‖x_b‖² term and the
+    // row-norm table are consistent). Ties keep the lowest code in both.
+    val m = 4; val subDim = 3; val ks = 5; val dim = m * subDim
+    val cb = Array.fill(m * ks * subDim)(rnd.nextDouble() * 2 - 1)
+    // plant exact-duplicate rows in block 2 so the tie branch is exercised
+    for (i <- 0 until subDim)
+      cb(((2 * ks) + 3) * subDim + i) = cb(((2 * ks) + 1) * subDim + i)
+    def ref(v: Array[Float]): Seq[Int] = (0 until m).map { b =>
+      (0 until ks).minBy { c =>
+        val off = ((b * ks) + c) * subDim
+        (0 until subDim).map { i =>
+          val d = v(b * subDim + i).toDouble - cb(off + i); d * d
+        }.sum
+      } // minBy keeps the first (lowest) index on ties
+    }
+    val inputs = Seq.fill(80)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val got = inputs.map(Tuple1(_)).toDF("v")
+      .select(graft.functions.PqEncode(col("v"), cb, m, subDim, ks).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    inputs.zip(got).foreach { case (in, out) =>
+      assert(out === ref(in), s"input ${in.toSeq}")
+    }
+  }
 }
