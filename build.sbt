@@ -9,6 +9,9 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Dead-local hygiene (advisor r13): unused local vals are surfaced at
+// compile time so refactors can't leave orphaned computation behind.
+ThisBuild / scalacOptions += "-Wunused:locals"
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -11,8 +11,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * `dim`-dim float vector splits into `m` contiguous sub-blocks of
   * `subDim = dim/m` dims, and each block is replaced by the index of its
   * L2-NEAREST row in that block's `ks`-row codebook — one `array<int>` of
-  * `m` codes per vector, 8 bits of information per code at ks=256 (ks=16
-  * here keeps the test corpus honest; the expression is ks-generic).
+  * `m` codes per vector, 8 bits of information per code at ks=256 (the
+  * shipped [[graft.operators.Similarity.pqTopK]] defaults are m=16/ks=32
+  * on the dim=64 test corpus; the expression is ks-generic and the
+  * battery also exercises the standard m=8/ks=256 8-bit point).
   *
   * This is the storage layer of the IVF-ADC family: at 100 TB of float32
   * embeddings, m=8 one-byte codes replace 256 bytes of floats (32×), and

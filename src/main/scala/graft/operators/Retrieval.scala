@@ -215,11 +215,29 @@ object Retrieval {
     */
   def phraseMatches(d: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
-    val post = d.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+    val post = tokenPostings(d)
       .filter(col("tok").isin(phrase.distinct: _*))
       .localCheckpoint() // df-bounded; referenced once per phrase term
+    phraseAssemble(post, phrase)
+  }
+
+  /** One tokenization pass → the positional posting relation
+    * `(doc_id, pos, tok)` — the shape both the per-call matcher and the
+    * persisted index store.
+    */
+  private def tokenPostings(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+
+  /** The anchor-alignment half shared by [[phraseMatches]] and
+    * [[searchTextIndex]] (sharing the code is what makes the index-backed
+    * search hash-match the per-call matcher BY CONSTRUCTION): term i's
+    * postings project to `(doc_id, anchor = pos − i)`, a whole-phrase
+    * occurrence is one anchor shared by every term, and the output is
+    * per-doc occurrence counts plus the first match position.
+    */
+  private def phraseAssemble(post: DataFrame, phrase: Seq[String]): DataFrame =
     phrase.zipWithIndex.map { case (t, i) =>
         post.filter(col("tok") === t)
           .select(col("doc_id"), (col("pos") - i).as("anchor"))
@@ -228,6 +246,145 @@ object Retrieval {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"),
         min(col("anchor")).cast("long").as("first_pos"))
+
+  // ── Persisted positional inverted index (r14) ────────────────────────────
+  //
+  // The 100 TB spelling of [[phraseMatches]]: per-call tokenization re-reads
+  // every document byte per query, so a deployed engine persists the
+  // positional posting relation ONCE and serves every later phrase query
+  // from the index — the same build/append/search lifecycle (and the same
+  // staged-rename publication, [[graft.io.AtomicPublish]]) as the ANN tier's
+  // persisted IVF index.
+
+  /** Token-hash bucket count for a persisted postings store: postings are
+    * hive-partitioned by `tokb = xxhash64(tok) mod buckets`, so a phrase
+    * search partition-prunes to its terms' buckets and reads
+    * ~|phrase|/buckets of the store. Auto-sized (buckets = 0) to hold
+    * ~1M postings (≈ tens of MB of parquet) per bucket, clamped to
+    * [4, 65536] — the same constant-bucket-size reasoning as
+    * [[graft.operators.Similarity.autoCells]]: a FIXED bucket count would
+    * make every bucket O(corpus) and pruning vacuous at 100 TB.
+    */
+  def autoPostingBuckets(nPostings: Long): Int =
+    math.min(65536L, math.max(4L,
+      math.ceil(nPostings.toDouble / (1L << 20)).toLong)).toInt
+
+  /** Builds and PERSISTS the positional inverted index: one tokenization
+    * pass over the corpus, bucketed by token hash, written as
+    * `tokb`-partitioned parquet next to a one-row `meta` table (bucket
+    * count + postings count — search must bucket queries with the SAME
+    * modulus the writer used). Staged-rename publication; returns the
+    * per-bucket postings summary.
+    */
+  def buildTextIndex(d: DataFrame, indexDir: String,
+                     buckets: Int = 0): DataFrame = {
+    val s = d.sparkSession
+    import graft.io.AtomicPublish
+    val post = tokenPostings(d).localCheckpoint()
+    val n = post.count()
+    val b = if (buckets > 0) buckets else autoPostingBuckets(n)
+    val fs = AtomicPublish.fsFor(s, indexDir)
+    val staging = s"$indexDir/build-staging"
+    AtomicPublish.scrubStaging(fs, staging)
+    import s.implicits._
+    Seq((b, n)).toDF("buckets", "n_postings")
+      .write.mode("overwrite").parquet(s"$staging/meta")
+    post.withColumn("tokb", pmod(xxhash64(col("tok")), lit(b)).cast("int"))
+      .write.mode("overwrite").partitionBy("tokb")
+      .parquet(s"$staging/postings")
+    AtomicPublish.publish(fs, indexDir, staging, Seq("meta", "postings"))
+    s.read.parquet(s"$indexDir/postings")
+      .groupBy(col("tokb")).agg(count(lit(1)).as("n_postings"))
+      .orderBy(col("tokb"))
+  }
+
+  /** Ingest-side of the text-index lifecycle: tokenizes ONLY the new batch
+    * and overwrites the index's `delta` segment, bucketed with the STORED
+    * modulus — no pass over the base corpus (same overwrite-for-idempotence
+    * convention as `Similarity.appendToIvfIndex`; a real deployment writes
+    * a date-stamped `delta_*` dir per ingest cycle). Returns the delta's
+    * per-bucket summary.
+    */
+  def appendToTextIndex(batch: DataFrame, indexDir: String,
+                        segment: String = "delta"): DataFrame = {
+    require(segment.startsWith("delta"),
+      s"delta segments must be named delta* so searches discover them, got '$segment'")
+    val s = batch.sparkSession
+    val b = s.read.parquet(s"$indexDir/meta").head.getAs[Int]("buckets")
+    tokenPostings(batch)
+      .withColumn("tokb", pmod(xxhash64(col("tok")), lit(b)).cast("int"))
+      .write.mode("overwrite").partitionBy("tokb")
+      .parquet(s"$indexDir/$segment")
+    s.read.parquet(s"$indexDir/$segment")
+      .groupBy(col("tokb")).agg(count(lit(1)).as("n_postings"))
+      .orderBy(col("tokb"))
+  }
+
+  /** Query-side over base + delta segments: reads the stored postings with
+    * partition pruning to the phrase terms' buckets (the scan lists only
+    * `tokb=…` directories the phrase hashes to — at 100 TB that is
+    * |phrase terms|/buckets of the store, zero document bytes), then runs
+    * the SAME anchor-alignment assembly as [[phraseMatches]] — results are
+    * hash-identical by construction (oracle-gated: the battery entry
+    * shares `retrieval_phrase_match`'s DuckDB SQL verbatim).
+    */
+  def searchTextIndex(s: SparkSession, indexDir: String,
+                      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val b = s.read.parquet(s"$indexDir/meta").head.getAs[Int]("buckets")
+    import s.implicits._
+    // the terms' bucket ids, computed with the engine's own xxhash64 so
+    // writer and reader can never disagree on the hash
+    val bucketIds = phrase.distinct.toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(b)).cast("int")).as[Int]
+      .collect().toSeq.distinct
+    val fs = graft.io.AtomicPublish.fsFor(s, indexDir)
+    val segDirs = Seq(s"$indexDir/postings") ++
+      fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta"))
+        .map(_.getPath.toString)
+    val post = segDirs.map(p => s.read.parquet(p)).reduce(_ unionByName _)
+      .filter(col("tokb").isin(bucketIds: _*) &&
+        col("tok").isin(phrase.distinct: _*))
+    phraseAssemble(post, phrase)
+  }
+
+  /** Text-index lifecycle gate (the `_check` pattern, Layout/Bloom style):
+    * build on the 90% doc slice, append the 10% delta, then pin — against
+    * DuckDB-derivable ground truth — that
+    *
+    *  - `n_postings`: the conservation column (DuckDB re-derives the total
+    *    token count from raw documents with the proven-portable split);
+    *  - `conservation_mismatch`: base + delta segments together hold
+    *    exactly one posting row per corpus token occurrence — the counter
+    *    a lost/duplicated segment write flips;
+    *  - `append_search_diffs`: the index-backed search over base+delta is
+    *    row-identical to the per-call [[phraseMatches]] over the full
+    *    corpus (symmetric-difference count) — an append that mis-bucketed
+    *    or dropped postings surfaces here, and rebuild-equivalence is
+    *    covered by the search entry's own full hash oracle.
+    */
+  def textIndexInvariants(d: DataFrame, indexDir: String,
+                          phrase: Seq[String]): DataFrame = {
+    val s = d.sparkSession
+    import graft.operators.Similarity.indexPathExists
+    val base = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    if (!indexPathExists(s, s"$indexDir/postings/_SUCCESS"))
+      buildTextIndex(base, indexDir).count()
+    if (!indexPathExists(s, s"$indexDir/delta/_SUCCESS"))
+      appendToTextIndex(batch, indexDir).count()
+    val segRows = s.read.parquet(s"$indexDir/postings").count() +
+      s.read.parquet(s"$indexDir/delta").count()
+    val nPost = tokenPostings(d).count()
+    val fromIndex = searchTextIndex(s, indexDir, phrase)
+    val direct = phraseMatches(d, phrase)
+    val diffs = fromIndex.exceptAll(direct).unionAll(direct.exceptAll(fromIndex))
+      .agg(count(lit(1)).cast("long").as("append_search_diffs"))
+    import s.implicits._
+    Seq((nPost, if (segRows == nPost) 0L else 1L))
+      .toDF("n_postings", "conservation_mismatch")
+      .crossJoin(diffs)
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -247,8 +404,35 @@ object Retrieval {
     // oracle re-derives the posting lists with the proven-portable
     // tokenizer and replays the same anchor-alignment join in SQL)
     "retrieval_phrase_match" -> ((s, dir) =>
-      phraseMatches(docs(s, dir), Seq("fast", "table")))
+      phraseMatches(docs(s, dir), Seq("fast", "table"))),
+    // one-time positional-index build: tokenize once, bucket by token
+    // hash, persist partitioned postings + meta (rows-only — per-bucket
+    // summary; the search entry below carries the full hash oracle)
+    "retrieval_phrase_index_build" -> ((s, dir) =>
+      buildTextIndex(docs(s, dir), textIndexDirFor(dir))),
+    // the recurring phrase-query cost a deployed engine pays: bucket-pruned
+    // postings scan + anchor joins, ZERO document bytes. Full hash oracle —
+    // shares retrieval_phrase_match's SQL verbatim, so index-backed and
+    // per-call results can never drift
+    "retrieval_phrase_index_search" -> ((s, dir) => {
+      val idx = textIndexDirFor(dir)
+      if (!graft.operators.Similarity.indexPathExists(s, s"$idx/postings/_SUCCESS"))
+        buildTextIndex(docs(s, dir), idx).count()
+      searchTextIndex(s, idx, Seq("fast", "table"))
+    }),
+    // the lifecycle gate: postings conservation + append-search equivalence,
+    // counters oracle-pinned against DuckDB-derived token totals
+    "retrieval_phrase_index_check" -> ((s, dir) =>
+      textIndexInvariants(docs(s, dir), textIndexDirFor(dir) + "-append",
+        Seq("fast", "table")))
   )
+
+  /** Deterministic scratch location for the persisted text-index battery
+    * entries, keyed by the data directory (same convention as the ANN
+    * index's `indexDirFor`).
+    */
+  private def textIndexDirFor(dir: String): String =
+    graft.Tuning.scratchDirFor("graft-text-index", dir)
 
   /** Shared BM25 scoring CTE chain (→ `sc(query_id, doc_id, score)`) —
     * interpolated into every oracle that ranks by BM25, so the scoring math
@@ -343,18 +527,36 @@ object Retrieval {
     // positional postings re-derived with the same tokenizer; anchors
     // 0-based on both sides (DuckDB's generate_subscripts is 1-based,
     // hence the −1)
-    "retrieval_phrase_match" ->
-      raw"""WITH toks AS (
-        |  SELECT doc_id, UNNEST(t.l) AS tok, generate_subscripts(t.l, 1) - 1 AS pos
-        |  FROM documents,
-        |  LATERAL (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                              x -> len(x) > 0) AS l) t
-        |  WHERE text IS NOT NULL),
-        |t0 AS (SELECT doc_id, pos AS anchor FROM toks WHERE tok = 'fast'),
-        |t1 AS (SELECT doc_id, pos - 1 AS anchor FROM toks WHERE tok = 'table')
-        |SELECT doc_id, COUNT(*) AS n_occurrences,
-        |  CAST(MIN(anchor) AS BIGINT) AS first_pos
-        |FROM t0 JOIN t1 USING (doc_id, anchor)
-        |GROUP BY doc_id""".stripMargin
+    "retrieval_phrase_match" -> phraseMatchSql,
+    // the index-backed search must be row-identical to the per-call
+    // matcher: SAME oracle SQL, verbatim
+    "retrieval_phrase_index_search" -> phraseMatchSql,
+    // lifecycle gate: DuckDB re-derives the corpus's total token count
+    // (the conservation column) and pins the violation counters at zero
+    "retrieval_phrase_index_check" ->
+      raw"""SELECT CAST(SUM(len(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)))
+        |    AS BIGINT) AS n_postings,
+        |  CAST(0 AS BIGINT) AS conservation_mismatch,
+        |  CAST(0 AS BIGINT) AS append_search_diffs
+        |FROM documents WHERE text IS NOT NULL""".stripMargin
   )
+
+  /** Positional postings re-derived with the same tokenizer; anchors
+    * 0-based on both sides (DuckDB's generate_subscripts is 1-based, hence
+    * the −1). Shared verbatim by the per-call and index-backed entries.
+    */
+  private val phraseMatchSql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, UNNEST(t.l) AS tok, generate_subscripts(t.l, 1) - 1 AS pos
+      |  FROM documents,
+      |  LATERAL (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                              x -> len(x) > 0) AS l) t
+      |  WHERE text IS NOT NULL),
+      |t0 AS (SELECT doc_id, pos AS anchor FROM toks WHERE tok = 'fast'),
+      |t1 AS (SELECT doc_id, pos - 1 AS anchor FROM toks WHERE tok = 'table')
+      |SELECT doc_id, COUNT(*) AS n_occurrences,
+      |  CAST(MIN(anchor) AS BIGINT) AS first_pos
+      |FROM t0 JOIN t1 USING (doc_id, anchor)
+      |GROUP BY doc_id""".stripMargin
 }

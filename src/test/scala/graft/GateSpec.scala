@@ -15,10 +15,11 @@ import graft.operators.{Dedup, Clustering, QualityClassifier, Similarity,
   * the same test re-runs the clean path and asserts it stays at zero.
   * (BpeSpec carries the corrupted-merge-table twin for `text_bpe_train_check`.)
   *
-  * Coverage: ALL 23 battery `_check` gates carry an induced-violation
+  * Coverage: ALL 24 battery `_check` gates carry an induced-violation
   * test here or in BpeSpec (22nd/23rd = r13's `bitext_ivf_check` and
   * `ann_pq_check`, whose unattainable-floor tests landed with the gates
-  * themselves) (`retrieval_mmr_check` included — reversed pick
+  * themselves; 24th = r14's `retrieval_phrase_index_check`, fired below
+  * through a position-shifted and then a duplicated delta segment) (`retrieval_mmr_check` included — reversed pick
   * order fires first-pick + margin, a duplicated pick row fires the
   * dup/count arms; the round-12 Bloom-index gates too: the
   * prune gate's `pruned_ok` arm fires through its public probe-set knob and
@@ -458,5 +459,33 @@ class GateSpec extends AnyFunSuite {
       .exceptAll(ordered.limit(1)).localCheckpoint()
     val badRow = Sampling.dsirInvariantsOn(scored, tampered).head()
     assert(badRow.getAs[Long]("topk_violations") > 0L, badRow.toString)
+  }
+
+  test("textIndexInvariants: clean lifecycle green; corrupted delta fires both counters") {
+    import graft.operators.Retrieval
+    // owned corpus so the induced violations are deterministic: every doc
+    // matches the phrase, and doc_ids 0/10 land in the append slice
+    val d = (0L until 20L).map(i => (i, s"row $i has a fast table inside"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("text-gate").toString + "/idx"
+    val phrase = Seq("fast", "table")
+    val clean = Retrieval.textIndexInvariants(d, dir, phrase).head()
+    assert(clean.getAs[Long]("n_postings") === 20L * 7)
+    assert(clean.getAs[Long]("conservation_mismatch") === 0L)
+    assert(clean.getAs[Long]("append_search_diffs") === 0L)
+    // corruption: shift every delta posting one position right — row count
+    // is preserved minus nothing, so conservation stays green while the
+    // append slice's matches move (first_pos drifts) → search-diff counter
+    // must fire; then duplicate the delta rows → conservation fires too
+    val delta = spark.read.parquet(s"$dir/delta").localCheckpoint()
+    delta.withColumn("pos", col("pos") + 1)
+      .write.mode("overwrite").partitionBy("tokb").parquet(s"$dir/delta")
+    val shifted = Retrieval.textIndexInvariants(d, dir, phrase).head()
+    assert(shifted.getAs[Long]("conservation_mismatch") === 0L)
+    assert(shifted.getAs[Long]("append_search_diffs") > 0L, shifted.toString)
+    delta.unionAll(delta)
+      .write.mode("overwrite").partitionBy("tokb").parquet(s"$dir/delta")
+    val dup = Retrieval.textIndexInvariants(d, dir, phrase).head()
+    assert(dup.getAs[Long]("conservation_mismatch") === 1L, dup.toString)
   }
 }

@@ -222,9 +222,35 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"),
       s"PQ scoring fell out of codegen:\n${plan.take(1200)}")
+    // the scoring join's condition (vec_id =!= q_id) is non-equi, so its
+    // broadcast spelling is a BroadcastNestedLoopJoin over the tiny query
+    // relation (advisor r13 — the BroadcastHashJoin here is exactRerank's
+    // candidate equi-join, pinned separately)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"ADC scoring join is not the broadcast nested-loop stream:\n${plan.take(1200)}")
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"PQ search shuffled the corpus:\n${plan.take(1200)}")
+  }
+
+  test("phrase-index search partition-prunes the postings store to the terms' buckets") {
+    val df = q("retrieval_phrase_index_search")
+    df.collect()
+    // the scans that read the persisted postings store must carry a `tokb`
+    // partition filter: the directory listing is pruned to the phrase
+    // terms' hash buckets BEFORE any parquet bytes are read — at 100 TB
+    // the search touches ~|phrase terms|/buckets of the store and zero
+    // document bytes
+    // string-based: the joins make this plan adaptive, and AQE's wrapper
+    // hides FileSourceScanExec nodes from the scans() helper — the final
+    // plan text still carries every scan's Location/PartitionFilters
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-text-index"), "no postings scan found in the plan")
+    val pruned = raw"PartitionFilters: \[[^\]]*tokb[^\]]*IN[^\]]*\]".r
+    assert(pruned.findFirstIn(plan).isDefined,
+      s"postings scan lists every bucket:\n${plan.take(2000)}")
+    assert(!plan.contains("documents.parquet"),
+      "index-backed search re-read the documents table")
   }
 
   test("importance sampling is a pure scan+filter — no shuffle, no join") {
