@@ -281,7 +281,9 @@ object Multimodal {
   }
 
   private def buildAvi(id: Long, width: Int, height: Int, nFrames: Int,
-                       usPerFrame: Int): Array[Byte] = {
+                       usPerFrame: Int,
+                       codec: String = "DIB ",
+                       frameBytes: Int => Array[Byte] = null): Array[Byte] = {
     val bb = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Array[Byte] = Array(
       (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
@@ -298,25 +300,91 @@ object Multimodal {
         u32(nFrames.toLong) ++ u32(0L) ++ u32(1L) ++ u32(0L) ++
         u32(width.toLong) ++ u32(height.toLong) ++
         u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(0L))
-    // strh (AVIStreamHeader, 'vids'/'DIB ') + strf (BITMAPINFOHEADER)
+    // strh (AVIStreamHeader, 'vids'/codec) + strf (BITMAPINFOHEADER —
+    // biCompression carries the codec fourcc for compressed streams, 0 for
+    // uncompressed DIB, per the public VFW layout)
     val strh = chunk("strh",
-      fourcc("vids") ++ fourcc("DIB ") ++ u32(0L) ++ u32(0L) ++ u32(0L) ++
+      fourcc("vids") ++ fourcc(codec) ++ u32(0L) ++ u32(0L) ++ u32(0L) ++
         u32(usPerFrame.toLong) /*dwScale*/ ++ u32(1000000L) /*dwRate*/ ++
         u32(0L) ++ u32(nFrames.toLong) ++ u32(0L) ++ u32(0L) ++ u32(0L) ++
         u32(0L) ++ Array.fill(8)(0.toByte) /*rcFrame*/)
     val strf = chunk("strf",
       u32(40L) ++ u32(width.toLong) ++ u32(height.toLong) ++
         Array((1 & 0xFF).toByte, 0.toByte) ++ Array((24 & 0xFF).toByte, 0.toByte) ++
-        u32(0L) ++ u32((width.toLong * height * 3)) ++
+        (if (codec == "DIB ") u32(0L) else fourcc(codec)) ++
+        u32((width.toLong * height * 3)) ++
         u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(0L))
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    // '00db' = uncompressed frame, '00dc' = compressed frame (VFW chunk ids)
     val frames = (0 until nFrames).flatMap { f =>
-      chunk("00db", u32(id * 31 + f) ++ u32(id * 7 + f))
+      if (frameBytes == null) chunk("00db", u32(id * 31 + f) ++ u32(id * 7 + f))
+      else chunk("00dc", frameBytes(f))
     }.toArray
     val movi = list("movi", frames)
     val body = fourcc("AVI ") ++ hdrl ++ movi
     bb.write(fourcc("RIFF")); bb.write(u32(body.length.toLong)); bb.write(body)
     bb.toByteArray
+  }
+
+  /** Deterministic synthetic MJPEG corpus (r14 — closes the frame-pixel
+    * seam for the one compressed codec the JDK ships): same container
+    * geometry as [[synthAviTable]], but the stream is 'MJPG' and every
+    * `00dc` chunk is a REAL baseline JPEG (the MJPEG "codec" IS
+    * one-JPEG-per-frame, which is why `javax.imageio` can decode it) of a
+    * UNIFORM gray level `v_f = (id·31 + f·7) mod 256`.
+    *
+    * Why uniform gray makes the decode oracle-exact: grayscale JPEG skips
+    * the RGB↔YCbCr rounding, and at compression quality 1.0 the
+    * quantization tables are all ones, so a uniform block's DCT (DC term
+    * only, integer-valued) round-trips bit-exactly — verified over all
+    * 256 gray levels × aligned and non-aligned dimensions. The decoded
+    * per-frame mean gray is therefore pure integer arithmetic of the id,
+    * the same independently-derivable property the PNG/WAV corpora carry.
+    */
+  def synthMjpegAviTable(ids: DataFrame, idCol: String = "media_id"): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val width = 16 * (1 + (id % 9)).toInt
+        val height = 16 * (1 + (id % 7)).toInt
+        val nFrames = (10 + id % 20).toInt
+        val usPerFrame = (20000 + (id % 5) * 10000).toInt
+        val bytes = buildAvi(id, width, height, nFrames, usPerFrame,
+          codec = "MJPG",
+          frameBytes = f => jpegGray(width, height,
+            ((id * 31 + f * 7) % 256).toInt))
+        md.reset()
+        val sum = md.digest(bytes).map("%02x".format(_)).mkString
+        Row(id, bytes, Row("video/x-msvideo", bytes.length.toLong, sum))
+      }
+    }(enc)
+  }
+
+  /** One uniform-gray baseline JPEG at quality 1.0 (see
+    * [[synthMjpegAviTable]] for why this is decode-exact).
+    */
+  private def jpegGray(width: Int, height: Int, v: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.getRaster.setSample(x, y, 0, v); x += 1 }
+      y += 1
+    }
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
   }
 
   /** REAL video-container metadata parse: a generic RIFF chunk walk (the
@@ -388,11 +456,105 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB decode for the codec-less media kinds (video, compressed audio —
-    * no JDK codec exists; images go through the REAL [[decodeImage]] and
-    * PCM/WAV audio through the REAL [[decodeAudio]], and AVI container
-    * METADATA through the REAL [[parseVideoMeta]] — only the frame
-    * PIXELS remain codec-less): a real
+  /** REAL per-frame video pixel decode (r14): a RIFF walk to the `movi`
+    * list, then `javax.imageio` over each `00dc`/`00db` frame chunk — for
+    * MJPEG streams every frame IS a baseline JPEG, so the one compressed
+    * video codec the JDK can decode is decoded for real. Output is O(1)
+    * per frame (decoded dimensions + mean gray level), NEVER pixel
+    * buffers; per-partition batched with one codec lookup per task, and
+    * the walk streams the payload without copying frame bytes (the
+    * `ByteArrayInputStream` wraps the payload range in place). Frames the
+    * codec rejects yield null features (lenient-COPY, same contract as
+    * [[decodeImage]]). At 100 TB the movi payload is the file — this is
+    * the stage that must be distributed, and it is: one task decodes one
+    * partition's clips, nothing returns to the driver.
+    */
+  def decodeVideoFrames(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("gray_level", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]]("payload")
+        def le32(off: Int): Long =
+          (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+            ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+        def cc(off: Int): String =
+          if (off + 4 <= b.length) new String(b, off, 4, "US-ASCII") else ""
+        // locate the movi list's payload range [start, end)
+        def findMovi(from: Int, until: Int): (Int, Int) = {
+          var off = from
+          while (off + 8 <= until) {
+            val id4 = cc(off); val szL = le32(off + 4)
+            val payloadEnd = off + 8L + szL
+            if (szL > Int.MaxValue || payloadEnd > until) return (-1, -1)
+            if (id4 == "LIST") {
+              if (cc(off + 8) == "movi") return (off + 12, payloadEnd.toInt)
+              val hit = findMovi(off + 12, payloadEnd.toInt)
+              if (hit._1 >= 0) return hit
+            }
+            off = payloadEnd.toInt + (szL.toInt & 1)
+          }
+          (-1, -1)
+        }
+        try {
+          val (start, end) =
+            if (b == null || b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") (-1, -1)
+            else findMovi(12, math.min(b.length.toLong, 12L + le32(4)).toInt)
+          if (start < 0) Iterator.empty
+          else {
+            var off = start
+            var idx = 0
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            while (off + 8 <= end) {
+              val id4 = cc(off); val sz = le32(off + 4).toInt
+              if (off + 8 + sz > end) { off = end } // truncated: stop
+              else {
+                if (id4.endsWith("dc") || id4.endsWith("db")) {
+                  val img =
+                    try javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(b, off + 8, sz))
+                    catch { case _: java.io.IOException => null }
+                  if (img == null) out += Row(id, idx, null, null, null)
+                  else {
+                    val w = img.getWidth; val h = img.getHeight
+                    var sum = 0L
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        sum += img.getRaster.getSample(x, y, 0); x += 1
+                      }
+                      y += 1
+                    }
+                    out += Row(id, idx, w, h,
+                      math.round(sum.toDouble / (w.toLong * h)).toInt)
+                  }
+                  idx += 1
+                }
+                off += 8 + sz + (sz & 1)
+              }
+            }
+            out.iterator
+          }
+        } catch {
+          case _: RuntimeException => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
+  /** STUB decode for the codec-less media kinds (inter-frame video codecs,
+    * compressed audio — no JDK codec exists; images go through the REAL
+    * [[decodeImage]], PCM/WAV audio through the REAL [[decodeAudio]], AVI
+    * container METADATA through the REAL [[parseVideoMeta]], and MJPEG
+    * frame PIXELS through the REAL [[decodeVideoFrames]] — the seam now
+    * covers only inter-frame codecs like H.264/VP9): a real
     * deployment plugs a codec in here (JNI/javacv/etc.); the fake derives
     * deterministic "dimensions" and a tiny "pixel" vector from the payload
     * bytes so downstream stages are exercised end-to-end. Runs
@@ -487,6 +649,14 @@ object Multimodal {
     "mm_video_meta" -> ((s, dir) => {
       parseVideoMeta(synthAviTable(
         graft.Tables(s, dir, "documents"), idCol = "doc_id"))
+    }),
+    // REAL MJPEG assembly → RIFF movi walk → javax.imageio per-frame pixel
+    // decode; oracle-gated because uniform-gray JPEG at quality 1.0
+    // round-trips bit-exactly (see synthMjpegAviTable) — the decoded mean
+    // gray of every frame is integer arithmetic of the id
+    "mm_video_frames" -> ((s, dir) => {
+      decodeVideoFrames(synthMjpegAviTable(
+        graft.Tables(s, dir, "documents"), idCol = "doc_id"))
     })
   )
 
@@ -526,6 +696,22 @@ object Multimodal {
         |  CAST((10 + doc_id % 20) * (20000 + (doc_id % 5) * 10000) AS BIGINT)
         |    AS duration_us
         |FROM documents""".stripMargin,
+    // independently derives what the REAL MJPEG round trip must produce:
+    // every frame is a uniform-gray JPEG whose decoded mean is exact
+    // integer arithmetic of the id (see synthMjpegAviTable)
+    "mm_video_frames" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id,
+        |    10 + doc_id % 20 AS nf,
+        |    16 * (1 + doc_id % 9) AS w,
+        |    16 * (1 + doc_id % 7) AS h
+        |  FROM documents),
+        |f AS (SELECT media_id, w, h,
+        |        UNNEST(generate_series(0, nf - 1)) AS frame_idx FROM ids)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST((media_id * 31 + frame_idx * 7) % 256 AS INT) AS gray_level
+        |FROM f""".stripMargin,
     // independently derives what the REAL PNG round trip must produce:
     // synthPngTable's two-tone fill is integer arithmetic of the id, and
     // the double expressions mirror decodeImage/extractFeatures' operation
