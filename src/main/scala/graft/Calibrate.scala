@@ -47,6 +47,8 @@ object Calibrate {
 
     val rIvf = recall(Similarity.ivfTopKKMeans(e, k, iters = 3))
     val rIvfQ = recall(Similarity.ivfQuantizedTopK(e, k, iters = 3))
+    val rPq = recall(Similarity.pqTopK(e, k))
+    val rPq256 = recall(Similarity.pqTopK(e, k, m = 8, ks = 256))
 
     val exact = Similarity.marginBitextPairs(e, k = 4, Some(dim))
       .select(col("q_id"), col("tgt_id")).collect()
@@ -64,6 +66,7 @@ object Calibrate {
       s"""{"sf_dir":"$sfDir","n":$n,"cells":$cells,"nProbe":$nProbe,""" +
       s""""fraction":${nProbe.toDouble / cells},""" +
       s""""recall_ivf":$rIvf,"recall_ivf_quantized":$rIvfQ,""" +
+      s""""recall_pq_16x32":$rPq,"recall_pq_8x256":$rPq256,""" +
       s""""floor_ivf":${math.min(0.5, nProbe.toDouble / cells)},""" +
       s""""floor_ivf_quantized":${math.min(0.9, nProbe.toDouble / cells)},""" +
       s""""bitext_cells":$bCells,"bitext_nProbe":$bProbe,""" +

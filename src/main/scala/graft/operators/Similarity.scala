@@ -916,12 +916,12 @@ object Similarity {
     // stage boundary keeps the scoring scan's codegen small
     val corpus = pqEncodeCorpus(e.repartition(par), cb, m, ks, dim)
       .localCheckpoint()
-    val dlut = array((0 until m * ks).map { r =>
-      val b = r / ks
-      (0 until subDim).map(i =>
-        col("q_emb").getItem(b * subDim + i).cast("double") *
-          lit(cb(r * subDim + i))).reduceLeft(_ + _)
-    }: _*)
+    // the per-query ADC table is a native loop expression, NOT a composed
+    // array(...) of m×ks unrolled sums: at the m=8/ks=256 production point
+    // the unrolled spelling is 16 384 terms and blows janino's 64 KB method
+    // limit (measured — "Code grows beyond 64 KB" + interpreted fallback);
+    // the loop stays codegen'd at any ks. See [[graft.functions.PqAdcTable]].
+    val dlut = graft.functions.PqAdcTable(col("q_emb"), cb, m, subDim, ks)
     val q = querySet(e)
       .withColumn("qnrm", normC(col("q_emb"), Some(dim)))
       .withColumn("dlut", dlut)
@@ -947,14 +947,15 @@ object Similarity {
     * violation counter is computed, not a constant.
     */
   def pqInvariants(e: DataFrame, k: Int = 10,
-                   floor: Double = 0.7): DataFrame = {
+                   floor: Double = 0.7, m: Int = 16,
+                   ks: Int = 32): DataFrame = {
     val dim = graft.Tables.EmbeddingDim
     // the two subtrees are independent until the overlap join — concurrent
     // actions price the gate at the slower of the two
     val mats = graft.Tuning.concurrently(Seq[() => DataFrame](
       () => bruteForceTopK(e, k, dim = Some(dim))
         .select(col("q_id"), col("neighbor_id")).localCheckpoint(),
-      () => pqTopK(e, k)
+      () => pqTopK(e, k, m = m, ks = ks)
         .select(col("q_id"), col("neighbor_id")).localCheckpoint()))
     val (brute, pq) = (mats(0), mats(1))
     val sizes = pq.groupBy(col("q_id"))
@@ -1643,6 +1644,18 @@ object Similarity {
     // the PQ tier's semantic gate: DuckDB derives the query-set size and
     // pins the hygiene/recall counters at zero
     "ann_pq_check" -> ((s, dir) => pqInvariants(emb(s, dir), k = 10)),
+    // PQ at the standard 8-bit production point (m=8, ks=256 — Jégou et
+    // al.'s reference configuration; 8 bytes/vector): the expression is
+    // ks-generic, and this entry proves it at the codebook size a real
+    // deployment ships (approximate — rows-only; gated by ann_pq256_check)
+    "ann_pq256_topk" -> ((s, dir) =>
+      pqTopK(emb(s, dir), k = 10, m = 8, ks = 256)),
+    // the 8-bit point's semantic gate. Floor 0.8: sub-block quantization
+    // error FALLS as ks grows (256 rows per 8-dim block vs 32 per 4-dim),
+    // so the production point must clear a HIGHER floor than the 16×32
+    // test geometry's 0.7 — measured recall is recorded in COVERAGE.md
+    "ann_pq256_check" -> ((s, dir) =>
+      pqInvariants(emb(s, dir), k = 10, floor = 0.8, m = 8, ks = 256)),
     // IVF × int8 composition — quantized codes per trained cell, integer
     // scoring of probed cells only, exact re-rank (approximate — rows-only
     // check; recall vs brute spec-pinned against the geometry-derived
@@ -1724,6 +1737,14 @@ object Similarity {
     // query-set size derived independently; hygiene/recall counters are
     // constants BY DESIGN (see pqInvariants)
     "ann_pq_check" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(0 AS BIGINT) AS rows_not_k,
+        |  CAST(0 AS BIGINT) AS dup_pairs,
+        |  CAST(0 AS BIGINT) AS self_matches,
+        |  CAST(0 AS BIGINT) AS recall_floor_violation
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    // same contract at the m=8/ks=256 production codebook size
+    "ann_pq256_check" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  CAST(0 AS BIGINT) AS rows_not_k,
         |  CAST(0 AS BIGINT) AS dup_pairs,

@@ -233,6 +233,23 @@ class PlanSpec extends AnyFunSuite {
       s"PQ search shuffled the corpus:\n${plan.take(1200)}")
   }
 
+  test("PQ-ADC at m=8/ks=256 keeps the native loop table inside codegen") {
+    // the production codebook point is exactly where the unrolled Column
+    // spelling died ("Code grows beyond 64 KB" → interpreted fallback) —
+    // pin that the native PqAdcTable projection runs on the query relation
+    // inside a whole-stage-codegen span (`*(n)` star) at this geometry
+    val df = q("ann_pq256_topk")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_adc_table"),
+      s"native ADC table missing from plan:\n${plan.take(1200)}")
+    assert("""\*\(\d+\) Project .*pq_adc_table""".r.findFirstIn(plan).isDefined,
+      s"ADC table projection fell out of whole-stage codegen:\n${plan.take(1600)}")
+    assert(!plan.contains("ScalaUDF"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"PQ-256 search shuffled the corpus:\n${plan.take(1200)}")
+  }
+
   test("phrase-index search partition-prunes the postings store to the terms' buckets") {
     val df = q("retrieval_phrase_index_search")
     df.collect()

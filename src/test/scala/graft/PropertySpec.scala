@@ -267,4 +267,29 @@ class PropertySpec extends AnyFunSuite {
       assert(out === ref(in), s"input ${in.toSeq}")
     }
   }
+
+  test("PqAdcTable matches the reference dot-product table, incl. at ks=256") {
+    // the loop-codegen'd ADC table vs a direct Scala computation — run at
+    // both the 16×32 test geometry and the m=8/ks=256 production point the
+    // unrolled Column spelling could not codegen (the reason the native
+    // expression exists)
+    for ((m, ks) <- Seq((4, 5), (8, 256))) {
+      val subDim = 3; val dim = m * subDim
+      val cb = Array.fill(m * ks * subDim)(rnd.nextDouble() * 2 - 1)
+      def ref(v: Array[Float]): Seq[Double] = (0 until m * ks).map { r =>
+        val b = r / ks
+        (0 until subDim).map(i =>
+          v(b * subDim + i).toDouble * cb(r * subDim + i)).sum
+      }
+      val inputs = Seq.fill(20)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+      val got = inputs.map(Tuple1(_)).toDF("v")
+        .select(graft.functions.PqAdcTable(col("v"), cb, m, subDim, ks).as("t"))
+        .collect().map(_.getSeq[Double](0))
+      inputs.zip(got).foreach { case (in, out) =>
+        assert(out.length === m * ks)
+        out.zip(ref(in)).foreach { case (g, w) =>
+          assert(math.abs(g - w) < 1e-12, s"m=$m ks=$ks") }
+      }
+    }
+  }
 }
