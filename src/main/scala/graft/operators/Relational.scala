@@ -630,6 +630,38 @@ object Relational {
         ORDER BY numwait DESC, s_name LIMIT 100""")
     }),
 
+    // TPC-H Q20 shape (r14): the NESTED-IN decorrelation lane that
+    // finishes the Q17/Q21/Q22 family — a correlated IN whose subquery
+    // itself contains BOTH an uncorrelated IN (the part-name filter) and a
+    // correlated scalar aggregate TWO levels deep (the per-(part, supplier)
+    // average referenced from inside the outer IN's subquery). Catalyst
+    // must decorrelate all three: the scalar agg becomes one
+    // (partkey, suppkey)-grained aggregate joined back, and both INs
+    // become left-semi joins — plan-pinned in PlanSpec (no surviving
+    // subquery, ≥2 LeftSemi). The generator has no partsupp table, so
+    // availqty > 0.5·SUM becomes quantity > 1.8·AVG over the same
+    // supplier's shipments of that part — structurally identical nesting.
+    // AVG is cross-engine exact for the Q17 reason (integer quantities,
+    // exactly-representable partial sums); 35/100 suppliers qualify at
+    // sf0.01, so the semi joins are non-vacuous.
+    "q20_promotable_suppliers" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("q20_supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("q20_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("q20_part")
+      s.sql("""
+        SELECT s_name, s_nationkey AS nation_key
+        FROM q20_supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM q20_lineitem l1
+            WHERE l_partkey IN (SELECT p_partkey FROM q20_part
+                                WHERE p_name LIKE 'small%')
+              AND l_quantity > (SELECT 1.8 * AVG(l2.l_quantity)
+                                FROM q20_lineitem l2
+                                WHERE l2.l_partkey = l1.l_partkey
+                                  AND l2.l_suppkey = l1.l_suppkey))
+          AND s_nationkey < 13""")
+    }),
+
     // ranking family: rank/dense_rank/ntile (beyond the reference's W1).
     "w4_rank_suite" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -1211,6 +1243,18 @@ object Relational {
         |                    AND f3.l_suppkey <> f1.l_suppkey AND f3.late)
         |GROUP BY s_name, n_nationkey
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q20_promotable_suppliers" ->
+      """SELECT s_name, s_nationkey AS nation_key
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem l1
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_name LIKE 'small%')
+        |      AND l_quantity > (SELECT 1.8 * AVG(l2.l_quantity)
+        |                        FROM lineitem l2
+        |                        WHERE l2.l_partkey = l1.l_partkey
+        |                          AND l2.l_suppkey = l1.l_suppkey))
+        |  AND s_nationkey < 13""".stripMargin,
     "w4_rank_suite" ->
       """SELECT c_custkey, c_nationkey,
         |  RANK() OVER w AS rnk,

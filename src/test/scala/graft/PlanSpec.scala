@@ -429,4 +429,23 @@ class PlanSpec extends AnyFunSuite {
     assert(physical.contains("EqualTo(o_orderstatus,F)"),
       s"status filter not pushed into the orders scan:\n${physical.take(2400)}")
   }
+
+  test("Q20 decorrelates the nested IN + two-level scalar agg: semi joins, no subquery") {
+    val df = q("q20_promotable_suppliers")
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    // both INs become semi joins (supplier IN shipments; shipment part IN
+    // name-filtered parts)
+    assert("LeftSemi".r.findAllIn(physical).size >= 2,
+      s"expected two semi joins in Q20's plan:\n${physical.take(1600)}")
+    // the two-levels-deep correlated scalar agg is decorrelated into a
+    // (partkey, suppkey)-grained aggregate — no per-row subquery survives
+    assert(!physical.contains("scalar-subquery") && !physical.contains("in-subquery"),
+      s"subquery survived to execution:\n${physical.take(1600)}")
+    assert(physical.contains("avg(l_quantity"),
+      s"decorrelated per-(part,supplier) aggregate missing:\n${physical.take(2400)}")
+    // the uncorrelated IN's name filter reaches the part scan
+    assert(physical.contains("StringStartsWith(p_name,small)"),
+      s"part-name filter not pushed into the scan:\n${physical.take(2400)}")
+  }
 }
