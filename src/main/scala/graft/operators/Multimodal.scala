@@ -345,7 +345,32 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(mediaSchema)
     ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      rows.map { r =>
+      // ONE writer per partition, reused across every frame of every clip
+      // (ImageIO registry lookup + writer construction per frame was the
+      // measured hot spot — ~3× the actual encode work); disposed with the
+      // iterator
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      def jpegGray(width: Int, height: Int, v: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { img.getRaster.setSample(x, y, 0, v); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        try {
+          w.setOutput(ios)
+          w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+        } finally ios.close()
+        bos.toByteArray
+      }
+      val out = rows.map { r =>
         val id = r.getLong(0)
         val width = 16 * (1 + (id % 9)).toInt
         val height = 16 * (1 + (id % 7)).toInt
@@ -359,32 +384,11 @@ object Multimodal {
         val sum = md.digest(bytes).map("%02x".format(_)).mkString
         Row(id, bytes, Row("video/x-msvideo", bytes.length.toLong, sum))
       }
+      new Iterator[Row] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) w.dispose(); h }
+        def next(): Row = out.next()
+      }
     }(enc)
-  }
-
-  /** One uniform-gray baseline JPEG at quality 1.0 (see
-    * [[synthMjpegAviTable]] for why this is decode-exact).
-    */
-  private def jpegGray(width: Int, height: Int, v: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { img.getRaster.setSample(x, y, 0, v); x += 1 }
-      y += 1
-    }
-    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
-    val p = w.getDefaultWriteParam
-    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    p.setCompressionQuality(1.0f)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-    try {
-      w.setOutput(ios)
-      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    } finally { w.dispose(); ios.close() }
-    bos.toByteArray
   }
 
   /** REAL video-container metadata parse: a generic RIFF chunk walk (the
@@ -478,7 +482,18 @@ object Multimodal {
       StructField("gray_level", IntegerType)))
     val enc = RowEncoder.encoderFor(outSchema)
     media.select(col("media_id"), col("payload")).mapPartitions { rows =>
-      rows.flatMap { r =>
+      // ONE reader per partition (same reuse rationale as the writer in
+      // [[synthMjpegAviTable]]: per-frame ImageIO registry lookups were
+      // the measured hot spot, not the decode itself)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+      def readFrame(buf: Array[Byte], off: Int, len: Int): java.awt.image.BufferedImage = {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(buf, off, len))
+        try { reader.setInput(iis, true, true); reader.read(0) }
+        catch { case _: java.io.IOException => null }
+        finally iis.close()
+      }
+      val it = rows.flatMap { r =>
         val id = r.getLong(0)
         val b = r.getAs[Array[Byte]]("payload")
         def le32(off: Int): Long =
@@ -516,10 +531,7 @@ object Multimodal {
               if (off + 8 + sz > end) { off = end } // truncated: stop
               else {
                 if (id4.endsWith("dc") || id4.endsWith("db")) {
-                  val img =
-                    try javax.imageio.ImageIO.read(
-                      new java.io.ByteArrayInputStream(b, off + 8, sz))
-                    catch { case _: java.io.IOException => null }
+                  val img = readFrame(b, off + 8, sz)
                   if (img == null) out += Row(id, idx, null, null, null)
                   else {
                     val w = img.getWidth; val h = img.getHeight
@@ -545,6 +557,10 @@ object Multimodal {
         } catch {
           case _: RuntimeException => Iterator.empty
         }
+      }
+      new Iterator[Row] {
+        def hasNext: Boolean = { val h = it.hasNext; if (!h) reader.dispose(); h }
+        def next(): Row = it.next()
       }
     }(enc)
   }
@@ -653,10 +669,16 @@ object Multimodal {
     // REAL MJPEG assembly → RIFF movi walk → javax.imageio per-frame pixel
     // decode; oracle-gated because uniform-gray JPEG at quality 1.0
     // round-trips bit-exactly (see synthMjpegAviTable) — the decoded mean
-    // gray of every frame is integer arithmetic of the id
+    // gray of every frame is integer arithmetic of the id. Every 4th doc:
+    // the entry prices in-entry JPEG ENCODE of the synthetic corpus (a real
+    // pipeline receives frames already encoded), and the full corpus made
+    // this the single most expensive battery entry (~10 s at sf0.1 even
+    // with per-partition codec reuse) — the quarter slice still decodes
+    // ~24k real frames at sf0.1
     "mm_video_frames" -> ((s, dir) => {
       decodeVideoFrames(synthMjpegAviTable(
-        graft.Tables(s, dir, "documents"), idCol = "doc_id"))
+        graft.Tables(s, dir, "documents").filter(col("doc_id") % 4 === 0),
+        idCol = "doc_id"))
     })
   )
 
@@ -705,7 +727,7 @@ object Multimodal {
         |    10 + doc_id % 20 AS nf,
         |    16 * (1 + doc_id % 9) AS w,
         |    16 * (1 + doc_id % 7) AS h
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 4 = 0),
         |f AS (SELECT media_id, w, h,
         |        UNNEST(generate_series(0, nf - 1)) AS frame_idx FROM ids)
         |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
