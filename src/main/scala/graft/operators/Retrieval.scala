@@ -310,6 +310,8 @@ object Retrieval {
     require(segment.startsWith("delta"),
       s"delta segments must be named delta* so searches discover them, got '$segment'")
     val s = batch.sparkSession
+    // crashed-compaction manifest hygiene — shared DeltaStore protocol
+    graft.io.DeltaStore.scrubFoldedDelta(s, indexDir, "postings", segment)
     val b = s.read.parquet(s"$indexDir/meta").head.getAs[Int]("buckets")
     tokenPostings(batch)
       .withColumn("tokb", pmod(xxhash64(col("tok")), lit(b)).cast("int"))
@@ -338,16 +340,25 @@ object Retrieval {
     val bucketIds = phrase.distinct.toDF("tok")
       .select(pmod(xxhash64(col("tok")), lit(b)).cast("int")).as[Int]
       .collect().toSeq.distinct
-    val fs = graft.io.AtomicPublish.fsFor(s, indexDir)
-    val segDirs = Seq(s"$indexDir/postings") ++
-      fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta"))
-        .map(_.getPath.toString)
+    // the consistent (postings ++ live-delta) view, even mid-compaction —
+    // same [[graft.io.DeltaStore]] protocol as the ANN index's segments
+    val segDirs = graft.io.DeltaStore.resolveDirs(s, indexDir, "postings")
     val post = segDirs.map(p => s.read.parquet(p)).reduce(_ unionByName _)
       .filter(col("tokb").isin(bucketIds: _*) &&
         col("tok").isin(phrase.distinct: _*))
     phraseAssemble(post, phrase)
   }
+
+  /** Fold every live `delta*` postings segment into the base `postings`
+    * store — the periodic maintenance a streaming-ingested text index runs
+    * to bound file-listing overhead. Postings compose associatively (each
+    * row is one token occurrence), so compaction is a pure rewrite:
+    * searches return identical results before and after (spec-pinned).
+    * Crash-safe manifest-swap protocol shared verbatim with the ANN index
+    * ([[graft.io.DeltaStore.compactDeltas]]).
+    */
+  def compactTextIndex(spark: SparkSession, indexDir: String): Unit =
+    graft.io.DeltaStore.compactDeltas(spark, indexDir, "postings", "tokb")
 
   /** Text-index lifecycle gate (the `_check` pattern, Layout/Bloom style):
     * build on the 90% doc slice, append the 10% delta, then pin — against

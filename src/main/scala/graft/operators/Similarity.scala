@@ -1064,19 +1064,7 @@ object Similarity {
     // blacklist this segment name: scrub it (and the folded leftover dir)
     // before writing, or the new rows would be invisible to searches and
     // deleted as "orphans" by the next compaction
-    val fs = hadoopFs(s, indexDir)
-    val mfPath = new org.apache.hadoop.fs.Path(s"$indexDir/segments/$FoldedManifest")
-    val folded = readFoldedManifest(fs, mfPath.toString)
-    if (folded(segment)) {
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$segment"), true)
-      val rest = folded - segment
-      if (rest.isEmpty) fs.delete(mfPath, false)
-      else {
-        val out = fs.create(mfPath, true)
-        try out.write(rest.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-        finally out.close()
-      }
-    }
+    graft.io.DeltaStore.scrubFoldedDelta(s, indexDir, "segments", segment)
     val cents = s.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
@@ -1107,23 +1095,6 @@ object Similarity {
     searchQuantizedIndex(full, segs, cents, k, np, rerankFactor, dim)
   }
 
-  /** Name of the manifest a compacted `segments` store carries: the delta
-    * directories it folded, one per line. The underscore prefix makes the
-    * parquet reader skip it (same convention as `_SUCCESS`).
-    */
-  private val FoldedManifest = "_FOLDED_DELTAS"
-
-  private def hadoopFs(s: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
-    graft.io.AtomicPublish.fsFor(s, dir)
-
-  /** Failure-refusing rename ([[graft.io.AtomicPublish.renameOrThrow]]) —
-    * every lifecycle rename goes through here.
-    */
-  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
-                            src: org.apache.hadoop.fs.Path,
-                            dst: org.apache.hadoop.fs.Path): Unit =
-    graft.io.AtomicPublish.renameOrThrow(fs, src, dst)
-
   /** `_SUCCESS`-style existence probe through the Hadoop FS API — the index
     * lives on HDFS/S3 in production, never behind java.io.File, so battery
     * guards and readers must use the same filesystem the writers do.
@@ -1134,114 +1105,24 @@ object Similarity {
   }
 
   /** Discover the consistent (base ++ live-delta) view of a possibly
-    * mid-compaction index. Single batch appends write `delta`, streaming
-    * ingest writes `delta_b<batchId>` per micro-batch; [[compactIvfDeltas]]
-    * folds them into the base. Its swap protocol guarantees exactly one
-    * consistent view at every crash point:
-    *   - `segments` present → authoritative base; live deltas are those NOT
-    *     named in its [[FoldedManifest]] (the manifest lands atomically with
-    *     the folded base, so a delta dir that survived a crashed
-    *     post-commit cleanup is never double-counted);
-    *   - `segments` absent, deltas present → crash between the base
-    *     swap-out and the commit rename: `segments_old` (the pre-compaction
-    *     base) plus the deltas;
-    *   - `segments` absent, no deltas → `segments_compacting` holds the
-    *     fully-folded store.
+    * mid-compaction index — the shared [[graft.io.DeltaStore]] protocol
+    * (extracted r14; the text index runs the same one over `postings`).
     */
-  private def resolveSegmentDirs(s: SparkSession, indexDir: String): Seq[String] = {
-    val fs = hadoopFs(s, indexDir)
-    def deltasUnder(base: String): Seq[String] = {
-      val folded = readFoldedManifest(fs, s"$base/$FoldedManifest")
-      fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta"))
-        .map(_.getPath.getName).filterNot(folded).sorted
-        .map(n => s"$indexDir/$n")
-    }
-    if (fs.exists(new org.apache.hadoop.fs.Path(indexDir, "segments"))) {
-      s"$indexDir/segments" +: deltasUnder(s"$indexDir/segments")
-    } else {
-      val live = deltasUnder(s"$indexDir/segments_old")
-      if (live.nonEmpty) s"$indexDir/segments_old" +: live
-      else Seq(s"$indexDir/segments_compacting")
-    }
-  }
-
-  private def readFoldedManifest(fs: org.apache.hadoop.fs.FileSystem,
-                                 path: String): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) Set.empty
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().map(_.trim).filter(_.nonEmpty).toSet
-      finally in.close()
-    }
-  }
+  private def resolveSegmentDirs(s: SparkSession, indexDir: String): Seq[String] =
+    graft.io.DeltaStore.resolveDirs(s, indexDir, "segments")
 
   /** Fold every live `delta*` segment into the base `segments` store and
     * remove the deltas — the periodic maintenance a streaming-ingested
     * index runs to bound file-listing overhead. Deltas compose
     * associatively (cell assignment and quantization are per-row), so
     * compaction is a pure rewrite: searches return identical results
-    * before and after (spec-pinned).
-    *
-    * Crash safety: a multi-directory store cannot flip atomically with
-    * renames alone (swapping the base BEFORE deleting deltas double-counts
-    * them; deleting deltas first loses them if the swap never lands), so
-    * the commit point is a single atomic rename whose payload carries its
-    * own invalidation list: the compacted store is staged in
-    * `segments_compacting` together with a [[FoldedManifest]] naming the
-    * deltas it absorbed, the old base is swapped out to `segments_old`, and
-    * the stage is renamed into place — from that instant readers see the
-    * folded base and skip exactly the manifest-listed deltas, so the
-    * post-commit deletes (deltas, then `segments_old`) are pure cleanup
-    * that can crash at any point without corrupting or double-counting.
-    * A fresh [[compactIvfDeltas]] run first completes any crashed swap it
-    * finds ([[resolveSegmentDirs]] names the consistent view).
+    * before and after (spec-pinned). The crash-safe manifest-swap protocol
+    * lives in [[graft.io.DeltaStore.compactDeltas]] (extracted r14 —
+    * shared verbatim with the text index's `postings` store).
     */
   def compactIvfDeltas(spark: org.apache.spark.sql.SparkSession,
-                       indexDir: String): Unit = {
-    val fs = hadoopFs(spark, indexDir)
-    def p(name: String) = new org.apache.hadoop.fs.Path(indexDir, name)
-    // recover a crashed prior swap: restore the consistent view under
-    // `segments`, then proceed (or return) from a clean state
-    if (!fs.exists(p("segments"))) {
-      val view = resolveSegmentDirs(spark, indexDir)
-      if (view.head.endsWith("segments_old")) {
-        fs.delete(p("segments_compacting"), true) // stale, never committed
-        renameOrThrow(fs, p("segments_old"), p("segments"))
-      } else {
-        renameOrThrow(fs, p("segments_compacting"), p("segments"))
-        fs.delete(p("segments_old"), true)
-      }
-    }
-    val folded = readFoldedManifest(fs, s"$indexDir/segments/$FoldedManifest")
-    val deltas = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta"))
-      .map(_.getPath).filterNot(d => folded(d.getName))
-    // cleanup debt from a crashed prior run: folded-but-undeleted deltas,
-    // the swapped-out base, and the spent manifest (once its dirs are gone
-    // it must not linger — a later append reusing a listed name would be
-    // silently blacklisted)
-    fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).toSeq
-      .filter(st => st.isDirectory && folded(st.getPath.getName))
-      .foreach(st => fs.delete(st.getPath, true))
-    fs.delete(p("segments_old"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/segments/$FoldedManifest"), false)
-    if (deltas.isEmpty) return
-    val all = (s"$indexDir/segments" +: deltas.map(_.toString))
-      .map(q => spark.read.parquet(q)).reduce(_ unionByName _)
-    val tmp = p("segments_compacting")
-    all.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    val mf = fs.create(new org.apache.hadoop.fs.Path(tmp, FoldedManifest), true)
-    try mf.write(deltas.map(_.getName).sorted.mkString("\n").getBytes("UTF-8"))
-    finally mf.close()
-    renameOrThrow(fs, p("segments"), p("segments_old"))
-    renameOrThrow(fs, tmp, p("segments"))     // atomic commit
-    deltas.foreach(fs.delete(_, true))        // cleanup: idempotent from here
-    fs.delete(p("segments_old"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/segments/$FoldedManifest"), false)
-  }
+                       indexDir: String): Unit =
+    graft.io.DeltaStore.compactDeltas(spark, indexDir, "segments", "cell")
 
   /** Deterministic scratch location for the persisted-index battery entries,
     * keyed by the data directory so sf0.01 and sf0.1 never share an index.

@@ -961,4 +961,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSeq === want.toSeq, "stream ≢ batch for the chunking twin")
     } finally q.stop()
   }
+
+  test("streaming text ingest: per-batch postings deltas; compaction is a pure rewrite") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Retrieval
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("text-stream-spec").toString + "/idx"
+    Retrieval.buildTextIndex(base, dir).count()
+    val input = MemoryStream[(Long, String)]
+    var landed = List.empty[(Long, Long)]
+    val q = graft.streaming.TextIndexIngest.textIngestStream(
+      input.toDF().toDF("doc_id", "text"), dir) { (id, n) => landed ::= (id, n) }
+    try {
+      val rows = batch.select("doc_id", "text").as[(Long, String)].collect()
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      assert(landed.size === 2, s"expected 2 delta segments, saw $landed")
+    } finally q.stop()
+    // search over base + the two streamed deltas ≡ the per-call matcher
+    // over the full corpus (postings compose associatively, so
+    // micro-batching must not matter)
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val phrase = Seq("fast", "table")
+    val direct = res(Retrieval.phraseMatches(d, phrase))
+    assert(res(Retrieval.searchTextIndex(spark, dir, phrase)) === direct,
+      "streamed text index drifted from the per-call matcher")
+    // compaction folds the deltas into the base store: identical results,
+    // no delta directories left behind (shared DeltaStore protocol — the
+    // crash-point coverage lives in the IVF twin tests)
+    Retrieval.compactTextIndex(spark, dir)
+    val remaining = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("delta"))
+    assert(remaining.isEmpty, remaining.map(_.getName).mkString(","))
+    assert(res(Retrieval.searchTextIndex(spark, dir, phrase)) === direct,
+      "compaction changed phrase-search results")
+    // an append after compaction is discovered by the next search
+    val extra = Seq((900001L, "a very fast table appended after compaction"))
+      .toDF("doc_id", "text")
+    Retrieval.appendToTextIndex(extra, dir).count()
+    val after = res(Retrieval.searchTextIndex(spark, dir, phrase))
+    assert(after === direct + ((900001L, 1L, 2L)),
+      s"post-compaction append not discovered: ${after -- direct}")
+  }
 }
