@@ -102,9 +102,17 @@ object DeltaStore {
     * Rows compose associatively in both stores (per-row cell assignment /
     * per-row postings), so compaction is a pure rewrite: reads return
     * identical results before and after (spec-pinned per store).
+    *
+    * `preCommit(stageDir, foldedDeltaDirs)` runs after the folded store
+    * and its manifest are staged but BEFORE the atomic commit, with the
+    * old base and the deltas still intact — the seam for store-specific
+    * side-car state that must travel with the fold (the text index merges
+    * its per-segment BM25 stats here). A crash inside the hook discards
+    * the stage and leaves the old view untouched.
     */
   def compactDeltas(spark: SparkSession, indexDir: String, base: String,
-                    partitionCol: String): Unit = {
+                    partitionCol: String,
+                    preCommit: (String, Seq[String]) => Unit = (_, _) => ()): Unit = {
     val fs = AtomicPublish.fsFor(spark, indexDir)
     def p(name: String) = new Path(indexDir, name)
     // recover a crashed prior swap: restore the consistent view under
@@ -140,6 +148,7 @@ object DeltaStore {
     val mf = fs.create(new Path(tmp, FoldedManifest), true)
     try mf.write(deltas.map(_.getName).sorted.mkString("\n").getBytes("UTF-8"))
     finally mf.close()
+    preCommit(tmp.toString, deltas.map(_.toString))
     AtomicPublish.renameOrThrow(fs, p(base), p(s"${base}_old"))
     AtomicPublish.renameOrThrow(fs, tmp, p(base)) // atomic commit
     deltas.foreach(fs.delete(_, true))            // cleanup: idempotent from here

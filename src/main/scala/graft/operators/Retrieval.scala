@@ -75,6 +75,17 @@ object Retrieval {
         size(filter(col("toks"), t => t === col("term"))).cast("double"))
       .filter(col("tf") > 0)
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    bm25ScoreRank(tf, g, qterms, k, k1, b)
+  }
+
+  /** The scoring/ranking half shared by [[bm25TopK]] and
+    * [[bm25SearchTextIndex]] — sharing the EXPRESSION TREE is what makes
+    * the index-backed ranks bit-identical to the per-call ranks (the same
+    * doubles flow through the same ops). Inputs: `tf(doc_id, dl, term,
+    * tf)`, one-row `g(n_docs, avgdl)`, `qterms(query_id, term)`.
+    */
+  private def bm25ScoreRank(tf: DataFrame, g: DataFrame, qterms: DataFrame,
+                            k: Int, k1: Double, b: Double): DataFrame = {
     // document frequency: vocabulary-bounded reduction (≤ |vocab| rows out)
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
@@ -222,13 +233,19 @@ object Retrieval {
   }
 
   /** One tokenization pass → the positional posting relation
-    * `(doc_id, pos, tok)` — the shape both the per-call matcher and the
-    * persisted index store.
+    * `(doc_id, dl, pos, tok)` — the shape both the per-call matcher and
+    * the persisted index store. `dl` (the doc's token count) rides every
+    * posting row so an index-backed BM25 can score candidates without a
+    * second per-doc length store: it RLE-compresses to almost nothing in
+    * parquet (constant within a doc's run of rows), which is why storing
+    * it denormalized beats a separate doclens table that would need its
+    * own delta/compaction lifecycle.
     */
   private def tokenPostings(d: DataFrame): DataFrame =
     d.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("dl"),
+        posexplode(col("t")).as(Seq("pos", "tok")))
 
   /** The anchor-alignment half shared by [[phraseMatches]] and
     * [[searchTextIndex]] (sharing the code is what makes the index-backed
@@ -283,6 +300,14 @@ object Retrieval {
     val post = tokenPostings(d).localCheckpoint()
     val n = post.count()
     val b = if (buckets > 0) buckets else autoPostingBuckets(n)
+    // corpus-level BM25 stats ride the store as a side file (see
+    // [[Bm25Stats]]): n_docs counts EVERY ingested row (null-text docs
+    // included — the per-call scorer's N does), n_dl_docs counts the docs
+    // that contribute a length to avgdl, sum_dl = total postings (one row
+    // per token occurrence, so the count above IS the length sum)
+    val docCounts = d.agg(count(lit(1)),
+      count(when(col("text").isNotNull, lit(1)))).head
+    val stats = Bm25Stats(docCounts.getLong(0), docCounts.getLong(1), n)
     val fs = AtomicPublish.fsFor(s, indexDir)
     val staging = s"$indexDir/build-staging"
     AtomicPublish.scrubStaging(fs, staging)
@@ -292,10 +317,53 @@ object Retrieval {
     post.withColumn("tokb", pmod(xxhash64(col("tok")), lit(b)).cast("int"))
       .write.mode("overwrite").partitionBy("tokb")
       .parquet(s"$staging/postings")
+    writeBm25Stats(fs, s"$staging/postings", stats)
     AtomicPublish.publish(fs, indexDir, staging, Seq("meta", "postings"))
     s.read.parquet(s"$indexDir/postings")
       .groupBy(col("tokb")).agg(count(lit(1)).as("n_postings"))
       .orderBy(col("tokb"))
+  }
+
+  /** Corpus-level stats an index-backed BM25 needs beyond the postings:
+    * `nDocs` = every ingested doc (the scorer's N — null-text docs count),
+    * `nDlDocs` = docs contributing a length to avgdl (non-null text),
+    * `sumDl` = total token occurrences. Stored as a `_BM25_STATS` side
+    * file INSIDE each segment dir (underscore-prefixed — the parquet
+    * reader skips it, like `_SUCCESS`), so stats always ride exactly the
+    * segments they describe: the base's file is written into the staging
+    * tree and lands via the atomic publish; each delta carries its own;
+    * compaction merges them into the folded base through
+    * [[graft.io.DeltaStore.compactDeltas]]'s preCommit hook — crash-safe
+    * at every point because the merged file is part of the atomically
+    * committed stage.
+    */
+  final case class Bm25Stats(nDocs: Long, nDlDocs: Long, sumDl: Long) {
+    def +(o: Bm25Stats): Bm25Stats =
+      Bm25Stats(nDocs + o.nDocs, nDlDocs + o.nDlDocs, sumDl + o.sumDl)
+  }
+
+  private val Bm25StatsFile = "_BM25_STATS"
+
+  private def writeBm25Stats(fs: org.apache.hadoop.fs.FileSystem,
+                             segmentDir: String, st: Bm25Stats): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$segmentDir/$Bm25StatsFile"), true)
+    try out.write(s"${st.nDocs} ${st.nDlDocs} ${st.sumDl}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readBm25Stats(fs: org.apache.hadoop.fs.FileSystem,
+                            segmentDir: String): Bm25Stats = {
+    val p = new org.apache.hadoop.fs.Path(s"$segmentDir/$Bm25StatsFile")
+    require(fs.exists(p),
+      s"segment $segmentDir carries no $Bm25StatsFile — BM25 stats must " +
+        "ride every segment (a crash between a delta's parquet write and " +
+        "its stats write leaves the segment unusable for scoring; re-append it)")
+    val in = fs.open(p)
+    val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    val Array(a, b, c) = line.split("\\s+")
+    Bm25Stats(a.toLong, b.toLong, c.toLong)
   }
 
   /** Ingest-side of the text-index lifecycle: tokenizes ONLY the new batch
@@ -313,10 +381,16 @@ object Retrieval {
     // crashed-compaction manifest hygiene — shared DeltaStore protocol
     graft.io.DeltaStore.scrubFoldedDelta(s, indexDir, "postings", segment)
     val b = s.read.parquet(s"$indexDir/meta").head.getAs[Int]("buckets")
-    tokenPostings(batch)
+    val post = tokenPostings(batch)
       .withColumn("tokb", pmod(xxhash64(col("tok")), lit(b)).cast("int"))
-      .write.mode("overwrite").partitionBy("tokb")
+      .localCheckpoint()
+    post.write.mode("overwrite").partitionBy("tokb")
       .parquet(s"$indexDir/$segment")
+    val docCounts = batch.agg(count(lit(1)),
+      count(when(col("text").isNotNull, lit(1)))).head
+    writeBm25Stats(graft.io.AtomicPublish.fsFor(s, indexDir),
+      s"$indexDir/$segment",
+      Bm25Stats(docCounts.getLong(0), docCounts.getLong(1), post.count()))
     s.read.parquet(s"$indexDir/$segment")
       .groupBy(col("tokb")).agg(count(lit(1)).as("n_postings"))
       .orderBy(col("tokb"))
@@ -353,12 +427,68 @@ object Retrieval {
     * store — the periodic maintenance a streaming-ingested text index runs
     * to bound file-listing overhead. Postings compose associatively (each
     * row is one token occurrence), so compaction is a pure rewrite:
-    * searches return identical results before and after (spec-pinned).
-    * Crash-safe manifest-swap protocol shared verbatim with the ANN index
-    * ([[graft.io.DeltaStore.compactDeltas]]).
+    * searches return identical results before and after (spec-pinned —
+    * phrase AND BM25). Crash-safe manifest-swap protocol shared verbatim
+    * with the ANN index ([[graft.io.DeltaStore.compactDeltas]]); the
+    * preCommit hook merges the per-segment [[Bm25Stats]] into the folded
+    * base's side file while old base + deltas are still intact, so the
+    * merged stats land with the atomic commit.
     */
-  def compactTextIndex(spark: SparkSession, indexDir: String): Unit =
-    graft.io.DeltaStore.compactDeltas(spark, indexDir, "postings", "tokb")
+  def compactTextIndex(spark: SparkSession, indexDir: String): Unit = {
+    val fs = graft.io.AtomicPublish.fsFor(spark, indexDir)
+    graft.io.DeltaStore.compactDeltas(spark, indexDir, "postings", "tokb",
+      preCommit = (stageDir, deltaDirs) => writeBm25Stats(fs, stageDir,
+        (s"$indexDir/postings" +: deltaDirs).map(readBm25Stats(fs, _))
+          .reduce(_ + _)))
+  }
+
+  /** BM25 served ENTIRELY from the persisted index — the classic
+    * search-engine read path, and the reason inverted indexes exist: the
+    * per-call [[bm25TopK]] re-tokenizes every document byte per query
+    * batch, while this touches (a) the one-row stats side files, (b) the
+    * postings of the QUERY VOCABULARY's hash buckets only (partition-
+    * pruned directory listing, ~\|vocab\|/buckets of the store, zero
+    * document bytes), and (c) nothing else. tf = posting count per
+    * (term, doc); dl rides each posting row; df is a vocabulary-bounded
+    * reduction of the pruned scan; N/avgdl come from the [[Bm25Stats]]
+    * side files of exactly the segments the scan reads (DeltaStore view,
+    * so base + live deltas stay consistent mid-compaction).
+    *
+    * Ranks are BIT-IDENTICAL to [[bm25TopK]] by construction: the posting
+    * count equals the array-filter tf, the stored dl equals `size(toks)`,
+    * the stats reproduce `count(*)`/`avg(dl)` exactly (integer-valued
+    * doubles sum exactly in any order), and the scoring/ranking stage IS
+    * the shared [[bm25ScoreRank]] expression tree — which is why the
+    * battery entry can share `retrieval_bm25_topk`'s DuckDB oracle
+    * verbatim.
+    */
+  def bm25SearchTextIndex(s: SparkSession, indexDir: String,
+                          queries: Seq[(Int, Seq[String])] = DefaultQueries,
+                          k: Int = 10, k1: Double = 1.2,
+                          b: Double = 0.75): DataFrame = {
+    import s.implicits._
+    val fs = graft.io.AtomicPublish.fsFor(s, indexDir)
+    val bkts = s.read.parquet(s"$indexDir/meta").head.getAs[Int]("buckets")
+    val segDirs = graft.io.DeltaStore.resolveDirs(s, indexDir, "postings")
+    val stats = segDirs.map(readBm25Stats(fs, _)).reduce(_ + _)
+    val g = Seq((stats.nDocs.toDouble,
+        stats.sumDl.toDouble / stats.nDlDocs.toDouble))
+      .toDF("n_docs", "avgdl")
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val vocab = queries.flatMap(_._2).distinct
+    val bucketIds = vocab.toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(bkts)).cast("int")).as[Int]
+      .collect().toSeq.distinct
+    val tf = segDirs.map(p => s.read.parquet(p)).reduce(_ unionByName _)
+      .filter(col("tokb").isin(bucketIds: _*) && col("tok").isin(vocab: _*))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        first(col("dl")).cast("double").as("dl"))
+      .select(col("doc_id"), col("dl"), col("tok").as("term"), col("tf"))
+    bm25ScoreRank(tf, g, qterms, k, k1, b)
+  }
 
   /** Text-index lifecycle gate (the `_check` pattern, Layout/Bloom style):
     * build on the 90% doc slice, append the 10% delta, then pin — against
@@ -435,7 +565,17 @@ object Retrieval {
     // counters oracle-pinned against DuckDB-derived token totals
     "retrieval_phrase_index_check" -> ((s, dir) =>
       textIndexInvariants(docs(s, dir), textIndexDirFor(dir) + "-append",
-        Seq("fast", "table")))
+        Seq("fast", "table"))),
+    // BM25 served entirely from the persisted index: bucket-pruned postings
+    // scan + stats side files, zero document bytes. Full hash oracle —
+    // shares retrieval_bm25_topk's SQL verbatim (ranks bit-identical to the
+    // per-call scorer by construction: shared scoring expression tree)
+    "retrieval_bm25_index_search" -> ((s, dir) => {
+      val idx = textIndexDirFor(dir)
+      if (!graft.operators.Similarity.indexPathExists(s, s"$idx/postings/_SUCCESS"))
+        buildTextIndex(docs(s, dir), idx).count()
+      bm25SearchTextIndex(s, idx)
+    })
   )
 
   /** Deterministic scratch location for the persisted text-index battery
@@ -477,12 +617,10 @@ object Retrieval {
       |  GROUP BY q.query_id, tfnz.doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
-    "retrieval_bm25_topk" ->
-      s"""WITH $bm25ScoredSql
-         |SELECT query_id, doc_id, rank FROM (
-         |  SELECT query_id, doc_id,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-         |  FROM sc) WHERE rank <= 10""".stripMargin,
+    "retrieval_bm25_topk" -> bm25TopKSql,
+    // the index-backed scorer must rank identically to the per-call one:
+    // SAME oracle SQL, verbatim
+    "retrieval_bm25_index_search" -> bm25TopKSql,
     "retrieval_rrf_fuse" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
         |p AS (
@@ -552,6 +690,16 @@ object Retrieval {
         |  CAST(0 AS BIGINT) AS append_search_diffs
         |FROM documents WHERE text IS NOT NULL""".stripMargin
   )
+
+  /** BM25 top-10 oracle over the shared scoring CTE — one string, shared
+    * verbatim by the per-call and index-backed entries.
+    */
+  private val bm25TopKSql: String =
+    s"""WITH $bm25ScoredSql
+       |SELECT query_id, doc_id, rank FROM (
+       |  SELECT query_id, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc) WHERE rank <= 10""".stripMargin
 
   /** Positional postings re-derived with the same tokenizer; anchors
     * 0-based on both sides (DuckDB's generate_subscripts is 1-based, hence

@@ -270,6 +270,18 @@ class PlanSpec extends AnyFunSuite {
       "index-backed search re-read the documents table")
   }
 
+  test("index-backed BM25 prunes to the query vocabulary's buckets, reads no documents") {
+    val df = q("retrieval_bm25_index_search")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-text-index"), "no postings scan in the BM25 plan")
+    val pruned = raw"PartitionFilters: \[[^\]]*tokb[^\]]*IN[^\]]*\]".r
+    assert(pruned.findFirstIn(plan).isDefined,
+      s"BM25 postings scan lists every bucket:\n${plan.take(2000)}")
+    assert(!plan.contains("documents.parquet"),
+      "index-backed BM25 re-read the documents table")
+  }
+
   test("importance sampling is a pure scan+filter — no shuffle, no join") {
     val df = q("sample_importance")
     df.collect()

@@ -992,6 +992,14 @@ class StreamingSpec extends AnyFunSuite {
     val direct = res(Retrieval.phraseMatches(d, phrase))
     assert(res(Retrieval.searchTextIndex(spark, dir, phrase)) === direct,
       "streamed text index drifted from the per-call matcher")
+    // index-backed BM25 ≡ the per-call scorer over base + streamed deltas
+    // (tf from posting counts, dl from the stored column, N/avgdl summed
+    // across the base's and each delta's stats side files)
+    def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val bmDirect = ranks(Retrieval.bm25TopK(d))
+    assert(ranks(Retrieval.bm25SearchTextIndex(spark, dir)) === bmDirect,
+      "streamed index-backed BM25 drifted from the per-call scorer")
     // compaction folds the deltas into the base store: identical results,
     // no delta directories left behind (shared DeltaStore protocol — the
     // crash-point coverage lives in the IVF twin tests)
@@ -1001,6 +1009,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(remaining.isEmpty, remaining.map(_.getName).mkString(","))
     assert(res(Retrieval.searchTextIndex(spark, dir, phrase)) === direct,
       "compaction changed phrase-search results")
+    assert(ranks(Retrieval.bm25SearchTextIndex(spark, dir)) === bmDirect,
+      "compaction changed BM25 results — stats side file mis-merged?")
     // an append after compaction is discovered by the next search
     val extra = Seq((900001L, "a very fast table appended after compaction"))
       .toDF("doc_id", "text")
@@ -1008,5 +1018,11 @@ class StreamingSpec extends AnyFunSuite {
     val after = res(Retrieval.searchTextIndex(spark, dir, phrase))
     assert(after === direct + ((900001L, 1L, 2L)),
       s"post-compaction append not discovered: ${after -- direct}")
+    // ...and BM25 sees the appended doc through BOTH its postings and its
+    // stats contribution (N and avgdl shift — equality with the per-call
+    // scorer over the grown corpus requires the merged+delta stats exact)
+    assert(ranks(Retrieval.bm25SearchTextIndex(spark, dir)) ===
+      ranks(Retrieval.bm25TopK(d.select("doc_id", "text").unionByName(extra))),
+      "post-append BM25 drifted — delta stats not composed")
   }
 }
