@@ -49,6 +49,7 @@ object Calibrate {
     val rIvfQ = recall(Similarity.ivfQuantizedTopK(e, k, iters = 3))
     val rPq = recall(Similarity.pqTopK(e, k))
     val rPq256 = recall(Similarity.pqTopK(e, k, m = 8, ks = 256))
+    val rIvfPq = recall(Similarity.ivfPqTopK(e, k))
 
     val exact = Similarity.marginBitextPairs(e, k = 4, Some(dim))
       .select(col("q_id"), col("tgt_id")).collect()
@@ -67,6 +68,8 @@ object Calibrate {
       s""""fraction":${nProbe.toDouble / cells},""" +
       s""""recall_ivf":$rIvf,"recall_ivf_quantized":$rIvfQ,""" +
       s""""recall_pq_16x32":$rPq,"recall_pq_8x256":$rPq256,""" +
+      s""""recall_ivfpq":$rIvfPq,""" +
+      s""""floor_ivfpq":${math.min(0.7, nProbe.toDouble / cells)},""" +
       s""""floor_ivf":${math.min(0.5, nProbe.toDouble / cells)},""" +
       s""""floor_ivf_quantized":${math.min(0.9, nProbe.toDouble / cells)},""" +
       s""""bitext_cells":$bCells,"bitext_nProbe":$bProbe,""" +

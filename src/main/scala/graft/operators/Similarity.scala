@@ -976,6 +976,298 @@ object Similarity {
         .otherwise(0L).as("recall_floor_violation"))
   }
 
+  // ── IVF-PQ: residual-encoded IVFADC ────────────────────────────────────
+
+  /** Residual x − c as a float vector — the quantity IVFADC PQ-encodes.
+    * Unrolled at the module's known dim (64 terms, whole-stage codegen'd,
+    * the [[VectorFns.dotN]] pattern); a generic-dim deployment would swap
+    * in a loop expression exactly as [[graft.functions.PqRecNormSq]] does
+    * for the norm side.
+    */
+  private def residualF(emb: Column, cent: Column, dim: Int): Column =
+    array((0 until dim).map(i =>
+      (emb.getItem(i).cast("double") - cent.getItem(i)).cast("float")): _*)
+
+  /** Trains the shared residual codebook of an IVF-PQ index (Jégou, Douze
+    * & Schmid, TPAMI 2011 §IV-B): residuals x − c[cell(x)] pool across ALL
+    * cells into ONE m-block codebook — the memory layout every production
+    * IVFADC deployment uses (a per-cell codebook would be cells× the
+    * driver-side state for marginal gain). Training is [[pqTrainCodebooks]]
+    * over the residual frame: same block-wise Lloyd's, same one-scan-per-
+    * round cost; at 100 TB the caller passes a bounded sample, exactly as
+    * for raw-vector PQ.
+    */
+  def ivfPqTrainCodebooks(e: DataFrame, cents: Array[Array[Double]],
+                          m: Int = 16, ks: Int = 32, iters: Int = 3,
+                          dim: Int = graft.Tables.EmbeddingDim): Array[Double] = {
+    val resid = kMeansAssign(e, cents, dim)
+      .join(broadcast(centroidFrame(e.sparkSession, cents)), Seq("cell"))
+      .select(col("vec_id"),
+        residualF(col("embedding"), col("centroid"), dim).as("embedding"))
+    pqTrainCodebooks(resid, m, ks, iters, dim)
+  }
+
+  /** One IVF-PQ index segment for `part` under ALREADY-TRAINED centroids
+    * and residual codebooks — the encode pass shared by the bulk build and
+    * any incremental append: assign the cell (codegen'd
+    * [[graft.functions.NearestCentroid]]), PQ-encode the residual
+    * ([[graft.functions.PqEncode]] — one pass), and store the
+    * reconstruction norm ‖c + r̂‖ ([[graft.functions.PqRecNormSq]] — the
+    * cross-term c·r̂ varies per (cell, code) so it CANNOT ride a global
+    * table like raw-PQ's row norms; computing it once at encode time keeps
+    * search at m lookups per candidate). The stored row is
+    * (vec_id, cell, codes[m], pqn): m codes + one double per vector.
+    */
+  private def buildIvfPqSegment(part: DataFrame, cents: Array[Array[Double]],
+                                cb: Array[Double], m: Int, ks: Int,
+                                dim: Int): DataFrame = {
+    val subDim = dim / m
+    kMeansAssign(part, cents, dim)
+      .repartition(graft.Tuning.fanout(part.sparkSession))
+      .join(broadcast(centroidFrame(part.sparkSession, cents)), Seq("cell"))
+      .withColumn("codes", graft.functions.PqEncode(
+        residualF(col("embedding"), col("centroid"), dim), cb, m, subDim, ks))
+      .withColumn("pqn", sqrt(graft.functions.PqRecNormSq(
+        col("codes"), col("centroid"), cb, m, subDim, ks)))
+      .select(col("vec_id"), col("cell"), col("codes"), col("pqn"))
+  }
+
+  /** Probe + ADC-score + exact-rerank over an IVF-PQ index — the query
+    * side, independent of whether the (codes, pqn) segments came from
+    * memory or parquet.
+    *
+    * The scoring identity that makes residual ADC exact in the numerator:
+    * q·x̂ = q·c + q·r̂ — the centroid term comes from the probe stage (one
+    * exact dot per (query, probed cell), already a (q × nProbe)-sized
+    * relation), and the residual term is m [[element_at]] lookups against
+    * the query's broadcast ADC table ([[graft.functions.PqAdcTable]] over
+    * the residual codebook). So `acos = (qc + Σ_b dlut[codeᵦ]) /
+    * (‖q‖·‖x̂‖)` is EXACTLY cos(q, x̂): rank error is pure reconstruction
+    * error, absorbed by the `rerankFactor × k` exact re-rank — the same
+    * contract as [[pqTopK]], now over only the probed cells.
+    *
+    * Plan shape: the cell-partitioned code segments stream; the
+    * (q_id, cell, qc, dlut) probe relation is tiny (queries × nProbe rows)
+    * and broadcasts — at 100 TB the scoring scan reads nProbe/cells of a
+    * 32×-compressed corpus, the compounding of the two tiers' wins
+    * (IVF×int8 reads the same fraction of a 4×-compressed one).
+    */
+  private def searchIvfPqSegments(full: DataFrame, corpusPq: DataFrame,
+                                  cents: Array[Array[Double]],
+                                  cb: Array[Double], k: Int, nProbe: Int,
+                                  rerankFactor: Int, m: Int, ks: Int,
+                                  dim: Int): DataFrame = {
+    val subDim = dim / m
+    val probedQ = probeCells(full, centroidFrame(full.sparkSession, cents),
+        nProbe, Some(dim))
+      .join(broadcast(centroidFrame(full.sparkSession, cents)), Seq("cell"))
+      .select(col("q_id"), col("cell"), col("qnrm"),
+        graft.functions.PqAdcTable(col("q_emb"), cb, m, subDim, ks).as("dlut"),
+        dotC(col("q_emb"), col("centroid"), Some(dim)).as("qc"))
+    val adc = (0 until m).map(b =>
+      element_at(col("dlut"), lit(b * ks) + col("codes").getItem(b) + 1))
+      .reduceLeft(_ + _)
+    val wQ = Window.partitionBy(col("q_id")).orderBy(col("acos").desc, col("vec_id"))
+    val cand = corpusPq.join(broadcast(probedQ), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        ((col("qc") + adc) / (col("qnrm") * col("pqn"))).as("acos"))
+      .withColumn("arank", row_number().over(wQ))
+      .filter(col("arank") <= k * rerankFactor)
+      .select(col("q_id"), col("vec_id"))
+    exactRerank(full, cand, k, dim)
+  }
+
+  /** IVF-PQ ANN — residual IVFADC, the canonical billion-scale index
+    * (Jégou et al., TPAMI 2011; the Faiss `IVFx,PQy` default): k-means
+    * coarse cells prune the corpus to ~nProbe/cells, PQ codes of the
+    * RESIDUAL x − c compress the scan to m bytes + one norm per vector,
+    * and ADC scores probed candidates by table lookup. Residual (not raw)
+    * encoding is what couples the tiers: within a cell the residuals span
+    * a much smaller ball than raw vectors, so the same codebook budget
+    * buys lower reconstruction error exactly where the scoring happens.
+    *
+    * Composition vs the standalone tiers: [[ivfQuantizedTopK]] reads
+    * nProbe/cells of 4×-compressed bytes; [[pqTopK]] reads ALL of the
+    * 32×-compressed corpus; this reads nProbe/cells of the 32×-compressed
+    * corpus — at 100 TB of float32 with auto geometry, the scoring scan
+    * touches O(N^(5/6)) rows of ~16-byte entries.
+    *
+    * Approximate — rows-only battery entry; hygiene + the geometry-derived
+    * recall floor vs the exact baseline are oracle-gated by
+    * `ann_ivfpq_check` ([[ivfPqInvariants]]); persisted-lifecycle equality
+    * and the recall pin live in OperatorsSpec.
+    */
+  def ivfPqTopK(e: DataFrame, k: Int, cells: Int = 0, nProbe: Int = 0,
+                m: Int = 16, ks: Int = 32, iters: Int = 3,
+                rerankFactor: Int = 8,
+                dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val (c, p) = resolveGeometry(e.count(), cells, nProbe)
+    val cents = kMeansCentroids(e, c, iters, dim)
+    val cb = ivfPqTrainCodebooks(e, cents, m, ks, iters, dim)
+    // materialized as its own stage: it IS the persistent artifact, and
+    // the boundary keeps the scoring stage's generated code small (the
+    // [[ivfQuantizedTopK]] / [[pqTopK]] rationale)
+    val corpus = buildIvfPqSegment(e, cents, cb, m, ks, dim).localCheckpoint()
+    searchIvfPqSegments(e, corpus, cents, cb, k, p, rerankFactor, m, ks, dim)
+  }
+
+  /** Builds and PERSISTS the IVF-PQ index: coarse centroids, the shared
+    * residual codebook (one ~m×ks×subDim-double row — geometry rides with
+    * it so search self-configures), and (vec_id, codes, pqn) segments
+    * partitioned by cell — published atomically via the same
+    * [[graft.io.AtomicPublish]] staging protocol as the int8 index and the
+    * text index. Returns the per-cell segment summary.
+    */
+  def buildIvfPqIndex(e: DataFrame, indexDir: String, cells: Int = 0,
+                      m: Int = 16, ks: Int = 32, iters: Int = 3,
+                      dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val c = if (cells > 0) cells else autoCells(e.count())
+    val cents = kMeansCentroids(e, c, iters, dim)
+    val cb = ivfPqTrainCodebooks(e, cents, m, ks, iters, dim)
+    val fs = graft.io.AtomicPublish.fsFor(s, indexDir)
+    val staging = s"$indexDir/build-staging"
+    graft.io.AtomicPublish.scrubStaging(fs, staging)
+    centroidFrame(s, cents).write.mode("overwrite")
+      .parquet(s"$staging/centroids")
+    Seq((m, ks, dim / m, cb.toSeq)).toDF("m", "ks", "sub_dim", "codebook")
+      .write.mode("overwrite").parquet(s"$staging/codebook")
+    buildIvfPqSegment(e, cents, cb, m, ks, dim)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$staging/segments")
+    graft.io.AtomicPublish.publish(fs, indexDir, staging,
+      Seq("centroids", "codebook", "segments"))
+    s.read.parquet(s"$indexDir/segments")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cell"))
+  }
+
+  /** Query-side of the persisted IVF-PQ index: reads centroids + the
+    * codebook row (geometry included — `nProbe = 0` derives the probe
+    * count from the STORED cell count, the [[searchIvfIndex]] contract)
+    * and runs the probe → ADC → exact-rerank pipeline. Identical results
+    * to [[ivfPqTopK]] with the same geometry (spec-pinned).
+    */
+  def searchIvfPqIndex(full: DataFrame, indexDir: String, k: Int,
+                       nProbe: Int = 0, rerankFactor: Int = 8,
+                       dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val s = full.sparkSession
+    val cents = s.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val meta = s.read.parquet(s"$indexDir/codebook").head()
+    val (m, ks) = (meta.getAs[Int]("m"), meta.getAs[Int]("ks"))
+    val cb = meta.getAs[scala.collection.Seq[Double]]("codebook").toArray
+    val p = if (nProbe > 0) math.min(nProbe, cents.length)
+            else autoNProbe(cents.length)
+    searchIvfPqSegments(full, s.read.parquet(s"$indexDir/segments"), cents,
+      cb, k, p, rerankFactor, m, ks, dim)
+  }
+
+  /** Ingest-side of the persisted IVF-PQ lifecycle: assigns and
+    * residual-encodes ONLY the batch against the index's STORED centroids
+    * and codebook — no retrain, no pass over the base corpus — and
+    * overwrites the `delta` segment (idempotent under min-of-N benchmark
+    * sampling, same convention as [[appendToIvfIndex]]). The honesty
+    * note carries over doubled: appended-heavy IVF-PQ indexes degrade on
+    * BOTH axes — centroid drift moves probe recall AND widens residuals
+    * past what the frozen codebook quantizes well — so the spec pins
+    * batch-row findability and compaction-equality rather than assuming
+    * the drift away.
+    */
+  def appendToIvfPqIndex(batch: DataFrame, indexDir: String,
+                         dim: Int = graft.Tables.EmbeddingDim,
+                         segment: String = "delta"): DataFrame = {
+    require(segment.startsWith("delta"),
+      s"delta segments must be named delta* so searches discover them, got '$segment'")
+    val s = batch.sparkSession
+    graft.io.DeltaStore.scrubFoldedDelta(s, indexDir, "segments", segment)
+    val cents = s.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val meta = s.read.parquet(s"$indexDir/codebook").head()
+    val (m, ks) = (meta.getAs[Int]("m"), meta.getAs[Int]("ks"))
+    val cb = meta.getAs[scala.collection.Seq[Double]]("codebook").toArray
+    buildIvfPqSegment(batch, cents, cb, m, ks, dim)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/$segment")
+    s.read.parquet(s"$indexDir/$segment")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cell"))
+  }
+
+  /** Query-side over base + delta IVF-PQ segments — the recurring cost
+    * after an incremental ingest; the union is a metadata concatenation
+    * of cell-partitioned parquet reads, probed cells still prune in every
+    * segment. Mid-compaction consistency via the shared
+    * [[graft.io.DeltaStore]] protocol.
+    */
+  def searchIvfPqIndexWithDelta(full: DataFrame, indexDir: String, k: Int,
+                                nProbe: Int = 0, rerankFactor: Int = 8,
+                                dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val s = full.sparkSession
+    val cents = s.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val meta = s.read.parquet(s"$indexDir/codebook").head()
+    val (m, ks) = (meta.getAs[Int]("m"), meta.getAs[Int]("ks"))
+    val cb = meta.getAs[scala.collection.Seq[Double]]("codebook").toArray
+    val p = if (nProbe > 0) math.min(nProbe, cents.length)
+            else autoNProbe(cents.length)
+    val segs = graft.io.DeltaStore.resolveDirs(s, indexDir, "segments")
+      .map(d => s.read.parquet(d)).reduce(_ unionByName _)
+    searchIvfPqSegments(full, segs, cents, cb, k, p, rerankFactor, m, ks, dim)
+  }
+
+  /** Fold live `delta*` IVF-PQ segments into the base store — codes
+    * compose associatively (cell assignment and residual encoding are
+    * per-row under the frozen centroids/codebook), so compaction is a
+    * pure rewrite; crash-safe manifest-swap shared verbatim with the int8
+    * index and the text index ([[graft.io.DeltaStore.compactDeltas]]).
+    */
+  def compactIvfPqDeltas(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String): Unit =
+    graft.io.DeltaStore.compactDeltas(spark, indexDir, "segments", "cell")
+
+  /** The IVF-PQ tier's semantic gate (the `_check` pattern): per-query
+    * hygiene and the recall floor vs [[bruteForceTopK]]. A NEGATIVE floor
+    * derives `min(cap, nProbe/cells)` from the auto-sized geometry — the
+    * uniform-assignment worst case the other IVF gates use; cap 0.7 is the
+    * PQ family's fixed-geometry floor (reconstruction error on top of the
+    * probe loss). Overridable so GateSpec can prove non-vacuity.
+    */
+  def ivfPqInvariants(e: DataFrame, k: Int = 10,
+                      floor: Double = -1.0, m: Int = 16,
+                      ks: Int = 32): DataFrame = {
+    val dim = graft.Tables.EmbeddingDim
+    val (autoC, autoP) = resolveGeometry(e.count(), 0, 0)
+    val f = if (floor >= 0) floor else math.min(0.7, autoP.toDouble / autoC)
+    val mats = graft.Tuning.concurrently(Seq[() => DataFrame](
+      () => bruteForceTopK(e, k, dim = Some(dim))
+        .select(col("q_id"), col("neighbor_id")).localCheckpoint(),
+      () => ivfPqTopK(e, k, m = m, ks = ks)
+        .select(col("q_id"), col("neighbor_id")).localCheckpoint()))
+    val (brute, approx) = (mats(0), mats(1))
+    val sizes = approx.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("nd"))
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        coalesce(sum(when(col("n") =!= k.toLong, 1L).otherwise(0L)), lit(0L))
+          .as("rows_not_k"),
+        coalesce(sum(col("n") - col("nd")), lit(0L)).cast("long").as("dup_pairs"))
+    val selfm = approx.agg(coalesce(sum(
+      when(col("q_id") === col("neighbor_id"), 1L).otherwise(0L)), lit(0L))
+      .as("self_matches"))
+    val overlap = approx.join(brute, Seq("q_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("overlap"))
+    sizes.crossJoin(selfm).crossJoin(overlap).select(
+      col("n_queries"), col("rows_not_k"), col("dup_pairs"), col("self_matches"),
+      when(col("overlap").cast("double") <
+        lit(f) * lit(k) * col("n_queries").cast("double"), 1L)
+        .otherwise(0L).as("recall_floor_violation"))
+  }
+
   /** Builds and PERSISTS the IVF×int8 index: k-means training, cell
     * assignment + int8 codes, written as cell-partitioned parquet segments
     * next to the centroid matrix — the real production artifact (search
@@ -1537,6 +1829,51 @@ object Similarity {
     // test geometry's 0.7 — measured recall is recorded in COVERAGE.md
     "ann_pq256_check" -> ((s, dir) =>
       pqInvariants(emb(s, dir), k = 10, floor = 0.8, m = 8, ks = 256)),
+    // IVF-PQ — residual IVFADC, the canonical billion-scale composition:
+    // √N coarse cells prune the scan, residual PQ codes compress it 32×,
+    // ADC scores by table lookup, exact re-rank absorbs reconstruction
+    // error (approximate — rows-only; gated by ann_ivfpq_check)
+    "ann_ivfpq_topk" -> ((s, dir) => ivfPqTopK(emb(s, dir), k = 10)),
+    // the IVF-PQ tier's semantic gate: hygiene + the geometry-derived
+    // recall floor, DuckDB pins every counter
+    "ann_ivfpq_check" -> ((s, dir) => ivfPqInvariants(emb(s, dir), k = 10)),
+    // one-time IVF-PQ index build: train cells + residual codebook,
+    // encode, persist cell-partitioned code segments (rows-only — k-means)
+    "ann_ivfpq_index_build" -> ((s, dir) =>
+      buildIvfPqIndex(emb(s, dir), indexDirFor(dir) + "-pq", iters = 3)),
+    // recurring search against the PERSISTED IVF-PQ index (rows-only;
+    // exact equality to the in-memory tier spec-pinned). Guard builds the
+    // index only when this entry runs in isolation.
+    "ann_ivfpq_index_search" -> ((s, dir) => {
+      val idx = indexDirFor(dir) + "-pq"
+      if (!indexPathExists(s, s"$idx/segments/_SUCCESS"))
+        buildIvfPqIndex(emb(s, dir), idx, iters = 3).count()
+      searchIvfPqIndex(emb(s, dir), idx, k = 10)
+    }),
+    // recurring IVF-PQ ingest: residual-encode the vec_id%10==0 batch
+    // against the persisted base index's stored centroids + codebook —
+    // one pass over the BATCH only (rows-only; lifecycle pinned in
+    // OperatorsSpec: batch findability + compaction equality)
+    "ann_ivfpq_append_build" -> ((s, dir) => {
+      val idx = indexDirFor(dir) + "-pq-append"
+      val e = emb(s, dir)
+      if (!indexPathExists(s, s"$idx/segments/_SUCCESS"))
+        buildIvfPqIndex(e.filter(col("vec_id") % 10 =!= 0), idx,
+          iters = 3).count()
+      appendToIvfPqIndex(e.filter(col("vec_id") % 10 === 0), idx)
+    }),
+    // recurring query cost after an IVF-PQ append: probe base+delta code
+    // segments (rows-only; lifecycle spec-pinned)
+    "ann_ivfpq_append_search" -> ((s, dir) => {
+      val idx = indexDirFor(dir) + "-pq-append"
+      val e = emb(s, dir)
+      if (!indexPathExists(s, s"$idx/segments/_SUCCESS"))
+        buildIvfPqIndex(e.filter(col("vec_id") % 10 =!= 0), idx,
+          iters = 3).count()
+      if (!indexPathExists(s, s"$idx/delta/_SUCCESS"))
+        appendToIvfPqIndex(e.filter(col("vec_id") % 10 === 0), idx).count()
+      searchIvfPqIndexWithDelta(e, idx, k = 10)
+    }),
     // IVF × int8 composition — quantized codes per trained cell, integer
     // scoring of probed cells only, exact re-rank (approximate — rows-only
     // check; recall vs brute spec-pinned against the geometry-derived
@@ -1618,6 +1955,15 @@ object Similarity {
     // query-set size derived independently; hygiene/recall counters are
     // constants BY DESIGN (see pqInvariants)
     "ann_pq_check" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(0 AS BIGINT) AS rows_not_k,
+        |  CAST(0 AS BIGINT) AS dup_pairs,
+        |  CAST(0 AS BIGINT) AS self_matches,
+        |  CAST(0 AS BIGINT) AS recall_floor_violation
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    // query-set size derived independently; hygiene/recall counters are
+    // constants BY DESIGN (see ivfPqInvariants)
+    "ann_ivfpq_check" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  CAST(0 AS BIGINT) AS rows_not_k,
         |  CAST(0 AS BIGINT) AS dup_pairs,

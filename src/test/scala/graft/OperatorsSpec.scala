@@ -219,6 +219,72 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Similarity: IVF-PQ (residual IVFADC) recall and persisted-index equality") {
+    // the composed tier: √N coarse cells prune, residual PQ codes + ADC
+    // score, 8× exact re-rank. Recall floor = the geometry-derived
+    // worst case min(0.7, nProbe/cells) the battery gate uses; measured
+    // values recorded in COVERAGE.md. The persisted lifecycle (centroids +
+    // codebook + cell-partitioned code segments through parquet) must
+    // return EXACTLY the in-memory result with the same geometry —
+    // deterministic seeding, so equality, not a floor.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = graft.Tables(spark, s"/root/testdata/$sf", "embeddings")
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val brute = pairs(Similarity.bruteForceTopK(e, 10, dim = Some(Tables.EmbeddingDim)))
+      val n = e.count()
+      val (cells, probes) = (Similarity.autoCells(n),
+        Similarity.autoNProbe(Similarity.autoCells(n)))
+      val floor = math.min(0.7, probes.toDouble / cells)
+      val inMemory = Similarity.ivfPqTopK(e, 10)
+      val inMemoryRows = inMemory.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Int]("rank"))).toSet
+      val recall = (brute & inMemoryRows.map(t => (t._1, t._2))).size.toDouble / brute.size
+      assert(recall >= floor, s"IVF-PQ recall@10 at $sf below floor $floor: $recall")
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq-index-spec").toString
+      val summary = Similarity.buildIvfPqIndex(e, dir, iters = 3)
+        .collect().map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n_vectors"))
+      assert(summary.map(_._2).sum === n, "index lost vectors")
+      val fromIndex = Similarity.searchIvfPqIndex(e, dir, k = 10).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Int]("rank"))).toSet
+      assert(fromIndex === inMemoryRows,
+        s"persisted IVF-PQ search drifted at $sf: " +
+          s"missing=${(inMemoryRows -- fromIndex).take(3)} extra=${(fromIndex -- inMemoryRows).take(3)}")
+    }
+  }
+
+  test("Similarity: IVF-PQ append lifecycle — conservation, findability, compaction equality") {
+    // the delta protocol on the THIRD store that shares it: an appended
+    // batch is residual-encoded against the frozen centroids/codebook into
+    // a delta segment; searches discover it; compaction is a pure rewrite.
+    // Pins: (a) base+delta segments conserve every vector; (b) appended
+    // rows actually surface as neighbors (an index that silently drops the
+    // delta would still pass recall-only floors); (c) search results are
+    // IDENTICAL before and after compaction, and no delta dirs remain.
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-append-spec").toString
+    Similarity.buildIvfPqIndex(base, dir, iters = 3).count()
+    val deltaRows = Similarity.appendToIvfPqIndex(batch, dir)
+      .collect().map(_.getAs[Long]("n_vectors")).sum
+    assert(deltaRows === batch.count(), "delta segment lost batch rows")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val before = rows(Similarity.searchIvfPqIndexWithDelta(e, dir, k = 10))
+    assert(before.exists(_._2 % 10 == 0),
+      "no appended vector ever surfaced as a neighbor")
+    Similarity.compactIvfPqDeltas(spark, dir)
+    val after = rows(Similarity.searchIvfPqIndexWithDelta(e, dir, k = 10))
+    assert(after === before, "compaction changed IVF-PQ search results")
+    val deltaDirs = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("delta"))
+    assert(deltaDirs.isEmpty, s"compaction left delta dirs: ${deltaDirs.toSeq}")
+  }
+
   test("Similarity: staged rebuild publishes atomically and scrubs crash leftovers") {
     // r12: a rebuild over a LIVE index must never leave readers a
     // half-written tree — build lands in `build-staging` and publishes via
