@@ -662,6 +662,62 @@ object Relational {
           AND s_nationkey < 13""")
     }),
 
+    // TPC-H Q2 shape (r14): correlated scalar MIN over a multi-table JOIN
+    // — the family's Q17 lane decorrelates a single-table AVG; this one's
+    // subquery is itself a 3-table join (lineitem ⋈ supplier ⋈ nation,
+    // region-filtered) whose MIN is referenced per outer row. Catalyst
+    // must decorrelate the whole join into ONE partkey-grained aggregate
+    // (plan-pinned: no surviving subquery, the min-aggregate present, the
+    // n_regionkey filter pushed into BOTH nation scans). No partsupp in
+    // the generator, so "min supplycost" becomes min extended price among
+    // region-1 shipments of the part — identical structure. Cross-engine
+    // exact by construction: the predicate compares a STORED double to the
+    // MIN of stored doubles, zero arithmetic.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("q2_part")
+      t(s, dir, "lineitem").createOrReplaceTempView("q2_lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("q2_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("q2_nation")
+      s.sql("""
+        SELECT s_name, s_acctbal, p_partkey, p_brand,
+               l_extendedprice AS min_price
+        FROM q2_part JOIN q2_lineitem ON p_partkey = l_partkey
+        JOIN q2_supplier ON s_suppkey = l_suppkey
+        JOIN q2_nation ON s_nationkey = n_nationkey
+        WHERE p_size <= 15 AND n_regionkey = 1
+          AND l_extendedprice = (
+            SELECT MIN(l2.l_extendedprice)
+            FROM q2_lineitem l2
+            JOIN q2_supplier s2 ON s2.s_suppkey = l2.l_suppkey
+            JOIN q2_nation n2 ON n2.n_nationkey = s2.s_nationkey
+            WHERE l2.l_partkey = p_partkey AND n2.n_regionkey = 1)""")
+    }),
+
+    // TPC-H Q15 shape (r14): scalar subquery over an AGGREGATED CTE — the
+    // revenue view is referenced twice (the join and the MAX bar), so the
+    // decorrelation family gains the view-maximum pattern its other lanes
+    // (base-table Q17/Q20, existential Q21/Q22, join-subquery Q2) never
+    // exercise. Exactness discipline: the revenue fold casts the PRODUCT
+    // to DECIMAL(18,4) once (q10's rule — both engines round the double
+    // product identically), the decimal SUM/MAX/equality are then exact,
+    // and only the output column drops to DOUBLE.
+    "q15_top_supplier" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q15_lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("q15_supplier")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              AS total_revenue
+          FROM q15_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM q15_supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""")
+    }),
+
     // ranking family: rank/dense_rank/ntile (beyond the reference's W1).
     "w4_rank_suite" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -1255,6 +1311,31 @@ object Relational {
         |                        WHERE l2.l_partkey = l1.l_partkey
         |                          AND l2.l_suppkey = l1.l_suppkey))
         |  AND s_nationkey < 13""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """SELECT s_name, s_acctbal, p_partkey, p_brand,
+        |       l_extendedprice AS min_price
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_size <= 15 AND n_regionkey = 1
+        |  AND l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice)
+        |    FROM lineitem l2
+        |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |    WHERE l2.l_partkey = p_partkey AND n2.n_regionkey = 1)""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin,
     "w4_rank_suite" ->
       """SELECT c_custkey, c_nationkey,
         |  RANK() OVER w AS rnk,

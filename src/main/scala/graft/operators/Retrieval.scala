@@ -264,6 +264,64 @@ object Retrieval {
       .agg(count(lit(1)).as("n_occurrences"),
         min(col("anchor")).cast("long").as("first_pos"))
 
+  /** Proximity (NEAR/w) matching through the positional posting list —
+    * the second query type a positional index exists to serve (phrase =
+    * adjacency; proximity = co-occurrence within a window, the classic
+    * `a NEAR/w b` operator): a document matches when SOME occurrence of
+    * the first term (the "anchor") has every other term within ±`window`
+    * positions. Output: per-doc count of satisfying anchors + the first
+    * one.
+    *
+    * Scale shape — the band trick that keeps this an EQUI-join: positions
+    * within distance w of anchor p can only live in p's own
+    * `⌊pos/(w+1)⌋` band or its two neighbors, so each term's check is a
+    * join on `(doc_id, band)` (anchor side exploded to its 3 candidate
+    * bands) followed by the exact |Δ| ≤ w filter — never a per-doc
+    * position cross product and never a non-equi range join. Satisfied
+    * anchor sets then intersect via `(doc_id, apos)` equi-joins, exactly
+    * like [[phraseAssemble]]'s anchor chain. Everything downstream of the
+    * postings thin-out is term-frequency-sized.
+    */
+  def proximityMatches(d: DataFrame, terms: Seq[String],
+                       window: Int): DataFrame = {
+    require(terms.length >= 2, "proximity needs at least two terms")
+    val post = tokenPostings(d)
+      .filter(col("tok").isin(terms.distinct: _*))
+      .localCheckpoint() // df-bounded; referenced once per term
+    proximityAssemble(post, terms, window)
+  }
+
+  /** The banded-join half shared by [[proximityMatches]] and
+    * [[searchTextIndexProximity]] (shared code = index-backed results
+    * hash-match the per-call matcher by construction).
+    */
+  private def proximityAssemble(post: DataFrame, terms: Seq[String],
+                                window: Int): DataFrame = {
+    require(window >= 1, s"window must be ≥ 1, got $window")
+    require(terms.distinct.length == terms.length,
+      "proximity terms must be distinct (duplicate terms make the anchor " +
+        "trivially satisfy its own window)")
+    val bw = window + 1
+    val anchors = post.filter(col("tok") === terms.head)
+      .select(col("doc_id"), col("pos").as("apos"))
+    val banded = anchors.withColumn("band",
+      explode(array(floor(col("apos") / bw) - 1, floor(col("apos") / bw),
+        floor(col("apos") / bw) + 1)))
+    terms.tail.map { t =>
+        banded.join(
+          post.filter(col("tok") === t)
+            .select(col("doc_id"), floor(col("pos") / bw).as("band"),
+              col("pos")),
+          Seq("doc_id", "band"))
+          .filter(abs(col("pos") - col("apos")) <= window)
+          .select(col("doc_id"), col("apos")).distinct()
+      }
+      .reduce((a, b) => a.join(b, Seq("doc_id", "apos")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_anchors"),
+        min(col("apos")).cast("long").as("first_anchor"))
+  }
+
   // ── Persisted positional inverted index (r14) ────────────────────────────
   //
   // The 100 TB spelling of [[phraseMatches]]: per-call tokenization re-reads
@@ -423,6 +481,28 @@ object Retrieval {
     phraseAssemble(post, phrase)
   }
 
+  /** Proximity search served from the persisted index — same bucket-pruned
+    * postings read as [[searchTextIndex]] (the scan lists only the terms'
+    * `tokb=…` directories, zero document bytes), same
+    * [[proximityAssemble]] as the per-call matcher, so results are
+    * hash-identical by construction (the battery entry shares
+    * `retrieval_proximity_match`'s DuckDB SQL verbatim).
+    */
+  def searchTextIndexProximity(s: SparkSession, indexDir: String,
+                               terms: Seq[String], window: Int): DataFrame = {
+    require(terms.length >= 2, "proximity needs at least two terms")
+    val b = s.read.parquet(s"$indexDir/meta").head.getAs[Int]("buckets")
+    import s.implicits._
+    val bucketIds = terms.distinct.toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(b)).cast("int")).as[Int]
+      .collect().toSeq.distinct
+    val segDirs = graft.io.DeltaStore.resolveDirs(s, indexDir, "postings")
+    val post = segDirs.map(p => s.read.parquet(p)).reduce(_ unionByName _)
+      .filter(col("tokb").isin(bucketIds: _*) &&
+        col("tok").isin(terms.distinct: _*))
+    proximityAssemble(post, terms, window)
+  }
+
   /** Fold every live `delta*` postings segment into the base `postings`
     * store — the periodic maintenance a streaming-ingested text index runs
     * to bound file-listing overhead. Postings compose associatively (each
@@ -561,6 +641,23 @@ object Retrieval {
         buildTextIndex(docs(s, dir), idx).count()
       searchTextIndex(s, idx, Seq("fast", "table"))
     }),
+    // proximity (NEAR/w) matching: anchors of "merge" with both "window"
+    // and "scan" within ±4 positions — banded equi-joins, never a per-doc
+    // position cross product (oracle-gated: the oracle replays the same
+    // anchor/window semantics with correlated distance predicates)
+    "retrieval_proximity_match" -> ((s, dir) =>
+      proximityMatches(docs(s, dir), Seq("merge", "window", "scan"),
+        window = 4)),
+    // the same NEAR query served from the persisted index: bucket-pruned
+    // postings scan, zero document bytes. Shares the per-call entry's
+    // oracle SQL verbatim, so index-backed and per-call can never drift
+    "retrieval_proximity_index_search" -> ((s, dir) => {
+      val idx = textIndexDirFor(dir)
+      if (!graft.operators.Similarity.indexPathExists(s, s"$idx/postings/_SUCCESS"))
+        buildTextIndex(docs(s, dir), idx).count()
+      searchTextIndexProximity(s, idx, Seq("merge", "window", "scan"),
+        window = 4)
+    }),
     // the lifecycle gate: postings conservation + append-search equivalence,
     // counters oracle-pinned against DuckDB-derived token totals
     "retrieval_phrase_index_check" -> ((s, dir) =>
@@ -680,6 +777,12 @@ object Retrieval {
     // the index-backed search must be row-identical to the per-call
     // matcher: SAME oracle SQL, verbatim
     "retrieval_phrase_index_search" -> phraseMatchSql,
+    // proximity: positional postings re-derived with the same tokenizer;
+    // per-term satisfaction via correlated |Δ| ≤ w joins, anchors
+    // intersected — the declarative restatement of the banded equi-join
+    "retrieval_proximity_match" -> proximityMatchSql,
+    // index-backed NEAR must be row-identical: SAME oracle SQL, verbatim
+    "retrieval_proximity_index_search" -> proximityMatchSql,
     // lifecycle gate: DuckDB re-derives the corpus's total token count
     // (the conservation column) and pins the violation counters at zero
     "retrieval_phrase_index_check" ->
@@ -717,5 +820,27 @@ object Retrieval {
       |SELECT doc_id, COUNT(*) AS n_occurrences,
       |  CAST(MIN(anchor) AS BIGINT) AS first_pos
       |FROM t0 JOIN t1 USING (doc_id, anchor)
+      |GROUP BY doc_id""".stripMargin
+
+  /** NEAR/4 oracle — one string, shared verbatim by the per-call and
+    * index-backed entries (anchor = "merge", satellites "window"/"scan").
+    */
+  private val proximityMatchSql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, UNNEST(t.l) AS tok, generate_subscripts(t.l, 1) - 1 AS pos
+      |  FROM documents,
+      |  LATERAL (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                              x -> len(x) > 0) AS l) t
+      |  WHERE text IS NOT NULL),
+      |a AS (SELECT doc_id, pos AS apos FROM toks WHERE tok = 'merge'),
+      |s1 AS (SELECT DISTINCT a.doc_id, a.apos FROM a JOIN toks t
+      |       ON t.doc_id = a.doc_id AND t.tok = 'window'
+      |       AND ABS(t.pos - a.apos) <= 4),
+      |s2 AS (SELECT DISTINCT a.doc_id, a.apos FROM a JOIN toks t
+      |       ON t.doc_id = a.doc_id AND t.tok = 'scan'
+      |       AND ABS(t.pos - a.apos) <= 4)
+      |SELECT doc_id, COUNT(*) AS n_anchors,
+      |  CAST(MIN(apos) AS BIGINT) AS first_anchor
+      |FROM s1 JOIN s2 USING (doc_id, apos)
       |GROUP BY doc_id""".stripMargin
 }

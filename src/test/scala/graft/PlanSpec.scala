@@ -250,6 +250,45 @@ class PlanSpec extends AnyFunSuite {
       s"PQ-256 search shuffled the corpus:\n${plan.take(1200)}")
   }
 
+  test("proximity-index search partition-prunes the postings store; no non-equi join") {
+    // NEAR/w served from the index must keep both scale contracts: the
+    // postings scan lists only the terms' hash buckets (the phrase pin's
+    // contract), and the window check stays a BANDED equi-join — a
+    // BroadcastNestedLoopJoin/CartesianProduct here would mean the |Δ| ≤ w
+    // predicate leaked into the join condition as a raw range join
+    val df = q("retrieval_proximity_index_search")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-text-index"), "no postings scan found in the plan")
+    val pruned = raw"PartitionFilters: \[[^\]]*tokb[^\]]*IN[^\]]*\]".r
+    assert(pruned.findFirstIn(plan).isDefined,
+      s"postings scan lists every bucket:\n${plan.take(2000)}")
+    assert(!plan.contains("documents.parquet"),
+      "index-backed proximity search re-read the documents table")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"window check degenerated to a non-equi join:\n${plan.take(1600)}")
+  }
+
+  test("IVF-PQ search streams the code corpus against broadcast probe tables") {
+    // residual IVFADC's scoring scan: the cell-partitioned code segments
+    // stream while the (q_id, cell, qc, dlut) probe relation broadcasts —
+    // the cell equi-join must be a BroadcastHashJoin (contrast pqTopK's
+    // nested loop: full-corpus PQ has no cell key to hash on), with the
+    // native ADC table and reconstruction norm in the plan and no
+    // UDF/shuffle-join/cartesian anywhere on the scoring path
+    val df = q("ann_ivfpq_topk")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_adc_table"),
+      s"native ADC table missing from plan:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell probe join is not broadcast-hash:\n${plan.take(1200)}")
+    assert(!plan.contains("ScalaUDF"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"IVF-PQ search shuffled the corpus:\n${plan.take(1200)}")
+  }
+
   test("phrase-index search partition-prunes the postings store to the terms' buckets") {
     val df = q("retrieval_phrase_index_search")
     df.collect()
@@ -459,5 +498,40 @@ class PlanSpec extends AnyFunSuite {
     // the uncorrelated IN's name filter reaches the part scan
     assert(physical.contains("StringStartsWith(p_name,small)"),
       s"part-name filter not pushed into the scan:\n${physical.take(2400)}")
+  }
+
+  test("Q2's correlated MIN-over-join decorrelates; region filter pushed to both nation scans") {
+    // the join-subquery lane: the correlated scalar MIN's body is itself a
+    // 3-table join — Catalyst must decorrelate the WHOLE join into one
+    // partkey-grained min aggregate, never re-run it per outer row
+    val df = q("q2_min_cost_supplier")
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("scalar-subquery") && !physical.contains("Subquery"),
+      s"correlated join-subquery survived to execution:\n${physical.take(1600)}")
+    assert(physical.contains("min(l_extendedprice"),
+      s"decorrelated min aggregate missing:\n${physical.take(2400)}")
+    // the region bound reaches the nation scan in BOTH expansions (outer
+    // join chain + the decorrelated aggregate's own nation join)
+    assert("EqualTo\\(n_regionkey,1\\)".r.findAllIn(physical).size >= 2,
+      s"region filter not pushed into both nation scans:\n${physical.take(2400)}")
+  }
+
+  test("Q15's view-maximum bar plans as one uncorrelated scalar over the aggregated CTE") {
+    // the revenue CTE is referenced twice (join + MAX bar); the bar must be
+    // an uncorrelated ReusedSubquery/Subquery over the AGGREGATED view —
+    // what must never appear is a per-row correlated probe (no exists/in
+    // rewrites) or a shipdate-unfiltered lineitem scan
+    val df = q("q15_top_supplier")
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("exists-subquery") && !physical.contains("in-subquery"),
+      s"existential rewrite appeared in Q15:\n${physical.take(1600)}")
+    // the quarter window reaches the lineitem scan as pushed filters
+    assert(physical.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate window not pushed into the lineitem scan:\n${physical.take(2400)}")
+    // the revenue view's fold appears as a decimal sum aggregate
+    assert(physical.contains("sum(") && physical.contains("total_revenue"),
+      s"revenue aggregate missing:\n${physical.take(2400)}")
   }
 }

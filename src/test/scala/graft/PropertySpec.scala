@@ -241,6 +241,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("proximityMatches agrees with a brute-force window reference") {
+    // the banded equi-join spelling vs a direct per-anchor scan — the band
+    // arithmetic (⌊pos/(w+1)⌋ ± 1 covers every |Δ| ≤ w pair) is exactly
+    // the kind of off-by-one a property net catches. Distinct-term corpora
+    // only (the operator requires distinct terms); windows 1-4 sweep the
+    // band-boundary cases.
+    val vocab = Seq("a", "b", "c", "d")
+    for (round <- 0 until 3) {
+      val docs = Seq.tabulate(40) { i =>
+        (i.toLong,
+          Seq.fill(3 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "))
+      }
+      val terms = rnd.shuffle(vocab).take(2 + round % 2)
+      val w = 1 + rnd.nextInt(4)
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").toSeq
+        val anchors = toks.indices.filter { a =>
+          toks(a) == terms.head && terms.tail.forall { t =>
+            toks.indices.exists(p => toks(p) == t && math.abs(p - a) <= w)
+          }
+        }
+        if (anchors.isEmpty) None
+        else Some(id -> (anchors.size.toLong, anchors.min.toLong))
+      }.toMap
+      val got = graft.operators.Retrieval
+        .proximityMatches(docs.toDF("doc_id", "text"), terms, w)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === want, s"round $round terms=$terms w=$w")
+    }
+  }
+
   test("PqEncode matches the reference L2-argmin computation") {
     // the codegen'd block-wise encoder vs a direct per-block scan of the
     // FULL squared distance (the expression itself ranks by the expanded
@@ -289,6 +321,32 @@ class PropertySpec extends AnyFunSuite {
         assert(out.length === m * ks)
         out.zip(ref(in)).foreach { case (g, w) =>
           assert(math.abs(g - w) < 1e-12, s"m=$m ks=$ks") }
+      }
+    }
+  }
+
+  test("PqRecNormSq matches the reference ‖centroid + decode(codes)‖²") {
+    // the loop-codegen'd reconstruction norm vs a direct Scala decode —
+    // at the test geometry and the m=8/ks=256 production point (the same
+    // two-point protocol as PqAdcTable). Codes are random valid indices;
+    // centroids random doubles.
+    for ((m, ks) <- Seq((4, 5), (8, 256))) {
+      val subDim = 3; val dim = m * subDim
+      val cb = Array.fill(m * ks * subDim)(rnd.nextDouble() * 2 - 1)
+      def ref(codes: Array[Int], cent: Array[Double]): Double =
+        (0 until dim).map { i =>
+          val b = i / subDim
+          val v = cent(i) + cb((b * ks + codes(b)) * subDim + i % subDim)
+          v * v
+        }.sum
+      val inputs = Seq.fill(20)((Array.fill(m)(rnd.nextInt(ks)),
+        Array.fill(dim)(rnd.nextDouble() * 2 - 1)))
+      val got = inputs.toDF("codes", "cent")
+        .select(graft.functions.PqRecNormSq(
+          col("codes"), col("cent"), cb, m, subDim, ks).as("n"))
+        .collect().map(_.getDouble(0))
+      inputs.zip(got).foreach { case ((codes, cent), g) =>
+        assert(math.abs(g - ref(codes, cent)) < 1e-12, s"m=$m ks=$ks")
       }
     }
   }
