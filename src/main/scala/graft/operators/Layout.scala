@@ -58,6 +58,15 @@ object Layout {
       .drop("z")
       .write.mode("overwrite").parquet(path)
 
+  /** Hilbert clustering key — [[graft.functions.HilbertKey]] over the two
+    * pruning dimensions. See the expression's scaladoc for why Hilbert
+    * beats Morton for zone-map pruning (strict cell adjacency, no Z
+    * jumps); [[mortonKey]] stays the cheap default where the caller wants
+    * a pure bit-twiddle with no grid-size knob.
+    */
+  def hilbertKey(x: Column, y: Column, bits: Int): Column =
+    graft.functions.HilbertKey(x, y, bits)
+
   /** Zone map of `df` laid out in `orderBy` order with `rowsPerFile` rows per
     * file: per-file row count and min/max of the two pruning columns — the
     * same metadata a parquet footer (or a Snowflake micro-partition) carries.
@@ -402,6 +411,9 @@ object Layout {
   private val FileRows = 2048
   // box predicate: ~2% of partkeys × ~20% of suppkeys
   private val (bx1, bx2, by1, by2) = (100L, 140L, 10L, 30L)
+  // Hilbert grid: 2^20 covers partkeys past the sf1 slope corpus (~200k)
+  // with loud failure beyond it (see HilbertKey's range contract)
+  private val HilbertBits = 20
 
   private def compactDirFor(dir: String): String =
     graft.Tuning.scratchDirFor("graft-compact", dir)
@@ -446,6 +458,36 @@ object Layout {
       overlapDepth(zm).withColumn("layout", lit("zorder"))
         .unionByName(overlapDepth(lin).withColumn("layout", lit("linear")))
         .select(col("layout"), col("n_files"), col("avg_depth"), col("max_depth"))
+    }),
+    // zone map of the HILBERT-ordered layout (oracle-gated — the DuckDB
+    // side replays the bit-plane walk as a 20-stage CTE chain, so the
+    // curve positions, file assignment, and min/max metadata are bit-exact
+    // across engines)
+    "layout_zonemap_hilbert" -> ((s, dir) => {
+      val d = li(s, dir)
+      zoneMap(d,
+        Seq(hilbertKey(col("l_partkey"), col("l_suppkey"), HilbertBits),
+          col("l_orderkey"), col("l_linenumber")),
+        FileRows, "l_partkey", "l_suppkey")
+    }),
+    // the curve-choice decision: the SAME box predicate priced against
+    // Hilbert vs Morton zone maps (oracle-gated, 2 rows) — Hilbert's
+    // strict adjacency should scan no more files than Z-order's jumpy
+    // ranges at the same file size; the measured gap is spec-pinned
+    "layout_prune_compare_hilbert" -> ((s, dir) => {
+      val d = li(s, dir)
+      val zmH = zoneMap(d,
+        Seq(hilbertKey(col("l_partkey"), col("l_suppkey"), HilbertBits),
+          col("l_orderkey"), col("l_linenumber")),
+        FileRows, "l_partkey", "l_suppkey")
+      val zmZ = zoneMap(d,
+        Seq(mortonKey(col("l_partkey"), col("l_suppkey")),
+          col("l_orderkey"), col("l_linenumber")),
+        FileRows, "l_partkey", "l_suppkey")
+      val matching = d.filter(col("l_partkey").between(bx1, bx2) &&
+        col("l_suppkey").between(by1, by2)).count()
+      pruneCompare(Map("hilbert" -> zmH, "zorder" -> zmZ), matching,
+        bx1, bx2, by1, by2)
     }),
     // small-file compaction round trip: documents fragmented into 48 tiny
     // files, compacted shuffle-free to target-sized files, read back. The
@@ -511,6 +553,53 @@ object Layout {
        |  MIN(l_suppkey) AS min_y, MAX(l_suppkey) AS max_y
        |FROM r GROUP BY 1""".stripMargin
 
+  /** DuckDB Hilbert xy→d over lineitem's pruning dimensions — the same
+    * bit-plane walk as [[graft.functions.HilbertKey]], unrolled into
+    * `bits` chained CTE stages (SQL has no loops). Stage k's state columns
+    * are hx{k}/hy{k}/hd{k} — DISTINCT names per stage on purpose: DuckDB
+    * resolves lateral column aliases within a SELECT list, so reusing one
+    * name would silently bind a state expression to the stage's OWN new
+    * alias instead of the previous stage's column.
+    */
+  private def hilbertChainSql(bits: Int): String = {
+    val cols = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
+    val h0 = s"""h0 AS (SELECT $cols,
+       |  CAST(l_partkey AS BIGINT) AS hx0, CAST(l_suppkey AS BIGINT) AS hy0,
+       |  CAST(0 AS BIGINT) AS hd0 FROM lineitem)""".stripMargin
+    val stages = (0 until bits).map { k =>
+      val s = 1L << (bits - 1 - k)
+      s"""h${k + 1} AS (SELECT $cols,
+         |  CASE WHEN (hy$k & $s) > 0 THEN hx$k
+         |       WHEN (hx$k & $s) > 0 THEN $s - 1 - hy$k
+         |       ELSE hy$k END AS hx${k + 1},
+         |  CASE WHEN (hy$k & $s) > 0 THEN hy$k
+         |       WHEN (hx$k & $s) > 0 THEN $s - 1 - hx$k
+         |       ELSE hx$k END AS hy${k + 1},
+         |  hd$k + ${s * s} *
+         |    (CASE WHEN (hx$k & $s) > 0 AND (hy$k & $s) > 0 THEN 2
+         |          WHEN (hx$k & $s) > 0 THEN 3
+         |          WHEN (hy$k & $s) > 0 THEN 1 ELSE 0 END) AS hd${k + 1}
+         |  FROM h$k)""".stripMargin
+    }
+    (h0 +: stages).mkString(",\n")
+  }
+
+  /** Hilbert-ordered zone map — [[zoneMapSql]]'s shape over the CTE
+    * chain's final curve position.
+    */
+  private def zoneMapHilbertSql: String =
+    s"""WITH ${hilbertChainSql(HilbertBits)},
+       |r AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ROW_NUMBER() OVER (ORDER BY hd$HilbertBits,
+       |      l_orderkey, l_linenumber) AS rn
+       |  FROM h$HilbertBits)
+       |SELECT CAST((rn - 1) // $FileRows AS BIGINT) AS file_id,
+       |  COUNT(*) AS n_rows,
+       |  MIN(l_partkey) AS min_x, MAX(l_partkey) AS max_x,
+       |  MIN(l_suppkey) AS min_y, MAX(l_suppkey) AS max_y
+       |FROM r GROUP BY 1""".stripMargin
+
   private def depthSql(src: String): String =
     s"""SELECT COUNT(*) AS n_files,
        |  ROUND(CAST(SUM(depth) AS DOUBLE) / COUNT(*), 6) AS avg_depth,
@@ -550,6 +639,29 @@ object Layout {
         |  CAST(0 AS BIGINT) AS probe_files_mismatch,
         |  CAST(1 AS BIGINT) AS append_ok""".stripMargin,
     "layout_zonemap_zorder" -> zoneMapSql,
+    "layout_zonemap_hilbert" -> zoneMapHilbertSql,
+    "layout_prune_compare_hilbert" ->
+      s"""WITH hf AS ($zoneMapHilbertSql),
+         |zf AS ($zoneMapSql),
+         |m AS (SELECT COUNT(*) AS rows_matching FROM lineitem
+         |      WHERE l_partkey BETWEEN $bx1 AND $bx2
+         |        AND l_suppkey BETWEEN $by1 AND $by2),
+         |priced AS (
+         |  SELECT 'hilbert' AS layout, COUNT(*) AS n_files,
+         |    CAST(SUM(CASE WHEN min_x <= $bx2 AND max_x >= $bx1
+         |             AND min_y <= $by2 AND max_y >= $by1 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         |    CAST(SUM(CASE WHEN min_x <= $bx2 AND max_x >= $bx1
+         |             AND min_y <= $by2 AND max_y >= $by1 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+         |  FROM hf
+         |  UNION ALL
+         |  SELECT 'zorder', COUNT(*),
+         |    CAST(SUM(CASE WHEN min_x <= $bx2 AND max_x >= $bx1
+         |             AND min_y <= $by2 AND max_y >= $by1 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(SUM(CASE WHEN min_x <= $bx2 AND max_x >= $bx1
+         |             AND min_y <= $by2 AND max_y >= $by1 THEN n_rows ELSE 0 END) AS BIGINT)
+         |  FROM zf)
+         |SELECT layout, n_files, files_scanned, rows_scanned, m.rows_matching
+         |FROM priced CROSS JOIN m""".stripMargin,
     "layout_prune_compare" ->
       s"""WITH zf AS ($zoneMapSql),
          |lf AS (

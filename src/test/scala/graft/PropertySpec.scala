@@ -273,6 +273,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("HilbertKey: bijective curve with strict cell adjacency (which Morton lacks)") {
+    import graft.functions.HilbertKey
+    // full 2^4 × 2^4 grid: the 256 keys must be a permutation of 0..255
+    // (bijectivity) and walking them in key order must move exactly ONE
+    // Manhattan step per position — the defining Hilbert property and the
+    // locality guarantee the zone-map tier prices. Morton on the same grid
+    // must FAIL the adjacency check (the Z jumps), proving the test can
+    // tell the curves apart.
+    val grid = for (x <- 0 until 16; y <- 0 until 16) yield (x, y)
+    val keyed = grid.toDF("x", "y")
+      .select(col("x"), col("y"), HilbertKey(col("x"), col("y"), 4).as("d"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(keyed.map(_._3).sorted.toSeq === (0L until 256L),
+      "Hilbert keys are not a bijection onto 0..255")
+    val path = keyed.sortBy(_._3)
+    path.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, d)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"curve jumped at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+    val mortonPath = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.operators.Layout.mortonKey(col("x"), col("y")).as("d"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._3)
+    val mortonJumps = mortonPath.sliding(2).count {
+      case Array((x1, y1, _), (x2, y2, _)) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(mortonJumps > 0, "Morton unexpectedly adjacency-clean — test is vacuous")
+    // reference agreement at a production-ish width on random points
+    def ref(x0: Long, y0: Long, bits: Int): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val pts = Seq.fill(50)((rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong))
+    val got = pts.toDF("x", "y")
+      .select(HilbertKey(col("x"), col("y"), 20).as("d"))
+      .collect().map(_.getLong(0))
+    pts.zip(got).foreach { case ((x, y), g) =>
+      assert(g === ref(x, y, 20), s"($x, $y)")
+    }
+    // out-of-grid fails loudly, never aliases
+    val err = intercept[Exception] {
+      Seq((1L << 20, 0L)).toDF("x", "y")
+        .select(HilbertKey(col("x"), col("y"), 20)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("outside the 2^20 grid")), s"got: $err")
+  }
+
   test("PqEncode matches the reference L2-argmin computation") {
     // the codegen'd block-wise encoder vs a direct per-block scan of the
     // FULL squared distance (the expression itself ranks by the expanded

@@ -151,6 +151,37 @@ class RetrievalLayoutSpec extends AnyFunSuite {
     assert(r("zorder").getAs[Long]("rows_scanned") >= matching)
   }
 
+  test("Hilbert zone maps prune the box at least as hard as Z-order, never losing rows") {
+    // the curve-choice claim the battery entry prices: Hilbert's strict
+    // cell adjacency gives a curve-position range a tighter bounding box
+    // than Morton's Z jumps, so the same box predicate scans ≤ files at
+    // the same file size (measured 2 vs 4 at sf0.01, 1 vs 2 at sf0.1 on
+    // the battery geometry; this pin uses the sf-scaled box of the
+    // zorder-vs-linear test). Deterministic data ⇒ a stable pin.
+    val li = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    val hOrder = Seq(Layout.hilbertKey(col("l_partkey"), col("l_suppkey"), 20),
+      col("l_orderkey"), col("l_linenumber"))
+    val zOrder = Seq(Layout.mortonKey(col("l_partkey"), col("l_suppkey")),
+      col("l_orderkey"), col("l_linenumber"))
+    val zmH = Layout.zoneMap(li, hOrder, 256, "l_partkey", "l_suppkey")
+    val zmZ = Layout.zoneMap(li, zOrder, 256, "l_partkey", "l_suppkey")
+    val m = li.agg(max(col("l_partkey")).as("p"), max(col("l_suppkey")).as("s")).head
+    val (x1, x2) = (m.getLong(0) / 10, m.getLong(0) / 5)
+    val (y1, y2) = (m.getLong(1) / 10, m.getLong(1) / 2)
+    val matching = li.filter(col("l_partkey").between(x1, x2) &&
+      col("l_suppkey").between(y1, y2)).count()
+    val r = Layout.pruneCompare(Map("hilbert" -> zmH, "zorder" -> zmZ),
+        matching, x1, x2, y1, y2)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val (hs, zs) = (r("hilbert").getAs[Long]("files_scanned"),
+      r("zorder").getAs[Long]("files_scanned"))
+    assert(hs <= zs, s"hilbert=$hs zorder=$zs")
+    assert(r("hilbert").getAs[Long]("rows_scanned") >= matching,
+      "Hilbert pruning lost matching rows")
+  }
+
   test("writeZOrdered range-partitions: per-file z ranges do not overlap") {
     val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     val li = graft.Tables(spark, dir, "lineitem")
