@@ -718,6 +718,126 @@ object Relational {
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""")
     }),
 
+    // TPC-H Q7 shape (r14): cross-nation volume — a 6-table join whose
+    // nation pair is a DISJUNCTION of two symmetric conjunctions, grouped
+    // by the pair + the shipdate YEAR. The decimal-once volume cast keeps
+    // the per-(pair, year) sums exact; EXTRACT(YEAR ...) is integer.
+    "q7_nation_volume" -> ((s, dir) => {
+      Seq("lineitem", "supplier", "orders", "customer", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"q7_$n"))
+      s.sql("""
+        SELECT supp_nation, cust_nation, yr,
+          CAST(SUM(vol) AS DOUBLE) AS revenue, COUNT(*) AS n_ship
+        FROM (SELECT n1.n_nationkey AS supp_nation, n2.n_nationkey AS cust_nation,
+                EXTRACT(YEAR FROM l_shipdate) AS yr,
+                CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS vol
+              FROM q7_lineitem JOIN q7_supplier ON s_suppkey = l_suppkey
+              JOIN q7_orders ON o_orderkey = l_orderkey
+              JOIN q7_customer ON c_custkey = o_custkey
+              JOIN q7_nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN q7_nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE ((n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+                  OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1))
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+        GROUP BY supp_nation, cust_nation, yr""")
+    }),
+
+    // TPC-H Q12 shape (r14): dual CASE-bucketed counts over a join with an
+    // IN-list predicate INSIDE the aggregate — the late-shipment split by
+    // priority class. Counts are exact integers; the 30-day lateness bound
+    // is the q21 interval spelling.
+    "q12_priority_lateness" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("q12_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("q12_lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM q12_orders JOIN q12_lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        GROUP BY l_returnflag""")
+    }),
+
+    // TPC-H Q13 shape (r14): the customer-distribution DOUBLE aggregation —
+    // count orders per customer, then histogram the counts — over a LEFT
+    // OUTER join whose non-key predicate lives in the ON clause (filtering
+    // the RIGHT side before the join, never dropping order-less customers;
+    // a WHERE spelling would silently turn the join inner — the classic
+    // outer-join placement bug this lane pins cross-engine). All integers.
+    "q13_order_distribution" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q13_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q13_orders")
+      s.sql("""
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM q13_customer LEFT OUTER JOIN q13_orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        GROUP BY c_count""")
+    }),
+
+    // TPC-H Q14 shape (r14): promo revenue share — a conditional-over-total
+    // ratio. Cross-engine exact: both sums are DECIMAL(18,4)-folded
+    // (decimal-once product cast), each casts to double deterministically,
+    // and the ratio is two IEEE ops in fixed order — bit-identical without
+    // any rounding fudge.
+    "q14_promo_share" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q14_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("q14_part")
+      s.sql("""
+        SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+               CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS promo_share,
+          COUNT(*) AS n
+        FROM (SELECT p_type,
+                CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS vol
+              FROM q14_lineitem JOIN q14_part ON p_partkey = l_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00')""")
+    }),
+
+    // TPC-H Q16 shape (r14): NOT IN with a subquery — the NULL-AWARE anti
+    // join lane (semantically distinct from Q22's NOT EXISTS: a single
+    // null in the subquery would empty the result, so Catalyst must plan
+    // the null-aware variant, not a plain LeftAnti) — plus COUNT(DISTINCT)
+    // per group and an uncorrelated IN-list pushed to the part scan.
+    "q16_supplier_counts" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("q16_part")
+      t(s, dir, "supplier").createOrReplaceTempView("q16_supplier")
+      s.sql("""
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM q16_lineitem JOIN q16_part ON p_partkey = l_partkey
+        WHERE p_size IN (1, 5, 10, 15, 20)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM q16_supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size""")
+    }),
+
+    // TPC-H Q19 shape (r14): the DISJUNCTIVE multi-table predicate — three
+    // brand/size/quantity conjunctions OR'd together, referencing BOTH join
+    // sides, so no disjunct can be pushed wholesale; what Catalyst can and
+    // must do is keep the equi-join (the OR must not degrade the join to a
+    // nested loop) — plan-pinned. Revenue is the decimal-once fold.
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q19_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("q19_part")
+      s.sql("""
+        SELECT COUNT(*) AS n_lines,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+        FROM q19_lineitem JOIN q19_part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""")
+    }),
+
     // ranking family: rank/dense_rank/ntile (beyond the reference's W1).
     "w4_rank_suite" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -1324,6 +1444,66 @@ object Relational {
         |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
         |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
         |    WHERE l2.l_partkey = p_partkey AND n2.n_regionkey = 1)""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, yr,
+        |  CAST(SUM(vol) AS DOUBLE) AS revenue, COUNT(*) AS n_ship
+        |FROM (SELECT n1.n_nationkey AS supp_nation, n2.n_nationkey AS cust_nation,
+        |        EXTRACT(YEAR FROM l_shipdate) AS yr,
+        |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS vol
+        |      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      WHERE ((n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+        |          OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1))
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY supp_nation, cust_nation, yr""".stripMargin,
+    "q12_priority_lateness" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_returnflag""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol
+        |         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |       CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS promo_share,
+        |  COUNT(*) AS n
+        |FROM (SELECT p_type,
+        |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS vol
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00')""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_size IN (1, 5, 10, 15, 20)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q15_top_supplier" ->
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,

@@ -500,6 +500,59 @@ class PlanSpec extends AnyFunSuite {
       s"part-name filter not pushed into the scan:\n${physical.take(2400)}")
   }
 
+  test("Q16's NOT IN plans as a null-aware anti join; IN-list pushed to the part scan") {
+    // NOT IN with a subquery is semantically stricter than NOT EXISTS (one
+    // null in the subquery empties the result), so Catalyst must plan the
+    // NULL-aware anti-join variant — and it must still be a broadcast, not
+    // a per-row re-scan of supplier
+    val df = q("q16_supplier_counts")
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("in-subquery"),
+      s"NOT IN subquery survived to execution:\n${physical.take(1600)}")
+    assert(physical.contains("LeftAnti"),
+      s"no anti join in Q16's plan:\n${physical.take(1600)}")
+    assert(physical.toLowerCase.contains("null"),
+      s"anti join is not the null-aware variant:\n${physical.take(1600)}")
+    // string pin, not scans(): the aggregate puts the join inside AQE query
+    // stages, which the SparkPlan tree collect doesn't descend — the final
+    // plan text still carries every scan's PushedFilters
+    assert(physical.contains("In(p_size"),
+      s"IN-list not pushed into the part scan:\n${physical.take(2400)}")
+  }
+
+  test("Q19's cross-table disjunction keeps the equi-join; no nested-loop fallback") {
+    // the OR references both sides, so no disjunct can be pushed wholesale
+    // — what must hold is that the p_partkey equi-join stays a hash join
+    // (a planner that folds the OR into the join condition would degrade
+    // to BroadcastNestedLoopJoin and re-scan lineitem per part row)
+    val df = q("q19_disjunctive_revenue")
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin") ||
+      physical.contains("SortMergeJoin"),
+      s"Q19 lost its equi-join:\n${physical.take(1600)}")
+    assert(!physical.contains("BroadcastNestedLoopJoin") &&
+      !physical.contains("CartesianProduct"),
+      s"disjunction degraded the join:\n${physical.take(1600)}")
+  }
+
+  test("Q13's ON-clause filter stays outer: join not eliminated, filter pushed right") {
+    // the non-key predicate lives in the ON clause, so it filters the
+    // RIGHT side BEFORE the join and order-less customers survive with
+    // c_count = 0 — EliminateOuterJoin must NOT fire (contrast
+    // j6_left_null_filter, where a null-rejecting WHERE makes it fire),
+    // and the priority filter must still reach the orders scan
+    val df = q("q13_order_distribution")
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("LeftOuter"),
+      s"outer join eliminated despite ON-clause-only filter:\n${physical.take(1600)}")
+    // string pin for the same AQE-wrapper reason as Q16
+    assert(physical.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"ON-clause filter not pushed into the orders scan:\n${physical.take(2400)}")
+  }
+
   test("Q2's correlated MIN-over-join decorrelates; region filter pushed to both nation scans") {
     // the join-subquery lane: the correlated scalar MIN's body is itself a
     // 3-table join — Catalyst must decorrelate the WHOLE join into one
