@@ -411,9 +411,14 @@ object Layout {
   private val FileRows = 2048
   // box predicate: ~2% of partkeys × ~20% of suppkeys
   private val (bx1, bx2, by1, by2) = (100L, 140L, 10L, 30L)
-  // Hilbert grid: 2^20 covers partkeys past the sf1 slope corpus (~200k)
-  // with loud failure beyond it (see HilbertKey's range contract)
-  private val HilbertBits = 20
+  // Hilbert grid: the FULL 31-bit Morton budget. Unlike Morton, Hilbert
+  // keys are NOT prefix-stable in the grid size (leading zero planes still
+  // rotate the frame), so the battery constant must be scale-independent
+  // or the oracle would need per-sf SQL; 31 planes cost nothing per row,
+  // d < 2^62 stays a positive long, and the synthetic sf1 slope corpus's
+  // +100M-offset replica keys (which a 2^20 grid rejected LOUDLY — the
+  // contract working as designed) fit with headroom.
+  private val HilbertBits = 31
 
   private def compactDirFor(dir: String): String =
     graft.Tuning.scratchDirFor("graft-compact", dir)

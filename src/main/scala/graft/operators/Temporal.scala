@@ -252,6 +252,47 @@ object Temporal {
         col("v").isNull.as("is_gap"))
   }
 
+  /** Exponentially-weighted moving average per entity — the smoothing
+    * primitive of a metrics/feature pipeline: ordered by (ts, id), each
+    * entity's series folds y₀ = x₀, yₜ = α·xₜ + (1−α)·yₜ₋₁.
+    *
+    * Spelling: ONE fold per entity — `collect_list` + `array_sort` + the
+    * `aggregate` HOF building the whole smoothed series in a single O(n)
+    * pass (a per-row prefix fold would be O(n²); a window function cannot
+    * express the recursion at all — yₜ needs yₜ₋₁, not a frame aggregate).
+    * Scale contract: per-entity SEQUENTIAL recursion is inherently ordered,
+    * so the unit of parallelism is the entity — key cardinality gives the
+    * cluster its fan-out and one entity's history must fit in task memory,
+    * the same per-group-bounded contract as the packing/session operators.
+    *
+    * Cross-engine exact UNROUNDED: the fold is sequential IEEE doubles in
+    * a deterministic order — both engines evaluate (α·x) + ((1−α)·acc)
+    * left-to-right over the identically-sorted series (ties on ts broken
+    * by id), so every intermediate is bit-identical, the [[VectorFns]]
+    * sequential-double contract.
+    */
+  def ewmaSmooth(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                 valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val a = lit(alpha)
+    val b = lit(1.0 - alpha)
+    val evs = array_sort(collect_list(struct(col(tsCol).as("ts"),
+      col(idCol).as("id"), col(valCol).cast("double").as("v"))))
+    val first = element_at(col("evs"), 1).getField("v")
+    val rest = slice(col("evs"), lit(2), greatest(size(col("evs")) - 1, lit(0)))
+    val ys = aggregate(rest,
+      struct(first.as("acc"), array(first).as("out")),
+      (acc, e) => {
+        val y = a * e.getField("v") + b * acc.getField("acc")
+        struct(y.as("acc"), concat(acc.getField("out"), array(y)).as("out"))
+      },
+      acc => acc.getField("out"))
+    df.groupBy(col(keyCol)).agg(evs.as("evs"))
+      .withColumn("ys", ys)
+      .select(col(keyCol), explode(arrays_zip(col("evs"), col("ys"))).as("z"))
+      .select(col(keyCol), col("z.evs.id").as(idCol), col("z.ys").as("ewma"))
+  }
+
   /** 30 minutes in nanoseconds (events.ts is a nano-epoch long). */
   private val AttribWindowNs = 30L * 60 * 1000 * 1000 * 1000
 
@@ -440,6 +481,13 @@ object Temporal {
     // user, then ONE shuffle for the as-of). Events at an identical µs
     // pre-reduce to max(value): asOfJoin's "latest right row" is otherwise
     // tie-ambiguous between engines at equal time.
+    // per-user EWMA (α=0.3) over the event value series — one O(n) fold
+    // per entity; exact unrounded cross-engine (sequential IEEE fold over
+    // the identically-sorted series — see ewmaSmooth)
+    "ts_ewma_smooth" -> ((s, dir) =>
+      ewmaSmooth(events(s, dir), "user_id", "ts", "event_id", "value",
+        alpha = 0.3)),
+
     "resample_locf" -> ((s, dir) => {
       val stepUs = 6L * 3600 * 1000 * 1000
       val ev = events(s, dir)
@@ -556,6 +604,27 @@ object Temporal {
         |  ON p.user_id = c.user_id
         | AND epoch_us(p.ts) < epoch_us(c.ts) + 300000000
         | AND epoch_us(c.ts) < epoch_us(p.ts) + 1800000000""".stripMargin,
+    // EWMA replayed as a per-row prefix fold (list_reduce folds left with
+    // the first element as init — exactly the y₀ = x₀ convention); the
+    // oracle kernel is O(n²)/entity, the engine path is the one-pass fold —
+    // the documented oracle-kernel/production-path split. CAST(.. AS
+    // DOUBLE) on the α literals: DuckDB parses 0.3 as DECIMAL and would
+    // fold in decimal arithmetic otherwise.
+    "ts_ewma_smooth" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    list_sort(list({'ts': ts, 'id': event_id,
+        |                    'v': CAST(value AS DOUBLE)})) AS evs
+        |  FROM events GROUP BY user_id),
+        |u AS (
+        |  SELECT user_id, evs,
+        |    generate_subscripts(evs, 1) AS t, UNNEST(evs) AS ev
+        |  FROM s)
+        |SELECT user_id, ev.id AS event_id,
+        |  list_reduce(list_transform(evs[1:t], e -> e.v),
+        |    (acc, x) -> CAST(0.3 AS DOUBLE)*x + CAST(0.7 AS DOUBLE)*acc)
+        |    AS ewma
+        |FROM u""".stripMargin,
     "resample_locf" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
         |p AS (SELECT user_id, ts_us, MAX(value) AS value FROM e GROUP BY 1, 2),

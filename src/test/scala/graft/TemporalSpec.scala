@@ -13,6 +13,36 @@ class TemporalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("ewmaSmooth equals a plain Scala fold, bit for bit, with ts ties") {
+    // the one-pass HOF fold vs a direct sequential fold over the same
+    // (ts, id)-sorted series — EXACT double equality is the contract the
+    // unrounded oracle relies on. Ties on ts (ids 4/5 share t=40) pin the
+    // id tiebreak; a lone-event entity pins the y₀ = x₀ base case.
+    val rows = Seq( // (user, id, ts, value)
+      (1L, 1L, 10L, 2.0), (1L, 2L, 30L, 5.5), (1L, 3L, 20L, -1.25),
+      (1L, 4L, 40L, 0.3), (1L, 5L, 40L, 9.0),
+      (2L, 6L, 7L, 4.75) // single event: ewma = value
+    )
+    val alpha = 0.3
+    val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val ys = sorted.tail.scanLeft(sorted.head._4) {
+        (acc, e) => alpha * e._4 + (1 - alpha) * acc
+      }
+      sorted.map(_._2).zip(ys).map { case (id, y) => (u, id) -> y }
+    }
+    val got = Temporal.ewmaSmooth(
+        rows.toDF("user_id", "event_id", "ts", "value")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", "ts", "event_id", "value", alpha)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, w) =>
+      assert(got(k) === w, s"ewma drifted at $k") // exact, no tolerance
+    }
+  }
+
   test("asOfJoin: latest at-or-before match, ties, and no-match null") {
     val left = Seq( // (event_id, user, ts)
       (1L, 10L, 100L), // after right@50 and right@100 → tie: right@100 wins
