@@ -293,6 +293,55 @@ object Temporal {
       .select(col(keyCol), col("z.evs.id").as(idCol), col("z.ys").as("ewma"))
   }
 
+  /** Exact median of a SORTED numeric array column: middle element (odd
+    * count) or the IEEE mean of the two middles (even) — spelled
+    * explicitly so the engine and the DuckDB oracle share one definition
+    * instead of trusting two engines' `median()` interpolation rules to
+    * agree.
+    */
+  private def medianOfSorted(arr: Column): Column = {
+    val n = size(arr)
+    // Column `/` is double division; the quotients here are exact small
+    // integers, so the int cast is lossless index arithmetic
+    val mid = ((n + 1) / 2).cast("int")
+    val lo = (n / 2).cast("int")
+    when(n % 2 === 1, element_at(arr, mid))
+      .otherwise((element_at(arr, lo) + element_at(arr, lo + 1)) / 2.0)
+  }
+
+  /** Robust rolling anomaly flags — median absolute deviation over a
+    * trailing row window (Hampel-style): per entity ordered by (ts, id),
+    * each row's flag is |x − med| > cut·MAD where med and MAD are the
+    * EXACT median / median-absolute-deviation of the last `lookback`+1
+    * values. Median-based (not mean/stddev) because one spike inflates a
+    * stddev enough to mask the next one — the robustness property every
+    * production metrics monitor wants.
+    *
+    * Scale shape: the frame is a ROWS window of bounded width, so the
+    * collected window array is O(lookback) per row — one shuffle on the
+    * entity key, no per-entity unbounded state (contrast [[ewmaSmooth]],
+    * whose recursion is inherently whole-series). Exactness: medians are
+    * order statistics of stored doubles (even case = one IEEE mean), MAD
+    * likewise over |x − med| — every output is deterministic arithmetic
+    * on stored values, oracle-compared unrounded.
+    */
+  def rollingMadAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+                        idCol: String, valCol: String, lookback: Int = 4,
+                        cut: Double = 3.0): DataFrame = {
+    require(lookback >= 1, s"lookback must be ≥ 1, got $lookback")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-lookback, Window.currentRow)
+    val v = col(valCol).cast("double")
+    df.withColumn("win", sort_array(collect_list(v).over(w)))
+      .withColumn("med", medianOfSorted(col("win")))
+      .withColumn("mad", medianOfSorted(
+        sort_array(transform(col("win"), x => abs(x - col("med"))))))
+      .select(col(keyCol), col(idCol), v.as("value"),
+        col("med"), col("mad"),
+        (abs(v - col("med")) > lit(cut) * col("mad")).as("is_anomaly"))
+  }
+
   /** 30 minutes in nanoseconds (events.ts is a nano-epoch long). */
   private val AttribWindowNs = 30L * 60 * 1000 * 1000 * 1000
 
@@ -481,6 +530,12 @@ object Temporal {
     // user, then ONE shuffle for the as-of). Events at an identical µs
     // pre-reduce to max(value): asOfJoin's "latest right row" is otherwise
     // tie-ambiguous between engines at equal time.
+    // rolling-MAD (Hampel) anomaly flags over each user's value series —
+    // exact order-statistic medians, bounded 5-row frames, unrounded
+    "ts_rolling_mad_anomaly" -> ((s, dir) =>
+      rollingMadAnomaly(events(s, dir), "user_id", "ts", "event_id",
+        "value", lookback = 4, cut = 3.0)),
+
     // per-user EWMA (α=0.3) over the event value series — one O(n) fold
     // per entity; exact unrounded cross-engine (sequential IEEE fold over
     // the identically-sorted series — see ewmaSmooth)
@@ -604,6 +659,34 @@ object Temporal {
         |  ON p.user_id = c.user_id
         | AND epoch_us(p.ts) < epoch_us(c.ts) + 300000000
         | AND epoch_us(c.ts) < epoch_us(p.ts) + 1800000000""".stripMargin,
+    // rolling MAD replayed with the SAME explicit sorted-middle median
+    // definition (never DuckDB's own median() — two engines' even-count
+    // interpolation rules are not a contract); list() as a framed window
+    // aggregate mirrors collect_list over the rows frame
+    "ts_rolling_mad_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    CAST(value AS DOUBLE) AS v FROM events),
+        |w AS (SELECT user_id, event_id, v,
+        |    list_sort(list(v) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM e),
+        |m AS (SELECT *,
+        |    CASE WHEN len(win) % 2 = 1 THEN win[(len(win)+1)//2]
+        |         ELSE (win[len(win)//2] + win[len(win)//2 + 1])
+        |              / CAST(2 AS DOUBLE) END AS med
+        |  FROM w),
+        |d AS (SELECT *,
+        |    list_sort(list_transform(win, x -> abs(x - med))) AS devs
+        |  FROM m),
+        |md AS (SELECT *,
+        |    CASE WHEN len(devs) % 2 = 1 THEN devs[(len(devs)+1)//2]
+        |         ELSE (devs[len(devs)//2] + devs[len(devs)//2 + 1])
+        |              / CAST(2 AS DOUBLE) END AS mad
+        |  FROM d)
+        |SELECT user_id, event_id, v AS value, med, mad,
+        |  abs(v - med) > CAST(3 AS DOUBLE) * mad AS is_anomaly
+        |FROM md""".stripMargin,
     // EWMA replayed as a per-row prefix fold (list_reduce folds left with
     // the first element as init — exactly the y₀ = x₀ convention); the
     // oracle kernel is O(n²)/entity, the engine path is the one-pass fold —

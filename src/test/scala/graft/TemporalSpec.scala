@@ -43,6 +43,29 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("rollingMadAnomaly: planted spike flagged, robustness to the spike itself") {
+    // user 1: steady series with one spike at id 4 — the spike must flag,
+    // and the rows WINDOWING OVER the spike must not (median robustness:
+    // a mean/stddev monitor would inflate and mask); the head rows with
+    // short windows must behave (row 1: window = [x], med = x, mad = 0,
+    // dev = 0 → 0 > 0 is false). user 2: constant series — mad = 0
+    // everywhere, never flags.
+    val rows = Seq(
+      (1L, 1L, 10L, 5.0), (1L, 2L, 20L, 5.2), (1L, 3L, 30L, 4.9),
+      (1L, 4L, 40L, 50.0), // spike
+      (1L, 5L, 50L, 5.1), (1L, 6L, 60L, 5.0), (1L, 7L, 70L, 4.8),
+      (2L, 8L, 10L, 7.0), (2L, 9L, 20L, 7.0), (2L, 10L, 30L, 7.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val got = Temporal.rollingMadAnomaly(rows, "user_id", "ts", "event_id",
+        "value", lookback = 4, cut = 3.0)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(5)).toMap
+    assert(got(4L), "the planted spike did not flag")
+    (Seq(1L, 2L, 3L, 5L, 6L, 7L) ++ Seq(8L, 9L, 10L)).foreach { id =>
+      assert(!got(id), s"false positive at id=$id")
+    }
+  }
+
   test("asOfJoin: latest at-or-before match, ties, and no-match null") {
     val left = Seq( // (event_id, user, ts)
       (1L, 10L, 100L), // after right@50 and right@100 → tie: right@100 wins
