@@ -342,6 +342,32 @@ object Temporal {
         (abs(v - col("med")) > lit(cut) * col("mad")).as("is_anomaly"))
   }
 
+  /** Gap-based batch sessionization — the batch twin of the streaming
+    * `stream_sessionize` state machine: per entity ordered by (ts, id), a
+    * new session starts wherever the gap to the previous event exceeds
+    * `gapUs`; `session_seq` is the 0-based running count of those breaks
+    * (one ordered-window prefix sum) and `event_seq` numbers events within
+    * the session. Two windows over ONE entity-keyed sort — no self-join,
+    * no per-entity collected state (contrast [[ewmaSmooth]]); all outputs
+    * are exact integer arithmetic on the µs timeline, so the oracle is a
+    * verbatim SQL window replay.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsUsCol: String,
+                 idCol: String, gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gap must be positive, got $gapUs")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(idCol))
+    val break = when(
+      col(tsUsCol) - lag(col(tsUsCol), 1).over(w) > gapUs, 1L).otherwise(0L)
+    val withSess = df
+      .withColumn("session_seq",
+        sum(break).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val wSess = Window.partitionBy(col(keyCol), col("session_seq"))
+      .orderBy(col(tsUsCol), col(idCol))
+    withSess.select(col(keyCol), col(idCol), col("session_seq"),
+      row_number().over(wSess).cast("long").as("event_seq"))
+  }
+
   /** 30 minutes in nanoseconds (events.ts is a nano-epoch long). */
   private val AttribWindowNs = 30L * 60 * 1000 * 1000 * 1000
 
@@ -530,6 +556,15 @@ object Temporal {
     // user, then ONE shuffle for the as-of). Events at an identical µs
     // pre-reduce to max(value): asOfJoin's "latest right row" is otherwise
     // tie-ambiguous between engines at equal time.
+    // gap-based batch sessionization (12 h µs gap — the corpus's median
+    // inter-event gap is ~7 h, so sessions split non-trivially); exact
+    // integer outputs, verbatim window-SQL oracle
+    "ts_sessionize" -> ((s, dir) =>
+      sessionize(events(s, dir)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id")),
+        "user_id", "ts_us", "event_id", gapUs = 43200000000L)),
+
     // rolling-MAD (Hampel) anomaly flags over each user's value series —
     // exact order-statistic medians, bounded 5-row frames, unrounded
     "ts_rolling_mad_anomaly" -> ((s, dir) =>
@@ -659,6 +694,25 @@ object Temporal {
         |  ON p.user_id = c.user_id
         | AND epoch_us(p.ts) < epoch_us(c.ts) + 300000000
         | AND epoch_us(c.ts) < epoch_us(p.ts) + 1800000000""".stripMargin,
+    // sessionization replayed verbatim: the same break/prefix-sum windows
+    "ts_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |b AS (SELECT user_id, event_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      > 43200000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (SELECT user_id, event_id, ts_us,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM b)
+        |SELECT user_id, event_id, session_seq,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+        |    ORDER BY ts_us, event_id) AS BIGINT) AS event_seq
+        |FROM s""".stripMargin,
     // rolling MAD replayed with the SAME explicit sorted-middle median
     // definition (never DuckDB's own median() — two engines' even-count
     // interpolation rules are not a contract); list() as a framed window

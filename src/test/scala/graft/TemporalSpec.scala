@@ -13,6 +13,30 @@ class TemporalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("sessionize: gap breaks, 0-based session seq, per-session numbering, ties") {
+    // user 1: gaps of 5, 100 (break), 5, 100 (break) at gap=50 → three
+    // sessions of sizes 2/2/1; a ts tie inside session 0 pins the id
+    // tiebreak. user 2: one event → one singleton session.
+    val rows = Seq(
+      (1L, 10L, 1L), (1L, 15L, 2L), (1L, 115L, 3L), (1L, 120L, 4L),
+      (1L, 220L, 5L),
+      (2L, 40L, 6L)
+    ).toDF("user_id", "ts_us", "event_id")
+    val got = Temporal.sessionize(rows, "user_id", "ts_us", "event_id", gapUs = 50L)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      1L -> (0L, 1L), 2L -> (0L, 2L),
+      3L -> (1L, 1L), 4L -> (1L, 2L),
+      5L -> (2L, 1L),
+      6L -> (0L, 1L)))
+    // exact-gap boundary: a gap of EXACTLY gapUs does not break (strict >)
+    val edge = Seq((3L, 0L, 7L), (3L, 50L, 8L)).toDF("user_id", "ts_us", "event_id")
+    val e = Temporal.sessionize(edge, "user_id", "ts_us", "event_id", gapUs = 50L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(e === Map(7L -> 0L, 8L -> 0L))
+  }
+
   test("ewmaSmooth equals a plain Scala fold, bit for bit, with ts ties") {
     // the one-pass HOF fold vs a direct sequential fold over the same
     // (ts, id)-sorted series — EXACT double equality is the contract the
