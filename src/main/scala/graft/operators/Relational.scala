@@ -512,6 +512,14 @@ object Relational {
     // filters — then one customer-keyed aggregate; nation broadcasts. The
     // decimal-fold keeps the revenue exact, so the top-20 order (revenue
     // desc, custkey) is engine-deterministic.
+    // column-level lineage of the Q10 shape, extracted from the ANALYZED
+    // plan (graft.serve.Lineage — the dbt-docs parity feature at COLUMN
+    // grain): which source (table, column) pairs each output column
+    // derives from. Deterministic plan metadata ⇒ a constant-table oracle
+    "meta_column_lineage" -> ((s, dir) =>
+      graft.serve.Lineage.lineageFrame(s,
+        queries("q10_returned_items")(s, dir))),
+
     "q10_returned_items" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate").cast("date") >= lit("1996-01-01") &&
@@ -1365,6 +1373,18 @@ object Relational {
         |FROM orders
         |JOIN big ON o_orderkey = big.l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // the Q10 shape's column lineage is a PLAN property, deterministic by
+    // construction — the oracle is the expected constant table (an
+    // engine-side walk bug shows up as a wrong/missing row, not a flake)
+    "meta_column_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('c_custkey', 'customer', 'c_custkey'),
+        |  ('c_name',    'customer', 'c_name'),
+        |  ('c_acctbal', 'customer', 'c_acctbal'),
+        |  ('n_name',    'nation',   'n_name'),
+        |  ('revenue',   'lineitem', 'l_extendedprice'),
+        |  ('revenue',   'lineitem', 'l_discount'))
+        |t(out_col, src_table, src_col)""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
         |  SELECT c_custkey, c_name, c_acctbal, n_name,

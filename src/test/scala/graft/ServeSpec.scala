@@ -15,6 +15,46 @@ class ServeSpec extends AnyFunSuite {
     new Engine(spark, cache)
   }
 
+  test("Lineage: ExprId-grain column lineage — self-join sides, mixed expr, filter scope, generator") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    // self-join: each output column keeps ITS side's source column only —
+    // resolution is by ExprId, so the colliding NAMES cannot cross-wire
+    val selfJ = li.alias("a").join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey"))
+      .select(col("a.l_partkey").as("x"), col("b.l_suppkey").as("y"))
+    val lin1 = graft.serve.Lineage.columnLineage(selfJ)
+    assert(lin1("x") === Set("lineitem" -> "l_partkey"))
+    assert(lin1("y") === Set("lineitem" -> "l_suppkey"))
+    // cross-table expression unions both sources; the join key and the
+    // WHERE column are row-scope, not column lineage
+    val mixed = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select((col("o_totalprice") + col("c_acctbal")).as("wealth"))
+    val lin2 = graft.serve.Lineage.columnLineage(mixed)
+    assert(lin2("wealth") ===
+      Set("orders" -> "o_totalprice", "customer" -> "c_acctbal"))
+    assert(lin2.keySet === Set("wealth"))
+    // aggregate + alias chain: the decimal-folded sum tracks both inputs
+    val agg = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("rev"))
+    val lin3 = graft.serve.Lineage.columnLineage(agg)
+    assert(lin3("rev") ===
+      Set("lineitem" -> "l_extendedprice", "lineitem" -> "l_discount"))
+    assert(lin3("l_returnflag") === Set("lineitem" -> "l_returnflag"))
+    // generator outputs derive from the exploded input
+    val gen = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), posexplode(col("embedding")))
+    val lin4 = graft.serve.Lineage.columnLineage(gen)
+    assert(lin4("col") === Set("embeddings" -> "embedding"))
+    assert(lin4("pos") === Set("embeddings" -> "embedding"))
+    assert(lin4("vec_id") === Set("embeddings" -> "vec_id"))
+  }
+
   test("select: filters + deterministic pagination") {
     val e = freshEngine()
     val rows = e.select("serve_t", Seq(Eq("cat", "a")), orderBy = Seq("id")).collect()
