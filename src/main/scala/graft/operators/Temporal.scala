@@ -368,6 +368,36 @@ object Temporal {
       row_number().over(wSess).cast("long").as("event_seq"))
   }
 
+  /** Interval coalescing (the classic gaps-and-islands): per key, merge
+    * overlapping-or-touching `[start, end]` intervals into maximal
+    * disjoint spans. An island starts where `start` exceeds the running
+    * maximum of all PRIOR ends (running max, not `lag(end)` — an interval
+    * fully contained in an earlier long one must not split the island);
+    * islands number by prefix sum and reduce to (span, merged count).
+    *
+    * Two windows + one aggregate over a single key-partitioned sort —
+    * no self-join (the naive overlap-join spelling is O(n²) per key and
+    * loses transitive merges). Exact integer arithmetic end to end, so
+    * the oracle is a verbatim window-SQL replay.
+    */
+  def coalesceIntervals(df: DataFrame, keyCol: String, startCol: String,
+                        endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val break = when(prevMax.isNull || col(startCol) > prevMax, 1L)
+      .otherwise(0L)
+    df.withColumn("island",
+        sum(break).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_merged"))
+      .select(col(keyCol), (col("island") - 1).as("span_seq"),
+        col("span_start"), col("span_end"), col("n_merged"))
+  }
+
   /** 30 minutes in nanoseconds (events.ts is a nano-epoch long). */
   private val AttribWindowNs = 30L * 60 * 1000 * 1000 * 1000
 
@@ -556,6 +586,15 @@ object Temporal {
     // user, then ONE shuffle for the as-of). Events at an identical µs
     // pre-reduce to max(value): asOfJoin's "latest right row" is otherwise
     // tie-ambiguous between engines at equal time.
+    // interval coalescing over ±3 h event windows (gaps-and-islands —
+    // merged availability spans per user); exact integers, verbatim oracle
+    "ts_interval_coalesce" -> ((s, dir) =>
+      coalesceIntervals(events(s, dir)
+          .select(col("user_id"),
+            (expr("ts div 1000") - 10800000000L).as("iv_start"),
+            (expr("ts div 1000") + 10800000000L).as("iv_end")),
+        "user_id", "iv_start", "iv_end")),
+
     // gap-based batch sessionization (12 h µs gap — the corpus's median
     // inter-event gap is ~7 h, so sessions split non-trivially); exact
     // integer outputs, verbatim window-SQL oracle
@@ -694,6 +733,30 @@ object Temporal {
         |  ON p.user_id = c.user_id
         | AND epoch_us(p.ts) < epoch_us(c.ts) + 300000000
         | AND epoch_us(c.ts) < epoch_us(p.ts) + 1800000000""".stripMargin,
+    // interval coalescing replayed verbatim: running-max island breaks
+    "ts_interval_coalesce" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) - 10800000000 AS iv_start,
+        |    epoch_us(ts) + 10800000000 AS iv_end
+        |  FROM events),
+        |b AS (SELECT user_id, iv_start, iv_end,
+        |    CASE WHEN MAX(iv_end) OVER (PARTITION BY user_id
+        |        ORDER BY iv_start, iv_end
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        IS NULL THEN 1
+        |      WHEN iv_start > MAX(iv_end) OVER (PARTITION BY user_id
+        |        ORDER BY iv_start, iv_end
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (SELECT user_id, iv_start, iv_end,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY iv_start, iv_end
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM b)
+        |SELECT user_id, CAST(island - 1 AS BIGINT) AS span_seq,
+        |  MIN(iv_start) AS span_start, MAX(iv_end) AS span_end,
+        |  COUNT(*) AS n_merged
+        |FROM s GROUP BY user_id, island""".stripMargin,
     // sessionization replayed verbatim: the same break/prefix-sum windows
     "ts_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id

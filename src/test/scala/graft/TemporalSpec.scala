@@ -13,6 +13,24 @@ class TemporalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("coalesceIntervals: containment, touching, disjoint — running max, not lag") {
+    // key 1: [0,100] contains [10,20] (must NOT split — the lag(end) bug),
+    // [100,150] touches end-to-start (merges), [200,250] is disjoint.
+    // key 2: single interval.
+    val rows = Seq(
+      (1L, 0L, 100L), (1L, 10L, 20L), (1L, 100L, 150L), (1L, 200L, 250L),
+      (2L, 5L, 6L)
+    ).toDF("k", "s", "e")
+    val got = Temporal.coalesceIntervals(rows, "k", "s", "e")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === Map(
+      (1L, 0L) -> (0L, 150L, 3L),
+      (1L, 1L) -> (200L, 250L, 1L),
+      (2L, 0L) -> (5L, 6L, 1L)))
+  }
+
   test("sessionize: gap breaks, 0-based session seq, per-session numbering, ties") {
     // user 1: gaps of 5, 100 (break), 5, 100 (break) at gap=50 → three
     // sessions of sizes 2/2/1; a ts tie inside session 0 pins the id
