@@ -67,6 +67,45 @@ object Privacy {
       .agg(count(lit(1)).as("n_buckets"), min(col("bn")).as("min_group_n"))
   }
 
+  /** t-closeness (Li, Li & Venkatasubramanian, ICDE 2007) for a
+    * CATEGORICAL sensitive attribute, where the paper's EMD reduces to
+    * total-variation distance: a quasi-identifier cohort violates when
+    * TV(cohort's sensitive distribution, global distribution) > t.
+    *
+    * Exactness trick — the whole computation stays in INTEGERS: with
+    * cohort counts c_gc (category c in group g), cohort size n_g, global
+    * counts C_c and total N,
+    *   TV = (1/2)·Σ_c |c_gc/n_g − C_c/N| = Σ_c |c_gc·N − C_c·n_g| / (2·n_g·N)
+    * so `tv2 = Σ_c |c_gc·N − C_c·n_g|` is an exact long (counts ≤ 10⁶ at
+    * any battery scale ⇒ products < 2⁶³), integer sums are associative —
+    * no float distribution arithmetic, no summation-order hazard — and the
+    * t = tNum/tDen test becomes `tv2·tDen > 2·tNum·n_g·N`, exact for any
+    * rational t. Categories ABSENT from a cohort still contribute
+    * C_c·n_g, so the comparison runs over the (cohorts × categories) grid
+    * (a cross join of two tiny aggregates, broadcast), not just observed
+    * pairs — dropping them understates TV exactly when the cohort is most
+    * skewed, i.e. when it matters.
+    */
+  def tClosenessByGroup(df: DataFrame, quasi: Column, sensitive: Column,
+                        tNum: Long, tDen: Long): DataFrame = {
+    require(tNum >= 0 && tDen > 0, s"t must be a rational ≥ 0, got $tNum/$tDen")
+    val gCounts = df.groupBy(quasi.as("q"), sensitive.as("sv"))
+      .agg(count(lit(1)).as("cgc"))
+    val gTot = df.groupBy(quasi.as("q")).agg(count(lit(1)).as("n_g"))
+    val cTot = df.groupBy(sensitive.as("sv")).agg(count(lit(1)).as("c_c"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    gTot.crossJoin(broadcast(cTot)).crossJoin(broadcast(total))
+      .join(gCounts, Seq("q", "sv"), "left")
+      .withColumn("term",
+        abs(coalesce(col("cgc"), lit(0L)) * col("n_total") -
+          col("c_c") * col("n_g")))
+      .groupBy(col("q"), col("n_g"), col("n_total"))
+      .agg(sum(col("term")).as("tv2"))
+      .select(col("q"), col("n_g").as("n"), col("tv2"),
+        (col("tv2") * tDen > lit(2L) * tNum * col("n_g") * col("n_total"))
+          .as("violation"))
+  }
+
   private def cust(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "customer")
 
@@ -85,7 +124,13 @@ object Privacy {
     // the anonymization knob: per-width bucket stats for c_acctbal
     // (oracle-gated; monotonicity spec-pinned)
     "privacy_generalize_ladder" -> ((s, dir) =>
-      generalizationLadder(cust(s, dir), col("c_acctbal")))
+      generalizationLadder(cust(s, dir), col("c_acctbal"))),
+    // t-closeness at t = 1/20 on nation cohorts vs the global segment
+    // distribution — integer-exact TV, one row per cohort (oracle-gated)
+    "privacy_t_closeness" -> ((s, dir) =>
+      tClosenessByGroup(cust(s, dir), col("c_nationkey"),
+          col("c_mktsegment"), tNum = 1, tDen = 20)
+        .withColumnRenamed("q", "c_nationkey"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -97,6 +142,23 @@ object Privacy {
         |  COUNT(*) AS n, COUNT(DISTINCT c_mktsegment) AS n_distinct_sensitive
         |FROM customer GROUP BY 1, 2
         |HAVING COUNT(DISTINCT c_mktsegment) < 3""".stripMargin,
+    // the same integer TV grid: cohorts × ALL categories (absent ones
+    // contribute C_c·n_g), t = 1/20 as exact integer comparison
+    "privacy_t_closeness" ->
+      """WITH g AS (SELECT c_nationkey AS q, c_mktsegment AS sv, COUNT(*) AS cgc
+        |  FROM customer GROUP BY 1, 2),
+        |gt AS (SELECT c_nationkey AS q, COUNT(*) AS n_g FROM customer GROUP BY 1),
+        |ct AS (SELECT c_mktsegment AS sv, COUNT(*) AS c_c FROM customer GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS n_total FROM customer),
+        |grid AS (
+        |  SELECT gt.q, gt.n_g, ct.sv, ct.c_c, tt.n_total,
+        |    ABS(COALESCE(g.cgc, 0) * tt.n_total - ct.c_c * gt.n_g) AS term
+        |  FROM gt CROSS JOIN ct CROSS JOIN tt
+        |  LEFT JOIN g ON g.q = gt.q AND g.sv = ct.sv)
+        |SELECT q AS c_nationkey, n_g AS n,
+        |  CAST(SUM(term) AS BIGINT) AS tv2,
+        |  CAST(SUM(term) AS BIGINT) * 20 > 2 * 1 * n_g * n_total AS violation
+        |FROM grid GROUP BY q, n_g, n_total""".stripMargin,
     "privacy_generalize_ladder" ->
       """WITH h AS (
         |  SELECT CAST(FLOOR(c_acctbal) AS BIGINT) AS b1, COUNT(*) AS n

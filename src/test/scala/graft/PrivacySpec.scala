@@ -17,6 +17,34 @@ class PrivacySpec extends AnyFunSuite {
     ("131", 40, "flu"), ("131", 40, "flu")    // cohort of 2, 1 secret value
   ).toDF("zip", "age", "disease")
 
+  test("t-closeness: hand-computed integer TV, absent-category term, threshold boundary") {
+    // global: flu 4/6, cold 2/6. zip 130 (4 rows: 3 flu, 1 cold):
+    //   tv2 = |3·6 − 4·4| + |1·6 − 2·4| = 2 + 2 = 4; TV = 4/(2·4·6) = 1/12
+    // zip 131 (2 rows: 1 flu, 1 cold):
+    //   tv2 = |1·6 − 4·2| + |1·6 − 2·2| = 2 + 2 = 4; TV = 4/(2·2·6) = 1/6
+    // zip 132 (2 rows: 2 cold, flu ABSENT — its C_c·n_g term must count):
+    //   tv2 = |0·6 − 4·2| + |2·6 − 2·2| = 8 + 8 = 16; TV = 16/24 = 2/3
+    val d = Seq(
+      ("130", "flu"), ("130", "flu"), ("130", "flu"), ("130", "cold"),
+      ("131", "flu"), ("131", "cold")
+    ).toDF("zip", "disease")
+    val d3 = d.union(Seq(("132", "cold"), ("132", "cold")).toDF("zip", "disease"))
+    // recompute the hand numbers on the 8-row corpus: global flu 4, cold 4, N 8
+    // zip 130: |3·8−4·4| + |1·8−4·4| = 8 + 8 = 16; TV = 16/(2·4·8) = 1/4
+    // zip 131: |1·8−4·2| + |1·8−4·2| = 0 + 0 = 0;  TV = 0
+    // zip 132: |0·8−4·2| + |2·8−4·2| = 8 + 8 = 16; TV = 16/(2·2·8) = 1/2
+    def run(tNum: Long, tDen: Long) =
+      Privacy.tClosenessByGroup(d3, col("zip"), col("disease"), tNum, tDen)
+        .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    val at04 = run(2, 5) // t = 0.4: only zip 132 (TV = 0.5) violates
+    assert(at04 === Map("130" -> (16L, false), "131" -> (0L, false),
+      "132" -> (16L, true)))
+    // boundary exactness: t = 1/4 — zip 130's TV EQUALS t, strict > means clean
+    val at025 = run(1, 4)
+    assert(at025("130") === ((16L, false)))
+    assert(at025("132") === ((16L, true)))
+  }
+
   test("k-anonymity flags exactly the small cohorts") {
     val v = Privacy.kAnonymityViolations(people, Seq(col("zip"), col("age")), k = 2)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
