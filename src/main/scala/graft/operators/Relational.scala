@@ -846,6 +846,141 @@ object Relational {
                AND l_quantity BETWEEN 20 AND 30)""")
     }),
 
+    // TPC-H Q4 shape (r14): the SINGLE correlated EXISTS lane — the one
+    // canonical existential the family still lacked (Q21 is the double
+    // form, Q22 the negated one). The correlation carries a NON-EQUI term
+    // (`l_shipdate > o_orderdate + 45 days` references both sides), so
+    // Catalyst must plan a LeftSemi with a mixed equi+range condition —
+    // plan-pinned. Counts are exact integers; the 45-day bound is the q21
+    // interval spelling (no l_commitdate/l_receiptdate in this schema, so
+    // "late" = shipped >45 days after order, same semantics as q12's
+    // lateness predicate).
+    "q4_priority_late_orders" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("q4_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("q4_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM q4_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM q4_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+        GROUP BY o_orderpriority""")
+    }),
+
+    // TPC-H Q6 shape (r14): the pure scan-side lane — a single-table
+    // filter+aggregate whose entire WHERE must reach the parquet reader as
+    // PushedFilters (plan-pinned: shipdate window, discount band, quantity
+    // cap all pushed; ReadSchema carries only the four touched columns).
+    // At 100 TB this query IS its scan: row-group statistics skip
+    // everything outside the date window, so the pushdown is the operator.
+    // Double literals are CAST-pinned on both engines so the band compares
+    // double-to-double bit-identically.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07) &&
+          col("l_quantity") < lit(24.0))
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice") * col("l_discount"))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q8 shape (r14): national market share — the 8-table join
+    // (two roles of nation: the customer's region gate and the supplier's
+    // identity) reduced in ONE pass by a conditional aggregate: share =
+    // Σ(vol | supp_nation=3) / Σ(vol) per order year. The naive spelling
+    // joins the fact twice (numerator and denominator); the CASE fold
+    // halves the scan and keeps one shuffle. Q14's exactness rule: both
+    // sums decimal-folded, each cast to double, ratio is one IEEE divide.
+    "q8_market_share" -> ((s, dir) => {
+      Seq("lineitem", "supplier", "orders", "customer", "nation", "region",
+        "part").foreach(n => t(s, dir, n).createOrReplaceTempView(s"q8_$n"))
+      s.sql("""
+        SELECT yr,
+          CAST(CAST(SUM(CASE WHEN supp_nation = 3 THEN vol
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share,
+          COUNT(*) AS n
+        FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+                CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS vol,
+                s_nationkey AS supp_nation
+              FROM q8_part JOIN q8_lineitem ON p_partkey = l_partkey
+              JOIN q8_supplier ON s_suppkey = l_suppkey
+              JOIN q8_orders ON l_orderkey = o_orderkey
+              JOIN q8_customer ON o_custkey = c_custkey
+              JOIN q8_nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN q8_region ON n1.n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+                AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+        GROUP BY yr""")
+    }),
+
+    // TPC-H Q9 shape (r14): product-type profit — a LIKE-filtered measure
+    // built from BOTH join sides (revenue from lineitem minus a cost term
+    // from part), grouped by supplier nation × order year. This schema has
+    // no partsupp, so supply cost is proxied as 60% of retail price — the
+    // decimal SUBTRACTION discipline is the point: each side of the minus
+    // is decimal-folded separately (DECIMAL(18,4) − DECIMAL(18,4) →
+    // exact), so the profit sum never accumulates float error. The
+    // '%gear%' infix LIKE cannot prune row groups (no prefix) but DOES
+    // push as a string-contains filter to the part scan.
+    "q9_product_profit" -> ((s, dir) => {
+      Seq("lineitem", "part", "supplier", "orders")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"q9_$n"))
+      s.sql("""
+        SELECT nation_key, yr,
+          CAST(SUM(profit) AS DOUBLE) AS sum_profit, COUNT(*) AS n
+        FROM (SELECT s_nationkey AS nation_key,
+                EXTRACT(YEAR FROM o_orderdate) AS yr,
+                CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                  - CAST(p_retailprice * l_quantity * CAST(0.6 AS DOUBLE)
+                         AS DECIMAL(18,4)) AS profit
+              FROM q9_lineitem JOIN q9_part ON p_partkey = l_partkey
+              JOIN q9_supplier ON s_suppkey = l_suppkey
+              JOIN q9_orders ON o_orderkey = l_orderkey
+              WHERE p_name LIKE '%gear%')
+        GROUP BY nation_key, yr""")
+    }),
+
+    // TPC-H Q11 shape (r14): GROUP BY ... HAVING against an UNCORRELATED
+    // scalar-subquery bar — the aggregate-vs-global-aggregate pattern the
+    // family still lacked (Q15 reuses a CTE by equality; here the bar is
+    // an inequality and the subquery re-states the whole FROM/WHERE, the
+    // canonical Q11 spelling). No partsupp in this schema, so "stock
+    // value" is retailprice × shipped quantity per part from ASIA-nation
+    // suppliers. The bar is 2.5× the mean part value — mean-relative, so
+    // the predicate stays selective-but-nonempty at ANY scale factor
+    // (TPC-H's own 0.0001/SF fraction bakes the scale into the constant;
+    // a mean-relative bar is the scale-free spelling). Both the group
+    // value and the bar are exact-decimal sums cast to double, divided/
+    // scaled in pinned order — bit-identical across engines.
+    "q11_important_stock" -> ((s, dir) => {
+      Seq("lineitem", "part", "supplier", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"q11_$n"))
+      s.sql("""
+        SELECT l_partkey,
+          CAST(SUM(CAST(p_retailprice * l_quantity AS DECIMAL(18,4)))
+            AS DOUBLE) AS stock_value
+        FROM q11_lineitem JOIN q11_part ON p_partkey = l_partkey
+        JOIN q11_supplier ON s_suppkey = l_suppkey
+        WHERE s_nationkey IN (SELECT n_nationkey FROM q11_nation
+                              WHERE n_regionkey = 2)
+        GROUP BY l_partkey
+        HAVING CAST(SUM(CAST(p_retailprice * l_quantity AS DECIMAL(18,4)))
+                 AS DOUBLE) >
+          (SELECT CAST(SUM(CAST(p_retailprice * l_quantity AS DECIMAL(18,4)))
+                    AS DOUBLE) * CAST(2.5 AS DOUBLE)
+                  / CAST(COUNT(DISTINCT l_partkey) AS DOUBLE)
+           FROM q11_lineitem JOIN q11_part ON p_partkey = l_partkey
+           JOIN q11_supplier ON s_suppkey = l_suppkey
+           WHERE s_nationkey IN (SELECT n_nationkey FROM q11_nation
+                                 WHERE n_regionkey = 2))""")
+    }),
+
     // ranking family: rank/dense_rank/ntile (beyond the reference's W1).
     "w4_rank_suite" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -1524,6 +1659,75 @@ object Relational {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q4_priority_late_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE)
+        |  AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < CAST(24 AS DOUBLE)""".stripMargin,
+    "q8_market_share" ->
+      """SELECT yr,
+        |  CAST(CAST(SUM(CASE WHEN supp_nation = 3 THEN vol
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share,
+        |  COUNT(*) AS n
+        |FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+        |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS vol,
+        |        s_nationkey AS supp_nation
+        |      FROM part JOIN lineitem ON p_partkey = l_partkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |      JOIN region ON n1.n_regionkey = r_regionkey
+        |      WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+        |        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY yr""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT nation_key, yr,
+        |  CAST(SUM(profit) AS DOUBLE) AS sum_profit, COUNT(*) AS n
+        |FROM (SELECT s_nationkey AS nation_key,
+        |        EXTRACT(YEAR FROM o_orderdate) AS yr,
+        |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |          - CAST(p_retailprice * l_quantity * CAST(0.6 AS DOUBLE)
+        |                 AS DECIMAL(18,4)) AS profit
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      WHERE p_name LIKE '%gear%')
+        |GROUP BY nation_key, yr""".stripMargin,
+    "q11_important_stock" ->
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(p_retailprice * l_quantity AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS stock_value
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+        |                      WHERE n_regionkey = 2)
+        |GROUP BY l_partkey
+        |HAVING CAST(SUM(CAST(p_retailprice * l_quantity AS DECIMAL(18,4)))
+        |         AS DOUBLE) >
+        |  (SELECT CAST(SUM(CAST(p_retailprice * l_quantity AS DECIMAL(18,4)))
+        |            AS DOUBLE) * CAST(2.5 AS DOUBLE)
+        |          / CAST(COUNT(DISTINCT l_partkey) AS DOUBLE)
+        |   FROM lineitem JOIN part ON p_partkey = l_partkey
+        |   JOIN supplier ON s_suppkey = l_suppkey
+        |   WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+        |                         WHERE n_regionkey = 2))""".stripMargin,
     "q15_top_supplier" ->
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,

@@ -587,4 +587,92 @@ class PlanSpec extends AnyFunSuite {
     assert(physical.contains("sum(") && physical.contains("total_revenue"),
       s"revenue aggregate missing:\n${physical.take(2400)}")
   }
+
+  test("Q4's single EXISTS with a non-equi correlation plans as one semi join") {
+    // the canonical existential lane: `EXISTS (.. l_orderkey = o_orderkey
+    // AND l_shipdate > o_orderdate + 45d)` must become ONE LeftSemi whose
+    // condition carries the range term — a surviving exists-subquery would
+    // probe lineitem once per order row
+    val df = q("q4_priority_late_orders")
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("LeftSemi"),
+      s"no semi join in Q4's plan:\n${physical.take(1600)}")
+    assert(!physical.contains("exists-subquery") && !physical.contains("in-subquery"),
+      s"existential subquery survived to execution:\n${physical.take(1600)}")
+    // the quarter window reaches the orders scan — the semi join's probe
+    // side is the THINNED quarter slice, not the whole orders table
+    assert(physical.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date window not pushed into the orders scan:\n${physical.take(2400)}")
+  }
+
+  test("Q6 is scan-only: every predicate pushed, no join, schema pruned to 4 columns") {
+    // the pure-pushdown lane — at 100 TB this query IS its scan, so all
+    // three band predicates must reach the parquet reader and the read
+    // schema must carry only the touched columns
+    val df = q("q6_forecast_revenue")
+    df.collect()
+    // the final aggregate makes the plan adaptive, which hides the scan
+    // from the SparkPlan tree collect (AdaptiveSparkPlan AND each
+    // QueryStage wrap their subtrees as non-children) and truncates
+    // PushedFilters in the printed plan — recurse through both wrappers
+    // and read the scan metadata untruncated
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: QueryStageExec => allScans(s.plan)
+    }.flatten
+    val finalized = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val sc = allScans(df.queryExecution.executedPlan)
+    val pushed = sc.map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      pushed.contains("LessThanOrEqual(l_discount,0.07)"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,24.0)"), pushed)
+    val read = sc.map(_.metadata("ReadSchema")).mkString
+    assert(read.contains("l_extendedprice") && !read.contains("l_orderkey") &&
+      !read.contains("l_returnflag"), s"unpruned scan: $read")
+    assert(!finalized.toString.contains("Join"),
+      s"Q6 grew a join:\n${finalized.toString.take(800)}")
+  }
+
+  test("Q8's market share is ONE fact pass: conditional agg, no second lineitem scan") {
+    // share = Σ(vol|nation)/Σ(vol) spelled as a CASE fold — the plan must
+    // scan lineitem ONCE (a numerator/denominator self-join would double
+    // the dominant cost at any scale)
+    val df = q("q8_market_share")
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    // count in the FINAL plan only — AdaptiveSparkPlan's toString repeats
+    // the whole tree under "== Initial Plan ==", which would double-count
+    val finalPlan = physical.split("== Initial Plan ==").head
+    assert("lineitem\\.parquet".r.findAllIn(finalPlan).size <= 1,
+      s"Q8 scans the fact more than once:\n${finalPlan.take(2400)}")
+    // region/type gates reach their dimension scans
+    assert(physical.contains("EqualTo(r_name,EUROPE)") &&
+      physical.contains("EqualTo(p_type,STANDARD)"),
+      s"dimension gates not pushed:\n${physical.take(2400)}")
+  }
+
+  test("Q11's HAVING bar is an uncorrelated one-shot subquery; nation IN is a join") {
+    // the bar must appear as a Subquery executed ONCE (uncorrelated — the
+    // legitimate scalar-subquery form, unlike Q17's per-row correlated one
+    // which must vanish), and the uncorrelated nation IN must plan as a
+    // broadcast semi/hash join, never a per-row in-subquery probe
+    val df = q("q11_important_stock")
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("in-subquery"),
+      s"nation IN survived as a per-row probe:\n${physical.take(1600)}")
+    assert(physical.contains("Subquery") || physical.contains("subquery"),
+      s"HAVING bar lost its one-shot subquery form:\n${physical.take(1600)}")
+    assert(physical.contains("LeftSemi") || physical.contains("BroadcastHashJoin"),
+      s"nation membership is not a join:\n${physical.take(1600)}")
+  }
 }
