@@ -415,6 +415,54 @@ object Clustering {
       .distinct()
   }
 
+  /** Multi-source BFS hop tiers over an undirected edge list — the "blast
+    * radius" primitive (reachability tiers from a seed cohort: contamination
+    * spread, influence frontiers, nearest-hub distance). Returns one row per
+    * reached node with its hop distance (seeds at hop 0), radius-capped at
+    * `maxHops`.
+    *
+    * Frontier algorithm, built for the 1000-executor shape: each round is
+    * ONE frontier⋈edges equi join (shuffle bounded by the frontier's
+    * adjacency, never the whole graph) + a visited anti-join (bounded by
+    * the reached set), and rounds are capped by `maxHops` — on a
+    * small-world graph the frontier IS the graph past a few hops, so
+    * callers cap the radius rather than run to fixpoint. The visited set
+    * grows monotonically and is localCheckpoint-pinned per round so round
+    * r+1 never recomputes rounds 1..r (the k-core lineage lesson); driver
+    * state is one emptiness flag per round, never node data.
+    *
+    * BFS tiers are confluent (hop = min over paths, and a frontier
+    * expansion can only discover nodes at the current radius), so a
+    * fixed-round unroll in any engine yields the identical assignment —
+    * the DuckDB oracle unrolls the same rounds as chained CTEs.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val sym = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var visited = seeds.select(col("node").cast("long")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint()
+    var frontier = visited
+    var r = 0
+    var done = false
+    while (r < maxHops && !done) {
+      val next = sym
+        .join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hop", lit(r + 1))
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) {
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+      r += 1
+    }
+    visited
+  }
+
   /** Unrolled peeling oracle for [[kCore]]: `rounds` chained
     * symmetrize→degree→filter rounds in plain SQL. Peeling is confluent
     * and each extra round past the fixpoint is the identity, so any
@@ -462,6 +510,19 @@ object Clustering {
     // unroll reaches the identical fixpoint
     "graph_kcore" -> ((s, dir) =>
       kCore(tradeEdgesDistinct(s, dir), k = 40)),
+
+    // multi-source BFS tiers on the trade graph: every 100th customer
+    // seeds at hop 0 (a scale-proportional cohort — 15 seeds at sf0.01,
+    // 150 at sf0.1), radius capped at 3 on this bipartite small-world
+    // graph (hop 1 = their suppliers, hop 2 = co-buying customers, hop 3 =
+    // second-ring suppliers). Full hash oracle: BFS tiers are confluent,
+    // so DuckDB's 3-round CTE unroll assigns identical hops
+    "graph_bfs_hops" -> ((s, dir) =>
+      bfsHops(tradeEdgesDistinct(s, dir),
+        graft.Tables(s, dir, "customer")
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey").as("node")),
+        maxHops = 3)),
 
     // near-dup pairs (true-Jaccard ≥ 0.8, the oracle-gated dedup output) →
     // duplicate clusters; cluster_id doubles as the survivor id
@@ -515,6 +576,32 @@ object Clustering {
 
   def oracles: Map[String, String] = Map(
     "graph_kcore" -> kCoreOracleSql(k = 40, rounds = 8),
+    // the same 3-round frontier expansion, unrolled: h_{r+1} = distinct
+    // neighbors of h_r minus everything already tiered
+    "graph_bfs_hops" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS u, l_suppkey + 1099511627776 AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |h0 AS MATERIALIZED (
+        |  SELECT CAST(c_custkey AS BIGINT) AS node FROM customer
+        |  WHERE c_custkey % 100 = 0),
+        |h1 AS MATERIALIZED (
+        |  SELECT DISTINCT s.v AS node FROM sym s JOIN h0 ON s.u = h0.node
+        |  WHERE s.v NOT IN (SELECT node FROM h0)),
+        |h2 AS MATERIALIZED (
+        |  SELECT DISTINCT s.v AS node FROM sym s JOIN h1 ON s.u = h1.node
+        |  WHERE s.v NOT IN (SELECT node FROM h0)
+        |    AND s.v NOT IN (SELECT node FROM h1)),
+        |h3 AS MATERIALIZED (
+        |  SELECT DISTINCT s.v AS node FROM sym s JOIN h2 ON s.u = h2.node
+        |  WHERE s.v NOT IN (SELECT node FROM h0)
+        |    AND s.v NOT IN (SELECT node FROM h1)
+        |    AND s.v NOT IN (SELECT node FROM h2))
+        |SELECT node, CAST(0 AS INTEGER) AS hop FROM h0
+        |UNION ALL SELECT node, CAST(1 AS INTEGER) FROM h1
+        |UNION ALL SELECT node, CAST(2 AS INTEGER) FROM h2
+        |UNION ALL SELECT node, CAST(3 AS INTEGER) FROM h3""".stripMargin,
     // graph re-derived verbatim; triangles enumerated by id-order joins
     // (the naive form — fine at oracle scale) instead of degree orientation
     "graph_triangle_counts" ->

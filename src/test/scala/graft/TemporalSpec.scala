@@ -412,6 +412,27 @@ class TemporalSpec extends AnyFunSuite {
     assert(Clustering.kCore(edges, k = 2).as[String].collect().toSet === expected)
   }
 
+  test("bfsHops: radius cap, min-over-sources tiers, isolated seed, early stop") {
+    def hops(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int) =
+      Clustering.bfsHops(edges.toDF("src", "dst"), seeds.toDF("node"), maxHops)
+        .as[(Long, Int)].collect().toMap
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    // single source, radius 3: nodes 5, 6 lie beyond the cap
+    assert(hops(path, Seq(1L), 3) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // two sources: each node takes the MIN hop over sources
+    assert(hops(path, Seq(1L, 6L), 3) ===
+      Map(1L -> 0, 6L -> 0, 2L -> 1, 5L -> 1, 3L -> 2, 4L -> 2))
+    // an isolated seed (no edges touch 99) still surfaces at hop 0, and a
+    // duplicated seed list must not duplicate rows
+    assert(hops(path, Seq(99L, 99L, 1L), 1) ===
+      Map(99L -> 0, 1L -> 0, 2L -> 1))
+    // early stop: the triangle is exhausted at hop 1 — a generous cap must
+    // terminate (frontier empties) and add nothing
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(hops(tri, Seq(1L), 5) === Map(1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
   test("kCore: matches brute-force peeling on a random graph") {
     val rnd = new scala.util.Random(77)
     val n = 30
