@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-analytics aggregates over the event stream — the funnel and
@@ -75,6 +76,37 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Group-wise 2-D skyline (Börzsönyi, Kossmann & Stocker, ICDE 2001 —
+    * "The Skyline Operator"): the Pareto frontier minimizing `x` and `y`
+    * within each group. A point q is dominated iff some p in its group has
+    * p.x ≤ q.x ∧ p.y ≤ q.y with at least one strict; the skyline is every
+    * undominated point (duplicates both survive — neither dominates).
+    *
+    * NOT the quadratic dominance scan: in 2-D, dominance decomposes into
+    * two prefix minima —
+    *   dominated(q) ⇔ minY(x < q.x) ≤ q.y  ∨  minY(x = q.x) < q.y
+    * so the plan is one groupBy (brand, x) → per-distinct-x min, one
+    * window prefix-min over the DISTINCT-x relation (ROWS … 1 PRECEDING
+    * is exactly "strictly smaller x" there), and one equi-join back —
+    * O(n log n), every stage hash-partitioned on the group key, nothing
+    * quadratic anywhere. The DuckDB oracle runs the textbook NOT EXISTS
+    * dominance scan instead: two independent formulations must agree on
+    * the exact point set, strictness, and duplicate handling.
+    */
+  def skyline(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val pts = df.withColumn("sk_g", group).withColumn("sk_x", x)
+      .withColumn("sk_y", y)
+    val perX = pts.groupBy(col("sk_g"), col("sk_x"))
+      .agg(min(col("sk_y")).as("min_y_eq"))
+    val w = Window.partitionBy(col("sk_g")).orderBy(col("sk_x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = perX.withColumn("min_y_lt", min(col("min_y_eq")).over(w))
+    pts.join(pref, Seq("sk_g", "sk_x"))
+      .filter(col("min_y_eq") === col("sk_y") &&
+        (col("min_y_lt").isNull || col("min_y_lt") > col("sk_y")))
+      .drop("sk_g", "sk_x", "sk_y", "min_y_eq", "min_y_lt")
+  }
+
   // Events timestamps compare at MICROSECOND grain everywhere in this
   // module: the events parquet has a TIMESTAMP(NANOS) vintage whose
   // sub-µs digits DuckDB truncates (same reason stream_sessionize works in
@@ -93,7 +125,15 @@ object Analytics {
         Seq("view", "click", "purchase"), TolUs)),
     // first-event-day cohorts × active-day offsets (oracle-gated)
     "cohort_retention" -> ((s, dir) =>
-      cohortRetention(graft.Tables(s, dir, "events")))
+      cohortRetention(graft.Tables(s, dir, "events"))),
+    // per-brand price/size Pareto frontier (min price, max size): the
+    // window formulation vs the oracle's NOT EXISTS dominance scan
+    // (oracle-gated at both scales)
+    "pareto_skyline" -> ((s, dir) =>
+      skyline(graft.Tables(s, dir, "part"),
+        col("p_brand"), col("p_retailprice"), -col("p_size"))
+        .select(col("p_brand"), col("p_partkey"),
+          col("p_retailprice"), col("p_size")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -124,6 +164,17 @@ object Analytics {
         |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
         |  COUNT(*) AS n_users
         |FROM d JOIN c USING (user_id)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // textbook dominance semantics, intentionally NOT the engine's plan:
+    // p dominates q iff price ≤, size ≥, one strict — within the brand
+    "pareto_skyline" ->
+      """SELECT q.p_brand, q.p_partkey, q.p_retailprice, q.p_size
+        |FROM part q
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part p
+        |  WHERE p.p_brand = q.p_brand
+        |    AND p.p_retailprice <= q.p_retailprice
+        |    AND p.p_size >= q.p_size
+        |    AND (p.p_retailprice < q.p_retailprice OR p.p_size > q.p_size))""".stripMargin
   )
 }

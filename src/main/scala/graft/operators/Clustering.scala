@@ -415,6 +415,84 @@ object Clustering {
       .distinct()
   }
 
+  /** The trade graph with weights: one edge per distinct customer↔supplier
+    * pair, w = the pair's minimum line quantity (integral, 1–50) — "path
+    * cost" reads as the thinnest link along a supply chain.
+    */
+  private def tradeEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = graft.Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1L << 40)).as("dst"))
+      .agg(min(col("l_quantity")).as("w"))
+  }
+
+  /** Link-prediction scores from a seed cohort (Liben-Nowell & Kleinberg,
+    * CIKM 2003): for each seed a and every node b sharing ≥ `minCommon`
+    * neighbors, the common-neighbor count and the neighbor-set Jaccard
+    * common/(deg(a)+deg(b)−common) — the classic "who should connect next"
+    * features (here: which customers buy from the same suppliers).
+    *
+    * Scale shape: candidate generation is seed-adjacency ⋈ posting lists —
+    * shuffle bounded by Σ over the seeds' neighbors of that neighbor's
+    * degree, the work that DEFINES the output, never all-pairs. The
+    * `minCommon` floor is the relevance knob AND the output bound: it
+    * prunes the long tail of 1-shared-neighbor coincidences before the
+    * degree join. Hub neighbors dominate the fan-out at 100 TB — the
+    * production move is to drop (or sample) neighbors above a degree cap,
+    * a RECALL knob deliberately not baked in here so the gate stays exact.
+    */
+  def linkPrediction(edges: DataFrame, seeds: DataFrame,
+                     minCommon: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint() // reused: candidates + both degree arms
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val se = e.join(seeds.select(col("node").cast("long").as("src")), Seq("src"))
+    val common = se.select(col("src").as("id_a"), col("dst"))
+      .join(e.select(col("dst"), col("src").as("id_b")), Seq("dst"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    common
+      .join(deg.select(col("id").as("id_a"), col("deg").as("deg_a")), Seq("id_a"))
+      .join(deg.select(col("id").as("id_b"), col("deg").as("deg_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")), 4).as("jac"))
+  }
+
+  /** Unrolled min-plus oracle for [[ssspBounded]]: the same `rounds`
+    * relaxations as chained CTEs (MATERIALIZED for the same 3^rounds
+    * inlining reason as the k-core oracle). No poison row needed — the
+    * round count is part of the OPERATOR's contract (radius cap), not a
+    * fixpoint guess, so engine and oracle unroll identically by
+    * construction.
+    */
+  private def ssspOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT o_custkey AS u, l_suppkey + 1099511627776 AS v,
+        |    MIN(l_quantity) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |s0 AS MATERIALIZED (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+        |d0 AS MATERIALIZED (SELECT c_custkey AS node, CAST(0 AS DOUBLE) AS dist
+        |  FROM customer WHERE c_custkey % 100 = 0)""".stripMargin)
+    for (i <- 0 until rounds) {
+      sb.append(s""",
+        |d${i + 1} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d$i
+        |  UNION ALL
+        |  SELECT s0.v AS node, d$i.dist + s0.w AS dist
+        |  FROM d$i JOIN s0 ON s0.u = d$i.node) GROUP BY node)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds""".stripMargin)
+    sb.toString
+  }
+
   /** Multi-source BFS hop tiers over an undirected edge list — the "blast
     * radius" primitive (reachability tiers from a seed cohort: contamination
     * spread, influence frontiers, nearest-hub distance). Returns one row per
@@ -461,6 +539,43 @@ object Clustering {
       r += 1
     }
     visited
+  }
+
+  /** Radius-capped weighted shortest paths (multi-source) over an
+    * undirected edge list — Bellman–Ford relaxation, the distributed SSSP
+    * shape (Malewicz et al., SIGMOD 2010 run it as Pregel's canonical
+    * example): dist_r(v) = min cost over paths of ≤ r edges from any seed.
+    *
+    * Each round is ONE dist⋈edges equi join (shuffle bounded by the
+    * reached set's adjacency) + a min re-aggregation keyed by node —
+    * never the whole graph, never any driver-side node data. Rounds are
+    * capped by `maxHops` exactly like [[bfsHops]]: on a small-world graph
+    * the reached set IS the graph past a few hops, so callers bound the
+    * radius. localCheckpoint pins each round so round r+1 never replans
+    * rounds 1..r (the k-core lineage lesson).
+    *
+    * Fixed-round relaxation is confluent — dist_r is a pure min-plus
+    * matrix power, independent of relaxation order — so the DuckDB
+    * oracle's chained-CTE unroll of the SAME rounds yields the identical
+    * assignment, path sums staying exact (integral weights in doubles).
+    */
+  def ssspBounded(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("double"))
+    val sym = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .localCheckpoint()
+    var dist = seeds.select(col("node").cast("long")).distinct()
+      .withColumn("dist", lit(0.0)).localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val relaxed = sym
+        .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
   }
 
   /** Unrolled peeling oracle for [[kCore]]: `rounds` chained
@@ -524,6 +639,35 @@ object Clustering {
           .select(col("c_custkey").as("node")),
         maxHops = 3)),
 
+    // weighted shortest paths from the same seed cohort, radius 3 on the
+    // weighted trade graph (edge w = the pair's min line quantity —
+    // thinnest-link supply-chain cost). Full hash oracle: min-plus
+    // relaxation is confluent, so DuckDB's 3-round CTE unroll assigns
+    // identical distances (integral weights keep path sums exact)
+    "graph_sssp_bounded" -> ((s, dir) =>
+      ssspBounded(tradeEdgesWeighted(s, dir),
+        graft.Tables(s, dir, "customer")
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey").as("node")),
+        maxHops = 3)
+        .select(col("node"), col("dist").cast("long").as("dist"))),
+
+    // link-prediction scores from the same seed cohort: customers sharing
+    // ≥ 5 suppliers with a seed, scored by common count + neighbor Jaccard
+    // (full hash oracle — exact integer counts, round-4 ratio)
+    "graph_link_prediction" -> ((s, dir) =>
+      linkPrediction(
+        graft.Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(graft.Tables(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"), col("l_suppkey").as("dst")),
+        graft.Tables(s, dir, "customer")
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey").as("node")),
+        minCommon = 5)),
+
     // near-dup pairs (true-Jaccard ≥ 0.8, the oracle-gated dedup output) →
     // duplicate clusters; cluster_id doubles as the survivor id
     "dedup_clusters" -> ((s, dir) =>
@@ -576,6 +720,21 @@ object Clustering {
 
   def oracles: Map[String, String] = Map(
     "graph_kcore" -> kCoreOracleSql(k = 40, rounds = 8),
+    "graph_sssp_bounded" -> ssspOracleSql(rounds = 3),
+    // customer→supplier adjacency (no id offset needed: both sides of the
+    // similarity are customers; suppliers only appear as join keys)
+    "graph_link_prediction" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY 1),
+        |se AS (SELECT src AS id_a, dst FROM e WHERE src % 100 = 0),
+        |c AS (SELECT se.id_a, e.src AS id_b, COUNT(*) AS common
+        |      FROM se JOIN e ON e.dst = se.dst AND e.src <> se.id_a
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT c.id_a, c.id_b, c.common,
+        |  ROUND(CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common), 4) AS jac
+        |FROM c JOIN deg da ON da.id = c.id_a
+        |       JOIN deg db ON db.id = c.id_b""".stripMargin,
     // the same 3-round frontier expansion, unrolled: h_{r+1} = distinct
     // neighbors of h_r minus everything already tiered
     "graph_bfs_hops" ->

@@ -159,6 +159,55 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Prefix-filtered EXACT containment join: ordered pairs (a, b) with
+    * |g(a) ∩ g(b)| / |g(a)| ≥ t — "a's shingles live (almost) inside b".
+    * Containment is the ASYMMETRIC near-dup relation Jaccard cannot see:
+    * a quote, a syndicated article inside a wrapper page, or a doc
+    * re-posted with a long footer has containment ≈ 1 while its Jaccard
+    * is diluted by the container's extra text — exactly the cases a
+    * training-data dedup pass wants to catch without a symmetric
+    * threshold low enough to drown in false positives.
+    *
+    * Same prefix-filter theorem as [[jaccardPrefixPairs]], asymmetric
+    * form: overlap I ≥ ⌈t·|a|⌉, so if a's first |a| − ⌈t·|a|⌉ + 1
+    * rare-first tokens all miss b, the remaining ⌈t·|a|⌉ − 1 common
+    * tokens cannot reach the bound — candidates come from ONE equi-join
+    * of a-prefix tokens against the full posting lists (the contained
+    * side needs no length filter: ANY size ratio qualifies, which is the
+    * point). Rare-first ordering keeps the probed postings short — a
+    * prefix is a doc's rarest ~(1−t) fraction. Verification reuses the
+    * codegen'd two-pointer intersect.
+    */
+  def containmentPrefixPairs(d: DataFrame, threshold: Double): DataFrame = {
+    val sh = d.select(col("doc_id"), hashedShingles(col("text")).as("g"))
+      .withColumn("sz", size(col("g"))).filter(col("sz") > 0)
+      .localCheckpoint() // reused by ranking, candidate, and verify arms
+    val tok = sh.select(col("doc_id"), explode(col("g")).as("tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    // p = n − ⌈t·n⌉ + 1 with the family's ceil float-guard (−1e-9 only
+    // ever LENGTHENS the prefix: extra candidates, never a lost pair)
+    val plen = col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1
+    val prefix = tok.join(dfreq, Seq("tok"))
+      .withColumn("rk", row_number().over(byRarity))
+      .join(sh.select(col("doc_id"), col("sz")), Seq("doc_id"))
+      .filter(col("rk") <= plen)
+      .select(col("tok"), col("doc_id").as("id_a"))
+    val cand = prefix
+      .join(tok.select(col("tok"), col("doc_id").as("id_b")), Seq("tok"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("g").as("ga"),
+        col("sz").as("na")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("g").as("gb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.SortedIntersectSize(col("ga"), col("gb"))
+          .cast("double") / col("na"), 4).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** MinHash+LSH near-dup pairs: k=32 hashes, 4 bands × 8 rows; candidates
     * from band-bucket collisions, verified with true Jaccard ≥ threshold.
     *
@@ -1348,6 +1397,14 @@ object Dedup {
       jaccardPrefixPairs(docs(s, dir).filter(col("doc_id") % 3 === 0),
         threshold = 0.8)),
 
+    // asymmetric containment pairs at t = 0.9 over the same sub-corpus —
+    // quote/wrapper near-dups Jaccard dilutes away (oracle re-derives the
+    // relation quadratically; like its jaccard siblings, gated at sf0.01
+    // where the DuckDB side is all-pairs)
+    "dedup_containment" -> ((s, dir) =>
+      containmentPrefixPairs(docs(s, dir).filter(col("doc_id") % 3 === 0),
+        threshold = 0.9)),
+
     // edit-distance near-dup pairs (exact length-bucket blocking + banded
     // levenshtein; oracle recomputes the unbanded distance over a<b pairs)
     "dedup_edit_distance" -> ((s, dir) =>
@@ -1547,6 +1604,18 @@ object Dedup {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
         |      len(list_distinct(a.g || b.g)), 4) >= 0.8""".stripMargin,
+    // ordered pairs, normalized by the CONTAINED side's shingle count
+    "dedup_containment" ->
+      """WITH sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, length(text) - 1), i -> text[i:i+2])) AS g
+        |FROM documents WHERE doc_id % 3 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g), 4)
+        |    AS containment
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |WHERE len(a.g) > 0 AND
+        |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g), 4)
+        |    >= 0.9""".stripMargin,
     "dedup_incremental_bloom" ->
       // NOT EXISTS with plain equality, NOT `NOT IN`: a NULL text anywhere
       // in the corpus would turn every NOT IN into NULL (three-valued

@@ -72,6 +72,34 @@ object Linkage {
         col("n_rows"))
   }
 
+  /** Survivorship — the golden record per resolved cluster (the MDM step
+    * after [[resolveEntities]]): one canonical row per cluster with
+    * field-level merge rules. The name survives by SUPPORT (the member
+    * with the most source rows; ties broken lexicographically so the
+    * record is deterministic); numeric attributes survive by the
+    * caller-supplied aggregates (max/min/latest — the rules an MDM config
+    * actually encodes).
+    *
+    * Scale shape: one equi-join of the resolved entity table against its
+    * attribute rows (both entity-sized, not corpus-sized — dedup-first),
+    * a per-cluster window for the support winner, and one aggregation —
+    * everything hash-partitioned on canonical_key.
+    */
+  def goldenRecords(resolved: DataFrame, attrs: DataFrame,
+                    aggs: Seq[Column]): DataFrame = {
+    val base = resolved.join(attrs, Seq("entity_key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_key"))
+      .orderBy(col("n_rows").desc, col("name"))
+    val best = base.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("canonical_key"), col("name").as("name_golden"))
+    base.groupBy(col("canonical_key"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_rows")).as("n_source_rows") +: aggs: _*)
+      .join(best, Seq("canonical_key"))
+  }
+
   private def parts(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "part")
 
@@ -110,6 +138,17 @@ object Linkage {
           round(graft.functions.JaroWinkler.jaroWinkler(
             col("name_a"), col("name_b")), 4).as("jw"))
         .filter(col("jw") >= 0.85)
+    }),
+    // survivorship: one golden record per resolved cluster — support-winner
+    // name, summed support, max-price/max-size field rules (oracle-gated)
+    "er_golden_record" -> ((s, dir) => {
+      val resolved = resolveEntities(
+        entities(parts(s, dir), "p_name", "p_partkey"), nounBlock, maxLev = 2)
+      goldenRecords(resolved,
+        parts(s, dir).select(col("p_partkey").as("entity_key"),
+          col("p_retailprice"), col("p_size")),
+        aggs = Seq(max(col("p_retailprice")).as("max_price"),
+          max(col("p_size")).as("max_size")))
     })
   )
 
@@ -146,6 +185,40 @@ object Linkage {
          |SELECT e.name, e.entity_key,
          |  COALESCE(c.cluster_id, e.entity_key) AS canonical_key, e.n_rows
          |FROM e LEFT JOIN clusters c USING (entity_key)""".stripMargin,
+    // the resolution closure extended by the attribute join, the support
+    // window, and the per-cluster merge — same recursive CTE as
+    // er_resolved_entities
+    "er_golden_record" ->
+      s"""WITH RECURSIVE e AS ($entitiesSql),
+         |blk AS (SELECT split_part(name, ' ', 2) AS blk, * FROM e),
+         |pairs AS (
+         |  SELECT a.entity_key AS id_a, b.entity_key AS id_b
+         |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.name < b.name
+         |  WHERE levenshtein(a.name, b.name) <= 2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT eg.dst, reach.r FROM reach JOIN edges eg ON eg.src = reach.id),
+         |clusters AS (SELECT id AS entity_key, MIN(r) AS cluster_id
+         |             FROM reach GROUP BY id),
+         |res AS (SELECT e.name, e.entity_key,
+         |  COALESCE(c.cluster_id, e.entity_key) AS canonical_key, e.n_rows
+         |FROM e LEFT JOIN clusters c USING (entity_key)),
+         |j AS (SELECT r.*, p.p_retailprice, p.p_size
+         |      FROM res r JOIN part p ON p.p_partkey = r.entity_key),
+         |best AS (SELECT canonical_key, name AS name_golden FROM (
+         |  SELECT canonical_key, name, ROW_NUMBER() OVER
+         |    (PARTITION BY canonical_key ORDER BY n_rows DESC, name) AS rk
+         |  FROM j) WHERE rk = 1)
+         |SELECT j.canonical_key, COUNT(*) AS n_members,
+         |  CAST(SUM(j.n_rows) AS BIGINT) AS n_source_rows,
+         |  MAX(j.p_retailprice) AS max_price, MAX(j.p_size) AS max_size,
+         |  best.name_golden
+         |FROM j JOIN best USING (canonical_key)
+         |GROUP BY j.canonical_key, best.name_golden""".stripMargin,
     "er_jaro_winkler" ->
       s"""WITH e AS ($entitiesSql),
          |blk AS (SELECT split_part(name, ' ', 1) AS blk, * FROM e)

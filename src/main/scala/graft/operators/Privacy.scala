@@ -106,6 +106,134 @@ object Privacy {
           .as("violation"))
   }
 
+  /** Inverse-CDF threshold table for the discrete Laplace (two-sided
+    * geometric) distribution at ε = epsNum/epsDen — the integer-valued
+    * mechanism production DP libraries use for count releases (Ghosh,
+    * Roughgarden & Sundararajan, SIAM J. Comput. 2012 proved it
+    * universally utility-maximizing; Canonne, Kamath & Steinke, NeurIPS
+    * 2020 treat its discrete-noise practicalities).
+    *
+    * pmf P(X=k) = (1−α)/(1+α)·α^|k| with α = e^(−ε); the CDF is
+    *   F(k) = α^(−k)/(1+α)        for k < 0
+    *   F(k) = 1 − α^(k+1)/(1+α)   for k ≥ 0
+    * Each row (k, lo, hi) assigns noise k to the 52-bit uniform U ∈
+    * [lo, hi), with τ(k) = round(F(k)·2^52). The tail is truncated where
+    * the interval rounds empty (α^K·2^52 < 1 ⇒ K ≈ 53·ln2/ε), a ≤2^−52
+    * total-variation perturbation — below the resolution of the uniform
+    * itself.
+    *
+    * The table is computed ONCE, driver-side, in plain Scala; both the
+    * Spark query and the DuckDB oracle consume the SAME Long thresholds
+    * (a broadcast range join / a VALUES list), so the release is
+    * bit-reproducible across engines with no RNG state anywhere — the
+    * "randomness" is a keyed md5 of the group, exactly the seeded-noise
+    * discipline a replayable 100 TB pipeline needs.
+    */
+  def dpNoiseThresholds(epsNum: Long, epsDen: Long): Seq[(Int, Long, Long)] = {
+    require(epsNum > 0 && epsDen > 0, s"ε must be positive, got $epsNum/$epsDen")
+    val alpha = math.exp(-epsNum.toDouble / epsDen)
+    val M = 1L << 52
+    def cdf(k: Int): Double =
+      if (k < 0) math.pow(alpha, -k) / (1 + alpha)
+      else 1.0 - math.pow(alpha, k + 1) / (1 + alpha)
+    val maxK = math.ceil(53 * math.log(2) / -math.log(alpha)).toInt
+    var prev = 0L
+    (-maxK to maxK).flatMap { k =>
+      val hi0 = if (k == maxK) M else math.round(cdf(k) * M)
+      val hi = math.min(M, math.max(hi0, prev)) // monotone + range clamp
+      val lo = prev
+      prev = hi
+      if (hi > lo) Some((k, lo, hi)) else None
+    }
+  }
+
+  /** The 52-bit keyed uniform both engines derive identically:
+    * U = first 13 hex chars of md5(salt-key1-key2-…) ∈ [0, 2^52).
+    */
+  private def u52(salt: String, keys: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("-",
+      lit(salt) +: keys.map(c => coalesce(c.cast("string"), lit(""))): _*)),
+      1, 13), 16, 10).cast("long")
+
+  private def noiseTable(s: SparkSession, epsNum: Long, epsDen: Long): DataFrame =
+    s.createDataFrame(dpNoiseThresholds(epsNum, epsDen))
+      .toDF("noise_k", "nt_lo", "nt_hi")
+
+  /** ε-differentially-private group counts: COUNT has sensitivity 1, so
+    * adding discrete-Laplace(ε) noise per group is the textbook release.
+    * Noisy counts may be negative — post-processing (clamping) is the
+    * CONSUMER's choice and costs no budget; the release stays raw so the
+    * gate compares the mechanism itself.
+    *
+    * Scale shape: one hash aggregation (partial+final) over the corpus,
+    * then a broadcast range join against the ~150-row threshold table on
+    * the ALREADY-AGGREGATED relation — per-group work is O(1), nothing
+    * corpus-sized moves after the groupBy.
+    */
+  def dpNoisyCounts(df: DataFrame, quasi: Seq[String],
+                    epsNum: Long, epsDen: Long,
+                    salt: String = "dp-v1"): DataFrame = {
+    val s = df.sparkSession
+    df.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("n"))
+      .withColumn("u52", u52(salt, quasi.map(col)))
+      .join(broadcast(noiseTable(s, epsNum, epsDen)),
+        col("u52") >= col("nt_lo") && col("u52") < col("nt_hi"))
+      .select(quasi.map(col) :+
+        (col("n") + col("noise_k")).cast("long").as("noisy_n"): _*)
+  }
+
+  /** ε-DP group sums via clip-then-quantize: each value is clipped to
+    * [0, clip] (bounding any one row's influence — the sensitivity), the
+    * clipped sum is quantized to `floor(sum/clip)` (an integer query with
+    * sensitivity 1), discrete-Laplace(ε) noise is added in CLIP UNITS, and
+    * the release is rescaled. Quantizing at the sensitivity granularity is
+    * what keeps the threshold table small at ANY clip bound — the noise
+    * scale in release units is clip/ε, exactly the Laplace mechanism's.
+    * Values stay integer-exact end to end (clip and sums in cents-free
+    * longs), so the oracle replays bit-for-bit.
+    */
+  def dpNoisySums(df: DataFrame, quasi: Seq[String], value: Column, clip: Long,
+                  epsNum: Long, epsDen: Long,
+                  salt: String = "dp-sum-v1"): DataFrame = {
+    val s = df.sparkSession
+    val clipped = greatest(lit(0L), least(value.cast("long"), lit(clip)))
+    df.groupBy(quasi.map(col): _*)
+      .agg(sum(clipped).as("clipped_sum"))
+      .withColumn("u52", u52(salt, quasi.map(col)))
+      .join(broadcast(noiseTable(s, epsNum, epsDen)),
+        col("u52") >= col("nt_lo") && col("u52") < col("nt_hi"))
+      .select(quasi.map(col) :+
+        ((floor(col("clipped_sum") / clip).cast("long") + col("noise_k")) * clip)
+          .as("noisy_sum"): _*)
+  }
+
+  /** Keyed deterministic pseudonymization: the direct identifier is
+    * replaced by md5(salt ‖ key) — the same key always maps to the same
+    * token (referential integrity survives: joins, counts and group sizes
+    * are identical on tokens and on raw keys, spec-pinned), different
+    * salts produce unlinkable token spaces (rotate the salt to revoke a
+    * release), and the raw key never appears in the output. This is the
+    * tokenization half of a de-identification pipeline;
+    * [[Curation.redactPii]] handles free-text identifiers and the k/l/t
+    * checks above measure what the residual quasi-identifiers leak.
+    *
+    * Scale shape: a pure per-row projection — zero shuffles added. Joins
+    * on the 32-hex token instead of the raw long hash-partition the same
+    * way (the join key is hashed either way); the real pipeline
+    * materializes tokenized tables once and serves every downstream read
+    * from them.
+    */
+  def pseudonym(key: Column, salt: String): Column =
+    md5(concat_ws("-", lit(salt), key.cast("string")))
+
+  /** The threshold table as a DuckDB VALUES list — the SAME Longs the
+    * Spark side broadcasts, so the oracle is a replay, not a re-derivation.
+    */
+  private def noiseValuesSql(epsNum: Long, epsDen: Long): String =
+    dpNoiseThresholds(epsNum, epsDen)
+      .map { case (k, lo, hi) => s"($k,$lo,$hi)" }
+      .mkString(",")
+
   private def cust(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "customer")
 
@@ -130,7 +258,33 @@ object Privacy {
     "privacy_t_closeness" -> ((s, dir) =>
       tClosenessByGroup(cust(s, dir), col("c_nationkey"),
           col("c_mktsegment"), tNum = 1, tDen = 20)
-        .withColumnRenamed("q", "c_nationkey"))
+        .withColumnRenamed("q", "c_nationkey")),
+    // ε = 1/2 DP counts per (segment, nation) cohort — discrete-Laplace
+    // noise from a keyed md5 uniform, bit-reproducible in both engines
+    // (oracle-gated; the mechanism's CDF is spec-pinned in PrivacySpec)
+    "privacy_dp_counts" -> ((s, dir) =>
+      dpNoisyCounts(cust(s, dir), Seq("c_mktsegment", "c_nationkey"),
+        epsNum = 1, epsDen = 2)),
+    // ε = 1/2 DP account-balance sums per segment, clipped to [0, 5000]
+    // and quantized at the clip granularity (oracle-gated)
+    "privacy_dp_sum" -> ((s, dir) =>
+      dpNoisySums(cust(s, dir), Seq("c_mktsegment"), col("c_acctbal"),
+        clip = 5000L, epsNum = 1, epsDen = 2)),
+    // customer keys tokenized in BOTH tables, then joined on the token:
+    // the per-segment order stats must equal the raw-key join's (the
+    // referential-integrity claim, oracle-gated; raw≡token spec-pinned)
+    "privacy_pseudonymize" -> ((s, dir) => {
+      val c = cust(s, dir).select(
+        pseudonym(col("c_custkey"), "pseu-v1").as("pid"), col("c_mktsegment"))
+      val o = graft.Tables(s, dir, "orders").select(
+        pseudonym(col("o_custkey"), "pseu-v1").as("pid"), col("o_totalprice"))
+      o.join(c, "pid")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("pid")).as("n_active_customers"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -171,6 +325,36 @@ object Privacy {
         |    CAST(SUM(h.n) AS BIGINT) AS bn
         |  FROM h CROSS JOIN w GROUP BY 1, 2)
         |SELECT w, COUNT(*) AS n_buckets, MIN(bn) AS min_group_n
-        |FROM bw GROUP BY w""".stripMargin
+        |FROM bw GROUP BY w""".stripMargin,
+    // the SAME threshold Longs the Spark side broadcasts, as a VALUES
+    // list — the oracle replays the mechanism, it does not re-derive it
+    "privacy_dp_counts" ->
+      s"""WITH nt(noise_k, nt_lo, nt_hi) AS (VALUES ${noiseValuesSql(1, 2)}),
+        |g AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+        |  ('0x' || substr(md5(concat_ws('-', 'dp-v1', c_mktsegment,
+        |    CAST(c_nationkey AS VARCHAR))), 1, 13))::UBIGINT AS u52
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_mktsegment, c_nationkey, CAST(n + noise_k AS BIGINT) AS noisy_n
+        |FROM g JOIN nt ON g.u52 >= nt.nt_lo AND g.u52 < nt.nt_hi""".stripMargin,
+    "privacy_dp_sum" ->
+      s"""WITH nt(noise_k, nt_lo, nt_hi) AS (VALUES ${noiseValuesSql(1, 2)}),
+        |g AS (SELECT c_mktsegment,
+        |  SUM(GREATEST(0, LEAST(CAST(TRUNC(c_acctbal) AS BIGINT), 5000))) AS clipped_sum,
+        |  ('0x' || substr(md5(concat_ws('-', 'dp-sum-v1', c_mktsegment)),
+        |    1, 13))::UBIGINT AS u52
+        |  FROM customer GROUP BY 1)
+        |SELECT c_mktsegment,
+        |  (CAST(FLOOR(CAST(clipped_sum AS DOUBLE) / 5000) AS BIGINT) + noise_k) * 5000 AS noisy_sum
+        |FROM g JOIN nt ON g.u52 >= nt.nt_lo AND g.u52 < nt.nt_hi""".stripMargin,
+    "privacy_pseudonymize" ->
+      """WITH c AS (SELECT md5(concat_ws('-', 'pseu-v1',
+        |    CAST(c_custkey AS VARCHAR))) AS pid, c_mktsegment FROM customer),
+        |o AS (SELECT md5(concat_ws('-', 'pseu-v1',
+        |    CAST(o_custkey AS VARCHAR))) AS pid, o_totalprice FROM orders)
+        |SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o.pid) AS n_active_customers,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM o JOIN c USING (pid)
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }

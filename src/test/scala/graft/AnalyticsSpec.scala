@@ -110,4 +110,32 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(cOff === cDef)
     } finally spark.conf.set(thr, old)
   }
+
+  test("skyline: strict dominance, per-group frontier, duplicates both survive") {
+    // group g1, minimize x and y:
+    //   (1,5) and (3,3) and (5,1) — the frontier staircase
+    //   (3,5) dominated by (1,5)? x: 1<3, y: 5≤5 → yes (strict in x)
+    //   (3,4) dominated by (3,3) (same x, strictly larger y)
+    //   (6,1) dominated by (5,1); (5,2) dominated by (5,1)
+    //   (0,9) undominated (best x)
+    // group g2: two identical points — neither dominates, both stay
+    val pts = Seq(
+      ("g1", 1, 1.0, 5.0), ("g1", 2, 3.0, 3.0), ("g1", 3, 5.0, 1.0),
+      ("g1", 4, 3.0, 5.0), ("g1", 5, 3.0, 4.0), ("g1", 6, 6.0, 1.0),
+      ("g1", 7, 5.0, 2.0), ("g1", 8, 0.0, 9.0),
+      ("g2", 9, 2.0, 2.0), ("g2", 10, 2.0, 2.0)
+    ).toDF("g", "id", "x", "y")
+    val sky = Analytics.skyline(pts, col("g"), col("x"), col("y"))
+      .select(col("id")).collect().map(_.getInt(0)).toSet
+    assert(sky === Set(1, 2, 3, 8, 9, 10))
+    // the quadratic reference check, computed inline: a point survives iff
+    // nothing in its group weakly dominates it with one strict coordinate
+    val rows = pts.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    val ref = rows.filter { case (g, _, qx, qy) =>
+      !rows.exists { case (pg, _, px, py) =>
+        pg == g && px <= qx && py <= qy && (px < qx || py < qy) }
+    }.map(_._2).toSet
+    assert(sky === ref)
+  }
 }

@@ -107,6 +107,36 @@ class OperatorsSpec extends AnyFunSuite {
       Set((3L, 4L, 1.0)))
   }
 
+  test("Dedup: containment join equals brute force; asymmetric by design") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("containment"))).toSet
+    // inline quadratic reference over the real corpus, at a permissive and
+    // a strict threshold
+    val sets = corpus.select(col("doc_id"), Dedup.shingles(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty)
+    def ref(t: Double) = (for {
+      (ia, ga) <- sets; (ib, gb) <- sets if ia != ib
+      c = BigDecimal((ga & gb).size.toDouble / ga.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= t
+    } yield (ia, ib, c)).toSet
+    for (t <- Seq(0.6, 0.9)) {
+      val got = norm(Dedup.containmentPrefixPairs(corpus, threshold = t))
+      assert(got === ref(t), s"threshold $t")
+      assert(got.nonEmpty, s"vacuous at $t")
+    }
+    // the relation is directional: doc "ab cd" is fully inside "ab cd ef gh"
+    // but not vice versa
+    import spark.implicits._
+    val duo = Seq((1L, "abcdef"), (2L, "abcdefghijkl"))
+      .toDF("doc_id", "text")
+    val pairs = norm(Dedup.containmentPrefixPairs(duo, threshold = 0.9))
+    assert(pairs === Set((1L, 2L, 1.0)))
+  }
+
   test("Dedup: blocked cosine kernel equals the broadcast kernel (real corpus)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def norm(df: org.apache.spark.sql.DataFrame) = df.collect()

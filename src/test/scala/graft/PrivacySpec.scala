@@ -87,4 +87,103 @@ class PrivacySpec extends AnyFunSuite {
     case _ => ()
     }
   }
+
+  // the 52-bit uniform re-derived OUTSIDE Spark (JDK MessageDigest) — the
+  // dp tests replay the mechanism through an independent md5 path
+  private def md5u52(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 13), 16)
+
+  private def noiseAt(u: Long, thr: Seq[(Int, Long, Long)]): Int =
+    thr.find(t => u >= t._2 && u < t._3)
+      .getOrElse(fail(s"u=$u not covered by the threshold table"))._1
+
+  test("dp thresholds: exact partition of [0, 2^52) matching the " +
+    "discrete-Laplace pmf, symmetric in k") {
+    val thr = Privacy.dpNoiseThresholds(1, 2)
+    val M = 1L << 52
+    assert(thr.head._2 === 0L)
+    assert(thr.last._3 === M)
+    thr.sliding(2).foreach { // contiguous intervals, strictly increasing k
+      case Seq(a, b) =>
+        assert(a._3 === b._2, s"gap between $a and $b")
+        assert(a._1 < b._1, s"k not increasing: $a -> $b")
+      case _ => ()
+    }
+    val alpha = math.exp(-0.5)
+    val widths = thr.map { case (k, lo, hi) => k -> (hi - lo) }.toMap
+    widths.foreach { case (k, w) =>
+      val pmf = (1 - alpha) / (1 + alpha) * math.pow(alpha, math.abs(k))
+      assert(math.abs(w - pmf * M) <= 2.0,
+        s"k=$k interval width $w drifts from pmf ${pmf * M}")
+      assert(math.abs(w - widths.getOrElse(-k, 0L)) <= 2L, s"asymmetric at k=$k")
+    }
+    // tighter ε → tighter noise: the ε=2 table spans fewer noise values
+    val tight = Privacy.dpNoiseThresholds(2, 1)
+    assert(tight.last._1 < thr.last._1)
+  }
+
+  test("dp counts: release equals the JDK-md5 replay; noise is bounded and salt-keyed") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 1)).toDF("seg", "x")
+    val out = Privacy.dpNoisyCounts(df, Seq("seg"), epsNum = 1, epsDen = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thr = Privacy.dpNoiseThresholds(1, 2)
+    assert(out("a") === 3L + noiseAt(md5u52("dp-v1-a"), thr))
+    assert(out("b") === 1L + noiseAt(md5u52("dp-v1-b"), thr))
+    val maxK = thr.last._1
+    out.foreach { case (_, v) => assert(math.abs(v) <= 3 + maxK) }
+    // a different salt re-keys the uniform: same groups, different noise
+    val resalted = Privacy.dpNoisyCounts(df, Seq("seg"),
+        epsNum = 1, epsDen = 2, salt = "dp-v2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(resalted("a") === 3L + noiseAt(md5u52("dp-v2-a"), thr))
+  }
+
+  test("dp sums: clip bounds one row's influence; release is clip-quantized " +
+    "and matches the JDK replay") {
+    val df = Seq(("g", 6000.0), ("g", -100.0), ("g", 1234.0)).toDF("seg", "v")
+    val out = Privacy.dpNoisySums(df, Seq("seg"), col("v"), clip = 5000L,
+        epsNum = 1, epsDen = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = noiseAt(md5u52("dp-sum-v1-g"),
+      Privacy.dpNoiseThresholds(1, 2))
+    // clipped: 5000 (clipped down from 6000) + 0 (negative) + 1234 = 6234
+    // → floor(6234/5000) = 1 clip unit → release (1 + k)·5000
+    assert(out("g") === (1L + k) * 5000L)
+    assert(out("g") % 5000L === 0L)
+  }
+
+  test("pseudonymize: tokens preserve referential integrity, never expose " +
+    "the key, and re-salt into an unlinkable space") {
+    val dir = "/root/testdata/sf0.001"
+    val c = graft.Tables(spark, dir, "customer")
+    val o = graft.Tables(spark, dir, "orders")
+    // token cardinality == key cardinality (collision-free on this domain)
+    val nKeys = c.select(col("c_custkey")).distinct().count()
+    val tok = c.select(Privacy.pseudonym(col("c_custkey"), "s1").as("pid"))
+    assert(tok.distinct().count() === nKeys)
+    // the raw-key join and the token join produce identical aggregates
+    val raw = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaTok = o.select(Privacy.pseudonym(col("o_custkey"), "s1").as("pid"))
+      .join(c.select(Privacy.pseudonym(col("c_custkey"), "s1").as("pid"),
+        col("c_mktsegment")), "pid")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaTok === raw)
+    // tokens are 32-hex and never equal the raw key's string form
+    val sample = c.select(col("c_custkey").cast("string").as("k"),
+        Privacy.pseudonym(col("c_custkey"), "s1").as("pid"))
+      .limit(20).collect()
+    sample.foreach { r =>
+      assert(r.getString(1).matches("[0-9a-f]{32}"))
+      assert(r.getString(1) !== r.getString(0))
+    }
+    // a rotated salt shares NO tokens with the old space
+    val s2 = c.select(Privacy.pseudonym(col("c_custkey"), "s2").as("pid"))
+    assert(tok.intersect(s2).count() === 0L)
+  }
 }

@@ -319,6 +319,27 @@ class RetrievalLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("goldenRecords: support-winner name, lexicographic tie, field merge rules") {
+    import spark.implicits._
+    // cluster 1 = three members (two tied on support), cluster 7 = singleton
+    val resolved = Seq(
+      ("alpha bolt", 1L, 1L, 5L), ("alphq bolt", 2L, 1L, 9L),
+      ("beta bolt", 3L, 1L, 9L), ("zinc cog", 7L, 7L, 2L)
+    ).toDF("name", "entity_key", "canonical_key", "n_rows")
+    val attrs = Seq((1L, 10.0, 3), (2L, 20.0, 1), (3L, 15.0, 9), (7L, 9.0, 2))
+      .toDF("entity_key", "p_retailprice", "p_size")
+    val out = Linkage.goldenRecords(resolved, attrs,
+        Seq(max(col("p_retailprice")).as("max_price"),
+          max(col("p_size")).as("max_size")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4),
+          r.getString(5)))).toMap
+    // support tie 9 = 9 breaks lexicographically: "alphq bolt" < "beta bolt";
+    // max_price and max_size survive from DIFFERENT members (field-level merge)
+    assert(out(1L) === ((3L, 23L, 20.0, 9, "alphq bolt")))
+    assert(out(7L) === ((1L, 2L, 9.0, 2, "zinc cog")))
+  }
+
   test("bloom index: inserted keys always hit; pruning skips most files on a clustered layout") {
     val dir = java.nio.file.Files.createTempDirectory("bloom-spec").toString
     val out = s"$dir/layout"

@@ -433,6 +433,42 @@ class TemporalSpec extends AnyFunSuite {
     assert(hops(tri, Seq(1L), 5) === Map(1L -> 0, 2L -> 1, 3L -> 1))
   }
 
+  test("ssspBounded: longer-but-cheaper path wins within the radius, " +
+    "loses beyond it; min over sources; undirected") {
+    def dists(edges: Seq[(Long, Long, Double)], seeds: Seq[Long], maxHops: Int) =
+      Clustering.ssspBounded(edges.toDF("src", "dst", "w"),
+          seeds.toDF("node"), maxHops)
+        .as[(Long, Double)].collect().toMap
+    // 1→4 direct costs 10; the detour 1→2→3→4 costs 3 but needs 3 hops
+    val g = Seq((1L, 4L, 10.0), (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0))
+    assert(dists(g, Seq(1L), 1) === Map(1L -> 0.0, 4L -> 10.0, 2L -> 1.0))
+    assert(dists(g, Seq(1L), 2) ===
+      Map(1L -> 0.0, 4L -> 10.0, 2L -> 1.0, 3L -> 2.0))
+    // radius 3 admits the cheap detour: dist(4) drops 10 → 3
+    assert(dists(g, Seq(1L), 3) ===
+      Map(1L -> 0.0, 4L -> 3.0, 2L -> 1.0, 3L -> 2.0))
+    // a seed ON the expensive end pulls everything to its own min — and the
+    // edge is traversed in BOTH directions (undirected symmetrization)
+    assert(dists(g, Seq(1L, 4L), 1) ===
+      Map(1L -> 0.0, 4L -> 0.0, 2L -> 1.0, 3L -> 1.0))
+  }
+
+  test("linkPrediction: common counts, neighbor Jaccard, floor, seed-anchored") {
+    // bipartite: node 1 → {10,11,12}, node 2 → {10,11}, node 3 → {12}
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (3L, 12L), (1L, 12L)) // duplicate edge must not double-count
+      .toDF("src", "dst")
+    def scores(minCommon: Int) =
+      Clustering.linkPrediction(e, Seq(1L).toDF("node"), minCommon)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // jac(1,2) = 2/(3+2−2) = 0.6667; jac(1,3) = 1/(3+1−1) = 0.3333
+    assert(scores(1) === Map(
+      (1L, 2L) -> ((2L, 0.6667)), (1L, 3L) -> ((1L, 0.3333))))
+    // the floor prunes the coincidence tail; the seed never pairs itself
+    assert(scores(2) === Map((1L, 2L) -> ((2L, 0.6667))))
+  }
+
   test("kCore: matches brute-force peeling on a random graph") {
     val rnd = new scala.util.Random(77)
     val n = 30
