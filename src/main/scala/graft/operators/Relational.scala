@@ -454,6 +454,54 @@ object Relational {
           round(max(col("l_extendedprice")), 4).as("hi"))
     }),
 
+    // exact group-wise MODE with a deterministic tie-break (most frequent
+    // value, ties to the smallest) — the window form, NOT the engines'
+    // mode() aggregates, whose tie-break is unspecified and engine-specific
+    "a20_mode" -> ((s, dir) => {
+      val cnt = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("n").desc, col("l_quantity"))
+      cnt.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("n").as("mode_n"))
+    }),
+
+    // Pearson correlation + OLS fit, BIT-EXACT across engines: the moment
+    // sums accumulate in LONGS (whole-dollar prices, integral quantities —
+    // exact and order-independent; actual magnitudes stay < 2^53 so the
+    // final cast to double is exact too), and the closing arithmetic is
+    // the SAME parenthesized +,−,×,÷,√ expression tree in both engines —
+    // all IEEE-754 correctly-rounded ops, so identical inputs give
+    // identical doubles with NO rounding fuzz. The engines' own corr() /
+    // regr_slope() stream float partials in partition order and cannot
+    // make this guarantee.
+    "a21_corr_linfit" -> ((s, dir) => {
+      // x = whole-dollar list price, y = whole-dollar discounted revenue —
+      // the slope per flag IS the effective (1 − mean discount) factor
+      val xq = col("l_extendedprice").cast("long")
+      val yt = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("long")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(xq).cast("double").as("sx"), sum(yt).cast("double").as("sy"),
+          sum(xq * xq).cast("double").as("sxx"),
+          sum(xq * yt).cast("double").as("sxy"),
+          sum(yt * yt).cast("double").as("syy"))
+        .select(col("l_returnflag"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+          ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+            col("n")).as("icept"))
+    }),
+
     // S8 companion: schema-on-read over an embedded JSON column (the
     // VARIANT-path access the reference gets from Snowflake's `:` operator).
     // get_json_object is a codegen'd per-row projection — extraction adds
@@ -1474,6 +1522,37 @@ object Relational {
         |  ROUND(MAX(l_extendedprice), 4) AS hi
         |FROM lineitem CROSS JOIN e
         |GROUP BY 1""".stripMargin,
+    // the same window form — never the engine mode() whose ties are
+    // unspecified
+    "a20_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |  (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rk FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n
+        |FROM r WHERE rk = 1""".stripMargin,
+    // the SAME long moment sums and the SAME parenthesized double
+    // expression tree — IEEE-correctly-rounded ops on identical inputs
+    "a21_corr_linfit" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(TRUNC(l_extendedprice) AS BIGINT) AS x,
+        |    CAST(TRUNC(l_extendedprice * (1 - l_discount)) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM m GROUP BY 1)
+        |SELECT l_returnflag,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS icept
+        |FROM s""".stripMargin,
     // TRY_CAST so "missing" means post-cast-null on BOTH sides (absent path
     // OR non-numeric value) — Spark's cast('long') yields null in the same
     // cases, so the definitions agree for any $.k value shape, not just the

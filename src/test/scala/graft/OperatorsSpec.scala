@@ -107,6 +107,46 @@ class OperatorsSpec extends AnyFunSuite {
       Set((3L, 4L, 1.0)))
   }
 
+  test("a21 corr/linfit agrees with Spark's streaming estimators; " +
+    "a20 mode matches a driver-side recount") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("a21_corr_linfit")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // reference: Spark's own corr/regr_* (float-streaming — a DIFFERENT
+    // algorithm; agreement within relative 1e-9 pins the closed form)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("long").cast("double").as("x"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("long").cast("double").as("y"))
+    val ref = li.groupBy(col("l_returnflag"))
+      .agg(corr(col("x"), col("y")).as("c"),
+        expr("regr_slope(y, x)").as("b"),
+        expr("regr_intercept(y, x)").as("a"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def close(u: Double, v: Double) =
+      math.abs(u - v) <= 1e-9 * math.max(1.0, math.abs(v))
+    got.foreach { case (k, (c, b, a)) =>
+      assert(close(c, ref(k)._1), s"$k corr $c vs ${ref(k)._1}")
+      assert(close(b, ref(k)._2), s"$k slope $b vs ${ref(k)._2}")
+      assert(close(a, ref(k)._3), s"$k icept $a vs ${ref(k)._3}")
+      assert(c > 0 && c < 1, s"$k corr degenerate: $c") // non-vacuous
+    }
+    val modes = SparkEntry.queries("a20_mode")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val raw = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    raw.groupBy(_._1).foreach { case (flag, xs) =>
+      val best = xs.groupBy(_._2).toSeq
+        .map { case (v, l) => (v, l.size.toLong) }
+        .sortBy { case (v, n) => (-n, v) }.head
+      assert(modes(flag) === best, s"$flag")
+    }
+  }
+
   test("Dedup: containment join equals brute force; asymmetric by design") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def norm(df: org.apache.spark.sql.DataFrame) = df.collect()

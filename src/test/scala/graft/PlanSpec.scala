@@ -675,4 +675,47 @@ class PlanSpec extends AnyFunSuite {
     assert(physical.contains("LeftSemi") || physical.contains("BroadcastHashJoin"),
       s"nation membership is not a join:\n${physical.take(1600)}")
   }
+
+  test("skyline is windows + equi-joins: never a dominance cartesian") {
+    // the 2-D decomposition's whole point — the oracle runs the quadratic
+    // NOT EXISTS scan, the engine must not
+    val physical = q("pareto_skyline").queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"skyline fell back to a dominance scan:\n${physical.take(1600)}")
+    assert(physical.contains("Window"),
+      s"prefix-min window missing:\n${physical.take(1600)}")
+  }
+
+  test("containment join candidates come from the posting equi-join, never all-pairs") {
+    val physical = q("dedup_containment").queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"containment went all-pairs:\n${physical.take(1600)}")
+  }
+
+  test("dp releases range-join a BROADCAST threshold table on the aggregated relation") {
+    // the ~150-row noise table must broadcast (a nested-loop probe per
+    // GROUP is O(1) work); the corpus side must be aggregated BEFORE the
+    // join — no per-row noise lookups
+    val df = q("privacy_dp_counts")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastNestedLoopJoin"),
+      s"threshold table not broadcast:\n${physical.take(1600)}")
+    assert(physical.indexOf("HashAggregate") >= 0, physical.take(1600))
+    // the aggregate sits BELOW the join input (stream side is post-agg):
+    // rows reaching the join are GROUPS, bounded by the 5×25 quasi domain
+    // (93 occupied at sf0.001), never corpus rows (150 customers here)
+    val n = df.count()
+    assert(n > 0 && n <= 125L, s"per-row noise lookups? $n rows")
+  }
+
+  test("link prediction joins stay equi-keyed; the floor prunes before the degree join") {
+    val physical = q("graph_link_prediction").queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"),
+      s"all-pairs fallback:\n${physical.take(1600)}")
+    // the common-count floor is a Filter on the aggregate, not post-join
+    val optimized = q("graph_link_prediction").queryExecution.optimizedPlan.toString
+    assert(optimized.contains("common"), optimized.take(800))
+  }
 }
