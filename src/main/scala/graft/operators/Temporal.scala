@@ -293,6 +293,49 @@ object Temporal {
       .select(col(keyCol), col("z.evs.id").as(idCol), col("z.ys").as("ewma"))
   }
 
+  /** Holt double-exponential smoothing (level + linear trend) per entity —
+    * [[ewmaSmooth]]'s big sibling for drifting series: EWMA lags a trending
+    * signal by design, Holt tracks it. Ordered by (ts, id):
+    *   l₀ = x₀, b₀ = 0
+    *   lₜ = α·xₜ + (1−α)·(lₜ₋₁ + bₜ₋₁)
+    *   bₜ = β·(lₜ − lₜ₋₁) + (1−β)·bₜ₋₁
+    * emitting the level series (the one-step fit). Same single-fold
+    * spelling, same per-entity-bounded scale contract, and the same
+    * cross-engine EXACT UNROUNDED guarantee as [[ewmaSmooth]]: a coupled
+    * recursion is still a deterministic sequential chain of IEEE +,−,×
+    * over the identically-sorted series, and the oracle carries the SAME
+    * literal complements (interpolated from these Scala doubles, not
+    * re-derived in SQL — 1−β re-rounded independently could differ by an
+    * ulp and snowball through the fold).
+    */
+  def holtSmooth(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                 valCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1], got $beta")
+    val a = lit(alpha)
+    val ac = lit(1.0 - alpha)
+    val bb = lit(beta)
+    val bc = lit(1.0 - beta)
+    val evs = array_sort(collect_list(struct(col(tsCol).as("ts"),
+      col(idCol).as("id"), col(valCol).cast("double").as("v"))))
+    val first = element_at(col("evs"), 1).getField("v")
+    val rest = slice(col("evs"), lit(2), greatest(size(col("evs")) - 1, lit(0)))
+    val ys = aggregate(rest,
+      struct(first.as("l"), lit(0.0).as("b"), array(first).as("out")),
+      (acc, e) => {
+        val lnew = a * e.getField("v") +
+          ac * (acc.getField("l") + acc.getField("b"))
+        val bnew = bb * (lnew - acc.getField("l")) + bc * acc.getField("b")
+        struct(lnew.as("l"), bnew.as("b"),
+          concat(acc.getField("out"), array(lnew)).as("out"))
+      },
+      acc => acc.getField("out"))
+    df.groupBy(col(keyCol)).agg(evs.as("evs"))
+      .withColumn("ys", ys)
+      .select(col(keyCol), explode(arrays_zip(col("evs"), col("ys"))).as("z"))
+      .select(col(keyCol), col("z.evs.id").as(idCol), col("z.ys").as("holt_level"))
+  }
+
   /** Exact median of a SORTED numeric array column: middle element (odd
     * count) or the IEEE mean of the two middles (even) — spelled
     * explicitly so the engine and the DuckDB oracle share one definition
@@ -617,6 +660,12 @@ object Temporal {
       ewmaSmooth(events(s, dir), "user_id", "ts", "event_id", "value",
         alpha = 0.3)),
 
+    // Holt level+trend smoothing, bit-exact unrounded (oracle replays the
+    // same coupled fold with the same interpolated literal complements)
+    "ts_holt_linear" -> ((s, dir) =>
+      holtSmooth(events(s, dir), "user_id", "ts", "event_id", "value",
+        alpha = 0.5, beta = 0.3)),
+
     "resample_locf" -> ((s, dir) => {
       val stepUs = 6L * 3600 * 1000 * 1000
       val ev = events(s, dir)
@@ -825,6 +874,29 @@ object Temporal {
         |    (acc, x) -> CAST(0.3 AS DOUBLE)*x + CAST(0.7 AS DOUBLE)*acc)
         |    AS ewma
         |FROM u""".stripMargin,
+    // the same coupled recursion as a RECURSIVE CTE stepping t → t+1 —
+    // NOT the ewma oracle's list_reduce: DuckDB's list_reduce evaluates a
+    // struct accumulator's later fields against a PARTIALLY-UPDATED acc
+    // (the 'b' lambda field sees the new 'l'), which silently corrupts any
+    // coupled recursion (observed: b₂ off by exactly the new-l
+    // substitution). Complements INTERPOLATED from the Scala doubles (a
+    // re-derived 1−β could differ by an ulp and snowball through the fold).
+    "ts_holt_linear" -> {
+      val (a, ac, b, bc) = (0.5, 1.0 - 0.5, 0.3, 1.0 - 0.3)
+      s"""WITH RECURSIVE s AS (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+        |  FROM events),
+        |h(user_id, event_id, t, l, b) AS (
+        |  SELECT user_id, event_id, t, v, CAST(0 AS DOUBLE) FROM s WHERE t = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.event_id, s.t,
+        |    CAST($a AS DOUBLE)*s.v + CAST($ac AS DOUBLE)*(h.l + h.b),
+        |    CAST($b AS DOUBLE)*((CAST($a AS DOUBLE)*s.v + CAST($ac AS DOUBLE)*(h.l + h.b)) - h.l)
+        |      + CAST($bc AS DOUBLE)*h.b
+        |  FROM h JOIN s ON s.user_id = h.user_id AND s.t = h.t + 1)
+        |SELECT user_id, event_id, l AS holt_level FROM h""".stripMargin
+    },
     "resample_locf" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
         |p AS (SELECT user_id, ts_us, MAX(value) AS value FROM e GROUP BY 1, 2),

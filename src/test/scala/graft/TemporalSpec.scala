@@ -85,6 +85,41 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("holtSmooth equals a plain Scala coupled fold, bit for bit; " +
+    "tracks a linear ramp EWMA lags") {
+    val rows = Seq( // (user, id, ts, value)
+      (1L, 1L, 10L, 10.0), (1L, 2L, 20L, 20.0), (1L, 3L, 30L, 30.0),
+      (1L, 4L, 40L, 40.0), (1L, 5L, 50L, 50.0),
+      (2L, 6L, 7L, 4.75) // single event: level = value
+    )
+    val (alpha, beta) = (0.5, 0.3)
+    val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val ls = sorted.tail.scanLeft((sorted.head._4, 0.0)) {
+        case ((l, b), e) =>
+          val lnew = alpha * e._4 + (1 - alpha) * (l + b)
+          (lnew, beta * (lnew - l) + (1 - beta) * b)
+      }.map(_._1)
+      sorted.map(_._2).zip(ls).map { case (id, y) => (u, id) -> y }
+    }
+    val df = rows.toDF("user_id", "event_id", "ts", "value")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val got = Temporal.holtSmooth(df, "user_id", "ts", "event_id", "value",
+        alpha, beta)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, w) =>
+      assert(got(k) === w, s"holt drifted at $k") // exact, no tolerance
+    }
+    // on the perfect ramp, Holt's trend closes the gap EWMA structurally
+    // keeps: at the 5th point Holt is nearer the signal than EWMA
+    val ew = Temporal.ewmaSmooth(df, "user_id", "ts", "event_id", "value",
+        alpha).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(got((1L, 5L)) - 50.0) < math.abs(ew((1L, 5L)) - 50.0),
+      s"holt ${got((1L, 5L))} should beat ewma ${ew((1L, 5L))} on a ramp")
+  }
+
   test("rollingMadAnomaly: planted spike flagged, robustness to the spike itself") {
     // user 1: steady series with one spike at id 4 — the spike must flag,
     // and the rows WINDOWING OVER the spike must not (median robustness:
