@@ -186,25 +186,46 @@ object Dedup {
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val ranked = tok.join(dfreq, Seq("tok"))
+      .withColumn("rk", row_number().over(byRarity))
+      .join(sh.select(col("doc_id"), col("sz")), Seq("doc_id"))
     // p = n − ⌈t·n⌉ + 1 with the family's ceil float-guard (−1e-9 only
     // ever LENGTHENS the prefix: extra candidates, never a lost pair)
     val plen = col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1
-    val prefix = tok.join(dfreq, Seq("tok"))
-      .withColumn("rk", row_number().over(byRarity))
-      .join(sh.select(col("doc_id"), col("sz")), Seq("doc_id"))
-      .filter(col("rk") <= plen)
-      .select(col("tok"), col("doc_id").as("id_a"))
+    val prefix = ranked.filter(col("rk") <= plen)
+      .select(col("tok"), col("doc_id").as("id_a"),
+        col("sz").as("sz_a"), col("rk").as("rk_a"))
+    // PPJoin positional filter, containment form: both token lists share
+    // the global rarity order, so at the FIRST collision all common tokens
+    // sit at rank ≥ rk on BOTH sides ⇒ I ≤ 1 + min(sz_a−rk_a, sz_b−rk_b);
+    // a qualifying pair needs I ≥ ⌈t·sz_a⌉ and its first collision always
+    // passes, so dropping failing rows loses no pair. The big casualty is
+    // the GLOBALLY-shared moderately-rare token sitting deep in the
+    // container's order — the cross-shard coincidence collision.
+    val needI = ceil(lit(threshold) * col("sz_a") - lit(1e-9))
     val cand = prefix
-      .join(tok.select(col("tok"), col("doc_id").as("id_b")), Seq("tok"))
-      .filter(col("id_a") =!= col("id_b"))
+      .join(ranked.select(col("tok"), col("doc_id").as("id_b"),
+        col("sz").as("sz_b"), col("rk").as("rk_b")), Seq("tok"))
+      .filter(col("id_a") =!= col("id_b") &&
+        lit(1) + least(col("sz_a") - col("rk_a"),
+          col("sz_b") - col("rk_b")) >= needI)
       .select(col("id_a"), col("id_b")).distinct()
+    // verify with the EARLY-EXIT kernel: candidates that fail (the vast
+    // majority at t = 0.9) bail after ~(1−t)·|a| steps; the floor is
+    // loosened to the round-4 admission boundary (i/na ≥ t − 5e-5 rounds
+    // up to t), so the exact rounding contract below loses nothing
+    val minI = greatest(lit(1),
+      ceil(lit(threshold - 5e-5) * col("na") - lit(1e-9))).cast("int")
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("g").as("ga"),
         col("sz").as("na")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("g").as("gb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("na"),
+        graft.functions.SortedIntersectAtLeast(col("ga"), col("gb"), minI)
+          .as("i"))
+      .filter(col("i") >= 0)
       .select(col("id_a"), col("id_b"),
-        round(graft.functions.SortedIntersectSize(col("ga"), col("gb"))
-          .cast("double") / col("na"), 4).as("containment"))
+        round(col("i").cast("double") / col("na"), 4).as("containment"))
       .filter(col("containment") >= threshold)
   }
 

@@ -147,6 +147,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("SortedIntersectAtLeast: exact when the floor is reached, -1 below, " +
+    "early exit never lies") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { i =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (i, a, b, rnd.nextInt(12))
+    }
+    val got = rows.toDF("id", "a", "b", "need")
+      .select(col("id"), graft.functions.SortedIntersectAtLeast(
+        col("a"), col("b"), col("need")).as("i"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, a, b, need) =>
+      val exact = (a.toSet & b.toSet).size
+      val want = if (exact >= need) exact else -1
+      assert(got(id) === want, s"id=$id a=$a b=$b need=$need exact=$exact")
+    }
+  }
+
   test("Dedup: containment join equals brute force; asymmetric by design") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
