@@ -146,14 +146,23 @@ object Dedup {
           lit(1) + least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk")) >= needI)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+    // verify with the EARLY-EXIT kernel (SortedIntersectAtLeast): a pair
+    // passes iff i ≥ t·(na+nb−i) ⇔ i ≥ t/(1+t)·(na+nb); the floor is
+    // loosened to the round-4 admission boundary (jac ≥ t − 5e-5 rounds
+    // up to t) so the exact rounding contract below loses nothing, and
+    // failing candidates bail after ~(1 − t/(1+t))·min(na,nb) merge steps
+    val tAdm = (threshold - 5e-5) / (1 + threshold - 5e-5)
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("g").as("ga"),
         col("sz").as("na")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("g").as("gb"),
         col("sz").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        graft.functions.SortedIntersectSize(col("ga"), col("gb")).as("i"),
+        graft.functions.SortedIntersectAtLeast(col("ga"), col("gb"),
+          greatest(lit(1), ceil(lit(tAdm) * (col("na") + col("nb")) -
+            lit(1e-9))).cast("int")).as("i"),
         (col("na") + col("nb")).as("ab"))
+      .filter(col("i") >= 0)
       .select(col("id_a"), col("id_b"),
         round(col("i").cast("double") / (col("ab") - col("i")), 4).as("jac"))
       .filter(col("jac") >= threshold)
