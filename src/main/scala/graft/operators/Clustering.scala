@@ -430,6 +430,74 @@ object Clustering {
       .agg(min(col("l_quantity")).as("w"))
   }
 
+  /** Synchronous label propagation (Raghavan, Albert & Kumara, Phys. Rev. E
+    * 2007) with a SELF-VOTE and a pinned tie-break — the deterministic
+    * spelling of LPA community detection: every node starts as its own
+    * label; each round it adopts the most frequent label among its
+    * neighbors PLUS its own previous label (the retention term that damps
+    * the synchronous variant's bipartite oscillation), ties to the
+    * smallest label. Fixed `rounds`, so the assignment is a pure function
+    * of the graph — the async/random-order variants converge faster but
+    * are irreproducible, exactly what a gated pipeline cannot use.
+    *
+    * Scale shape per round: ONE labels⋈edges equi join (shuffle bounded by
+    * the edge list), a (node, label) count, and a per-node argmax window —
+    * all hash-partitioned on node; labels are localCheckpoint-pinned so
+    * round r+1 never replans rounds 1..r (the k-core lineage lesson).
+    */
+  def lpaCommunities(edges: DataFrame, rounds: Int): DataFrame = {
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+    val sym = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    val byVotes = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("n").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .select(col("src"), col("label"))
+        .unionByName(labels.select(col("node").as("src"), col("label")))
+      labels = votes.groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(byVotes))
+        .filter(col("rk") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Unrolled oracle for [[lpaCommunities]]: the same `rounds` synchronous
+    * vote-argmax steps as chained CTEs — deterministic by construction
+    * (fixed rounds, self-vote, min-label ties), so both engines assign
+    * identical labels.
+    */
+  private def lpaOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS u, l_suppkey + 1099511627776 AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym)""".stripMargin)
+    for (i <- 0 until rounds) {
+      sb.append(s""",
+        |v${i + 1} AS (SELECT s.u AS node, l.label FROM sym s
+        |  JOIN l$i l ON l.node = s.v
+        |  UNION ALL SELECT node, label FROM l$i),
+        |c${i + 1} AS (SELECT node, label, COUNT(*) AS n FROM v${i + 1} GROUP BY 1, 2),
+        |l${i + 1} AS MATERIALIZED (SELECT node, label FROM (
+        |  SELECT node, label, ROW_NUMBER() OVER
+        |    (PARTITION BY node ORDER BY n DESC, label) AS rk FROM c${i + 1})
+        |  WHERE rk = 1)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node, label FROM l$rounds""".stripMargin)
+    sb.toString
+  }
+
   /** Link-prediction scores from a seed cohort (Liben-Nowell & Kleinberg,
     * CIKM 2003): for each seed a and every node b sharing ≥ `minCommon`
     * neighbors, the common-neighbor count and the neighbor-set Jaccard
@@ -652,6 +720,12 @@ object Clustering {
         maxHops = 3)
         .select(col("node"), col("dist").cast("long").as("dist"))),
 
+    // deterministic sync-LPA communities on the trade graph, 3 rounds with
+    // self-vote and min-label ties — full hash oracle (pure function of
+    // the graph; DuckDB unrolls the same vote-argmax rounds)
+    "graph_lpa_communities" -> ((s, dir) =>
+      lpaCommunities(tradeEdgesDistinct(s, dir), rounds = 3)),
+
     // link-prediction scores from the same seed cohort: customers sharing
     // ≥ 5 suppliers with a seed, scored by common count + neighbor Jaccard
     // (full hash oracle — exact integer counts, round-4 ratio)
@@ -721,6 +795,7 @@ object Clustering {
   def oracles: Map[String, String] = Map(
     "graph_kcore" -> kCoreOracleSql(k = 40, rounds = 8),
     "graph_sssp_bounded" -> ssspOracleSql(rounds = 3),
+    "graph_lpa_communities" -> lpaOracleSql(rounds = 3),
     // customer→supplier adjacency (no id offset needed: both sides of the
     // similarity are customers; suppliers only appear as join keys)
     "graph_link_prediction" ->
