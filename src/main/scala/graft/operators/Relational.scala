@@ -469,6 +469,30 @@ object Relational {
           col("n").as("mode_n"))
     }),
 
+    // exact WEIGHTED median (lower): the smallest value whose running
+    // weight reaches half the group's total — integer weights keep the
+    // comparison exact, and the "2·cum ≥ total" form avoids ever dividing.
+    // One sort-window pass + one aggregation; the engines' own
+    // percentile/median functions interpolate (and disagree), this
+    // definition is engine-free
+    "a22_weighted_median" -> ((s, dir) => {
+      val byPrice = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val whole = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("wt"))
+        .withColumn("cumw", sum(col("wt")).over(byPrice))
+        .withColumn("totw", sum(col("wt")).over(whole))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_extendedprice")).as("weighted_median"),
+          max(col("totw")).as("total_weight"))
+    }),
+
     // Pearson correlation + OLS fit, BIT-EXACT across engines: the moment
     // sums accumulate in LONGS (whole-dollar prices, integral quantities —
     // exact and order-independent; actual magnitudes stay < 2^53 so the
@@ -1531,6 +1555,22 @@ object Relational {
         |  (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rk FROM c)
         |SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n
         |FROM r WHERE rk = 1""".stripMargin,
+    // the same running-weight definition; the (orderkey, linenumber)
+    // tiebreak makes the cumulative sum deterministic under equal prices
+    "a22_weighted_median" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cumw,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag) AS totw
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  MIN(l_extendedprice) AS weighted_median,
+        |  CAST(MAX(totw) AS BIGINT) AS total_weight
+        |FROM w WHERE cumw * 2 >= totw
+        |GROUP BY l_returnflag""".stripMargin,
     // the SAME long moment sums and the SAME parenthesized double
     // expression tree — IEEE-correctly-rounded ops on identical inputs
     "a21_corr_linfit" ->

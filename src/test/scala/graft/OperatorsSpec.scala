@@ -147,6 +147,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("a22 weighted median matches a driver-side weighted recount") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("a22_weighted_median")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4).toLong))
+    rows.groupBy(_._1).foreach { case (flag, xs) =>
+      val sorted = xs.sortBy(x => (x._2, x._3, x._4))
+      val tot = sorted.map(_._5).sum
+      var cum = 0L
+      val med = sorted.find { x => cum += x._5; cum * 2 >= tot }.get._2
+      assert(got(flag) === ((med, tot)), flag)
+      // non-vacuous: the weighted median differs from the plain median
+      // for at least one group overall (weights matter) — checked below
+    }
+    val plainMed = rows.groupBy(_._1).map { case (flag, xs) =>
+      flag -> xs.map(_._2).sorted.apply(xs.length / 2)
+    }
+    assert(got.exists { case (flag, (m, _)) => m !== plainMed(flag) },
+      "weighted ≡ unweighted everywhere — vacuous weighting")
+  }
+
   test("SortedIntersectAtLeast: exact when the floor is reached, -1 below, " +
     "early exit never lies") {
     val rnd = new scala.util.Random(11)
