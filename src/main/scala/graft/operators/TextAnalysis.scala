@@ -309,6 +309,46 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("lm_score"))
   }
 
+  /** Collocation mining by exact LIFT (Church & Hanks' PMI, ACL 1989,
+    * without the log): lift(w₁w₂) = p(w₁w₂) / (p(w₁)·p(w₂)) =
+    * c₁₂·N²u / (N_b·c₁·c₂). PMI = log(lift) is MONOTONE in lift, so
+    * ranking by lift IS ranking by PMI — while the statistic stays a pure
+    * ratio of exact longs, closed by one shared parenthesized double
+    * expression both engines evaluate identically (no transcendental in
+    * the gate). The count floor is the classic PMI fix: rare pairs
+    * otherwise dominate with huge, meaningless scores.
+    *
+    * Scale shape: two hash aggregations (unigram + bigram counts over one
+    * tokenize pass), two broadcast-joinable frequency lookups, and a
+    * top-k; the two corpus totals are single-scalar actions (metadata,
+    * never row data).
+    */
+  def collocations(d: DataFrame, minCount: Int, topK: Int): DataFrame = {
+    val base = d.filter(col("text").isNotNull)
+      .select(tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .localCheckpoint() // reused: bigram + unigram arms and both totals
+    val nm1 = size(col("toks")) - 1
+    val big = base.select(
+        explode(zip_with(slice(col("toks"), lit(1), nm1),
+          slice(col("toks"), lit(2), nm1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = base.select(explode(col("toks")).as("tok"))
+    val nUni = uni.count().toDouble
+    val nBig = big.count().toDouble
+    val cu = uni.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .join(cu.select(col("tok").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .join(cu.select(col("tok").as("w2"), col("cu").as("c2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(col("n_pair").cast("double") * lit(nUni) * lit(nUni) /
+          (lit(nBig) * col("c1").cast("double") * col("c2").cast("double")),
+          4).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2")).limit(topK)
+  }
+
   /** Encoding/mojibake signals: the share of characters that are non-ASCII,
     * the Unicode replacement character U+FFFD (the definitive transcoding-
     * damage marker), digits, and uppercase letters. Pure per-row column
@@ -474,6 +514,11 @@ object TextAnalysis {
     // corpus' own add-one-smoothed bigram model
     "text_bigram_lm_score" -> ((s, dir) => bigramLmScore(docs(s, dir))),
 
+    // top-50 collocations by exact lift (count floor 5) — PMI ranking
+    // without PMI's transcendental (oracle-gated)
+    "text_collocations" -> ((s, dir) =>
+      collocations(docs(s, dir), minCount = 5, topK = 50)),
+
     // encoding damage / character-class signals with an English-corpus gate
     "text_encoding_signal" -> ((s, dir) =>
       docs(s, dir)
@@ -611,6 +656,31 @@ object TextAnalysis {
         |     JOIN cu ON big.w1 = cu.w1
         |     CROSS JOIN v
         |GROUP BY big.doc_id""".stripMargin,
+    // the same bigram derivation as the LM oracle; ONE shared double
+    // expression (identical association order) closes the lift
+    "text_collocations" ->
+      """WITH base AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |  WHERE text IS NOT NULL
+        |    AND len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        |big AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+        |         unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+        |  FROM base),
+        |uni AS (SELECT unnest(toks) AS tok FROM base),
+        |nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nu FROM uni),
+        |nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nb FROM big),
+        |cu AS (SELECT tok, COUNT(*) AS cu FROM uni GROUP BY tok),
+        |cb AS (SELECT w1, w2, COUNT(*) AS n_pair FROM big
+        |       GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+        |SELECT cb.w1, cb.w2, cb.n_pair,
+        |  ROUND(CAST(cb.n_pair AS DOUBLE) * nu.nu * nu.nu /
+        |        (nb.nb * CAST(c1.cu AS DOUBLE) * CAST(c2.cu AS DOUBLE)), 4) AS lift
+        |FROM cb JOIN cu c1 ON c1.tok = cb.w1
+        |        JOIN cu c2 ON c2.tok = cb.w2
+        |CROSS JOIN nu CROSS JOIN nb
+        |ORDER BY lift DESC, cb.w1, cb.w2 LIMIT 50""".stripMargin,
     "text_encoding_signal" ->
       """WITH t AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
         |r AS (SELECT doc_id,

@@ -961,4 +961,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("collocations: planted phrase tops by lift; count floor; hand numbers") {
+    // "san francisco" co-occurs ONLY with itself (6 docs); the fillers are
+    // corpus-wide — its lift must strictly dominate while every filler
+    // pair lands at the same baseline
+    val docs = (
+      Seq.tabulate(6)(i => (i.toLong, "alpha beta san francisco alpha beta")) ++
+      Seq.tabulate(6)(i => (i + 6L, "alpha beta gamma alpha beta gamma"))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, minCount = 5, topK = 50)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // hand numbers: N_uni = 72, N_bi = 60; c(san)=c(francisco)=6,
+    // c12 = 6 → lift = 6·72²/(60·6·6) = 14.4; filler pairs score 3.6
+    // except (gamma, alpha) whose ends are both common: 6·72²/(60·12·24)
+    // = 1.8 — the PMI property (rare-and-faithful beats common) in one row
+    assert(out.head === (("san", "francisco", 6L, 14.4)))
+    out.tail.foreach { case (w1, w2, _, lift) =>
+      val want = if ((w1, w2) == (("gamma", "alpha"))) 1.8 else 3.6
+      assert(lift === want, s"$w1 $w2")
+    }
+    // the floor prunes: a pair seen < 5 times (delta tail) never appears
+    val withTail = docs.union(
+      Seq((99L, "delta epsilon")).toDF("doc_id", "text"))
+    val pruned = TextAnalysis.collocations(withTail, minCount = 5, topK = 50)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!pruned.contains(("delta", "epsilon")))
+  }
 }
