@@ -94,17 +94,32 @@ object Analytics {
     * the exact point set, strictness, and duplicate handling.
     */
   def skyline(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
-    val pts = df.withColumn("sk_g", group).withColumn("sk_x", x)
-      .withColumn("sk_y", y)
-    val perX = pts.groupBy(col("sk_g"), col("sk_x"))
-      .agg(min(col("sk_y")).as("min_y_eq"))
-    val w = Window.partitionBy(col("sk_g")).orderBy(col("sk_x"))
+    // Internal working columns are made collision-free against the caller's
+    // schema (a caller column literally named "sk_x" must survive), and the
+    // join back is NULL-SAFE (<=>): a NULL group or NULL x forms its own
+    // bucket and is ranked within it (NULL x sorts first, i.e. "smallest x"
+    // by Spark's asc-nulls-first — a defined convention, not a silent drop).
+    // A NULL y is explicitly rejected: dominance over an unknown value is
+    // undefined, and min() would ignore it anyway — the filter names it.
+    def fresh(base: String): String = {
+      var n = base
+      while (df.columns.contains(n)) n += "_"
+      n
+    }
+    val (gC, xC, yC) = (fresh("sk_g"), fresh("sk_x"), fresh("sk_y"))
+    val (eqC, ltC) = (fresh("sk_min_y_eq"), fresh("sk_min_y_lt"))
+    val (gR, xR) = (fresh("sk_g_r"), fresh("sk_x_r"))
+    val pts = df.withColumn(gC, group).withColumn(xC, x).withColumn(yC, y)
+      .filter(col(yC).isNotNull)
+    val perX = pts.groupBy(col(gC), col(xC)).agg(min(col(yC)).as(eqC))
+    val w = Window.partitionBy(col(gC)).orderBy(col(xC))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val pref = perX.withColumn("min_y_lt", min(col("min_y_eq")).over(w))
-    pts.join(pref, Seq("sk_g", "sk_x"))
-      .filter(col("min_y_eq") === col("sk_y") &&
-        (col("min_y_lt").isNull || col("min_y_lt") > col("sk_y")))
-      .drop("sk_g", "sk_x", "sk_y", "min_y_eq", "min_y_lt")
+    val pref = perX.withColumn(ltC, min(col(eqC)).over(w))
+      .select(col(gC).as(gR), col(xC).as(xR), col(eqC), col(ltC))
+    pts.join(pref, col(gC) <=> col(gR) && col(xC) <=> col(xR))
+      .filter(col(eqC) === col(yC) &&
+        (col(ltC).isNull || col(ltC) > col(yC)))
+      .drop(gC, xC, yC, gR, xR, eqC, ltC)
   }
 
   // Events timestamps compare at MICROSECOND grain everywhere in this

@@ -448,8 +448,13 @@ object Clustering {
   def lpaCommunities(edges: DataFrame, rounds: Int): DataFrame = {
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
+    // Dedup AFTER symmetrizing: an input carrying both orientations of the
+    // same pair (or a self-loop) would otherwise appear twice in sym and
+    // double that neighbor's vote — LPA is frequency-sensitive, so edge
+    // multiplicity here is a correctness bug, not a cosmetic one.
     val sym = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
       .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
@@ -480,7 +485,7 @@ object Clustering {
       """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT o_custkey AS u, l_suppkey + 1099511627776 AS v
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |sym AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym)""".stripMargin)
     for (i <- 0 until rounds) {
       sb.append(s""",

@@ -327,12 +327,17 @@ object Privacy {
         |SELECT w, COUNT(*) AS n_buckets, MIN(bn) AS min_group_n
         |FROM bw GROUP BY w""".stripMargin,
     // the SAME threshold Longs the Spark side broadcasts, as a VALUES
-    // list — the oracle replays the mechanism, it does not re-derive it
+    // list — the oracle replays the mechanism, it does not re-derive it.
+    // Quasi columns are COALESCE'd to '' to match the Spark u52 exactly:
+    // Spark's concat_ws keeps the separator around a coalesced '' while
+    // DuckDB's concat_ws SKIPS a NULL argument, so a NULL quasi value
+    // would hash (and therefore noise) differently between the engines.
     "privacy_dp_counts" ->
       s"""WITH nt(noise_k, nt_lo, nt_hi) AS (VALUES ${noiseValuesSql(1, 2)}),
         |g AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
-        |  ('0x' || substr(md5(concat_ws('-', 'dp-v1', c_mktsegment,
-        |    CAST(c_nationkey AS VARCHAR))), 1, 13))::UBIGINT AS u52
+        |  ('0x' || substr(md5(concat_ws('-', 'dp-v1',
+        |    COALESCE(CAST(c_mktsegment AS VARCHAR), ''),
+        |    COALESCE(CAST(c_nationkey AS VARCHAR), ''))), 1, 13))::UBIGINT AS u52
         |  FROM customer GROUP BY 1, 2)
         |SELECT c_mktsegment, c_nationkey, CAST(n + noise_k AS BIGINT) AS noisy_n
         |FROM g JOIN nt ON g.u52 >= nt.nt_lo AND g.u52 < nt.nt_hi""".stripMargin,
@@ -340,7 +345,8 @@ object Privacy {
       s"""WITH nt(noise_k, nt_lo, nt_hi) AS (VALUES ${noiseValuesSql(1, 2)}),
         |g AS (SELECT c_mktsegment,
         |  SUM(GREATEST(0, LEAST(CAST(TRUNC(c_acctbal) AS BIGINT), 5000))) AS clipped_sum,
-        |  ('0x' || substr(md5(concat_ws('-', 'dp-sum-v1', c_mktsegment)),
+        |  ('0x' || substr(md5(concat_ws('-', 'dp-sum-v1',
+        |    COALESCE(CAST(c_mktsegment AS VARCHAR), ''))),
         |    1, 13))::UBIGINT AS u52
         |  FROM customer GROUP BY 1)
         |SELECT c_mktsegment,
