@@ -11,6 +11,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // list mode: print every entry name and exit — the seam the chunked
+    // isolated-JVM battery driver (tools/bench_isolated.py) enumerates
+    // from, so the entry list can never drift from the code
+    if (sys.env.get("SPARK_GRAFT_LIST").exists(_.nonEmpty)) {
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -24,6 +31,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Per-entry SQLMetrics capture: the listener collects EVERY successful
+    // action's QueryExecution during a timed run — iterative entries (LPA
+    // rounds, k-means training, localCheckpoint pins) execute several jobs
+    // before the final noop save, and their shuffles are part of the
+    // entry's data-volume story. After the run the plans' accumulated
+    // metrics (shuffle/spill/scan bytes) are summed into one record; a
+    // checkpointed subplan executes once and is read back as an RDD scan,
+    // so summing across the QEs never double-counts a shuffle. The
+    // ExecutionListenerBus is ASYNC, so the harness polls until the
+    // capture buffer stops growing (timing is already recorded by then —
+    // the poll can never contaminate a measurement).
+    val capturedQes =
+      new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.execution.QueryExecution]
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = { capturedQes.add(qe) }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    })
+    def awaitMetrics(): Option[Map[String, Long]] = {
+      val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+      var size = -1
+      while (System.nanoTime() < deadline &&
+             (capturedQes.isEmpty || capturedQes.size != size)) {
+        size = capturedQes.size
+        Thread.sleep(50)
+      }
+      import scala.jdk.CollectionConverters._
+      val all = capturedQes.asScala.toSeq
+      if (all.isEmpty) None
+      else Some(all.map(PlanMetrics.collect)
+        .reduce((a, b) => a.map { case (k, v) => k -> (v + b.getOrElse(k, 0L)) }))
+    }
 
     // Warm the JVM/codegen/FS once so q1 doesn't absorb session startup.
     SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -56,24 +99,31 @@ object Bench {
     // "improvements" because the catch recorded elapsed-to-fail as a timing.
     // Any failed sample now turns the whole entry into an `errors` record
     // (a query that fails even once has no trustworthy timing).
-    val results: Seq[(String, Either[String, Double])] = selected.map { case (name, fn) =>
-      var err: Option[String] = None
-      val times = (1 to runs).flatMap { _ =>
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        System.gc()
-        Thread.sleep(100)
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          err = Some(e.toString)
-          None
+    val results: Seq[(String, Either[String, (Double, Option[Map[String, Long]])])] =
+      selected.map { case (name, fn) =>
+        var err: Option[String] = None
+        var metrics: Option[Map[String, Long]] = None
+        val times = (1 to runs).flatMap { _ =>
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          System.gc()
+          Thread.sleep(100)
+          capturedQes.clear()
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            // metrics from the last successful run: data-volume metrics are
+            // a pure function of plan × data, identical across repeat runs
+            awaitMetrics().foreach(m => metrics = Some(m))
+            Some(dt)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            err = Some(e.toString)
+            None
+          }
         }
+        name -> err.toLeft((times.min, metrics))
       }
-      name -> err.toLeft(times.min)
-    }
     val line = renderJson(results, sfDir)
     println(line)
     // The record is the gate — make it durable: two consecutive driver
@@ -89,19 +139,27 @@ object Bench {
   }
 
   /** One-line bench record: successful entries under `queries` (seconds),
-    * failed entries under `errors` (message, truncated) with an explicit
-    * `error_count` — pure so a spec can pin that a broken entry can never
-    * surface as a timing.
+    * per-entry data-volume metrics under `metrics` (shuffle/spill/scan
+    * bytes from the executed plan's SQLMetrics — the scale witness that
+    * survives a noisy host), failed entries under `errors` (message,
+    * truncated) with an explicit `error_count` — pure so a spec can pin
+    * that a broken entry can never surface as a timing.
     */
-  def renderJson(results: Seq[(String, Either[String, Double])], sf: String): String = {
-    val ok = results.collect { case (k, Right(v)) => k -> v }
+  def renderJson(results: Seq[(String, Either[String, (Double, Option[Map[String, Long]])])],
+                 sf: String): String = {
+    val ok = results.collect { case (k, Right((v, _))) => k -> v }
+    val ms = results.collect { case (k, Right((_, Some(m)))) => k -> m }
     val errs = results.collect { case (k, Left(m)) => k -> m }
     val qs = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val mjs = ms.map { case (k, m) =>
+      jsonQuote(k) + ":" + m.toSeq.sortBy(_._1)
+        .map { case (mk, mv) => s"${jsonQuote(mk)}:$mv" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => s"${jsonQuote(k)}:${jsonQuote(m.take(400))}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      s""""errors":$es,"error_count":${errs.size},"sf":"$sf"}"""
+      s""""metrics":$mjs,"errors":$es,"error_count":${errs.size},"sf":"$sf"}"""
   }
 
   /** JSON string literal: escapes backslash, quote, and all control chars —

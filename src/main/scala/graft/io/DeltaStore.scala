@@ -155,4 +155,39 @@ object DeltaStore {
     fs.delete(p(s"${base}_old"), true)
     fs.delete(new Path(s"$indexDir/$base/$FoldedManifest"), false)
   }
+
+  /** Ratio-triggered auto-compaction: fold iff live-delta bytes exceed
+    * `maxRatio` × base bytes. Returns whether a compaction ran.
+    *
+    * The trigger is sized from the FS LISTING (bytes are proportional to
+    * rows at equal schema), so the check itself costs a directory walk,
+    * never a Spark job — cheap enough to call after EVERY append. Why a
+    * ratio, not a count: each live delta is an extra unpruned listing on
+    * every search (the IVF-PQ append_search lane measured 3.2× slope at
+    * 10× data vs the compacted store's 2.1×), and the read-amplification
+    * a delta causes is proportional to its size relative to the base —
+    * a tiny streaming micro-batch shouldn't force a full base rewrite,
+    * while a bulk append of 30% of the corpus should fold immediately.
+    * At `maxRatio` the steady-state rewrite amortization is ~1/maxRatio
+    * bytes written per byte ingested, the classic LSM trade.
+    */
+  def maybeCompact(spark: SparkSession, indexDir: String, base: String,
+                   partitionCol: String, maxRatio: Double = 0.2,
+                   preCommit: (String, Seq[String]) => Unit = (_, _) => ()): Boolean = {
+    require(maxRatio > 0, s"maxRatio must be positive, got $maxRatio")
+    val fs = AtomicPublish.fsFor(spark, indexDir)
+    val view = resolveDirs(spark, indexDir, base)
+    val (deltaDirs, baseDirs) =
+      view.partition(d => new Path(d).getName.startsWith("delta"))
+    if (deltaDirs.isEmpty) return false
+    def bytes(d: String): Long = {
+      val path = new Path(d)
+      if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+    }
+    val baseBytes = baseDirs.map(bytes).sum
+    val deltaBytes = deltaDirs.map(bytes).sum
+    if (deltaBytes.toDouble <= maxRatio * baseBytes) return false
+    compactDeltas(spark, indexDir, base, partitionCol, preCommit)
+    true
+  }
 }

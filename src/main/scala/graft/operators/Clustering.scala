@@ -445,7 +445,31 @@ object Clustering {
     * all hash-partitioned on node; labels are localCheckpoint-pinned so
     * round r+1 never replans rounds 1..r (the k-core lineage lesson).
     */
-  def lpaCommunities(edges: DataFrame, rounds: Int): DataFrame = {
+  def lpaCommunities(edges: DataFrame, rounds: Int): DataFrame =
+    lpaDetail(edges, rounds, stopOnConverge = false)._1
+
+  /** [[lpaCommunities]] with a CONVERGENCE stop: rounds run until no node
+    * changes label, capped at `maxRounds`. The result is IDENTICAL to
+    * `lpaCommunities(edges, maxRounds)` whenever convergence happens at or
+    * before the cap — "no label change" is a FIXED POINT of the
+    * synchronous update (identical labels ⇒ identical votes ⇒ identical
+    * argmax next round), so the stopped assignment and every later round's
+    * are the same relation. That confluence is what lets the battery gate
+    * this operator with the same unrolled `maxRounds`-round oracle as the
+    * fixed-round form: converged early or not, both engines land on the
+    * round-`maxRounds` labels. Cost: one emptiness probe per round (an
+    * anti-join LIMIT 1 on the already-checkpointed label relations), saved
+    * rounds times the full vote-join — the usual trade a real community
+    * detection run takes.
+    */
+  def lpaCommunitiesConverged(edges: DataFrame, maxRounds: Int): DataFrame =
+    lpaDetail(edges, maxRounds, stopOnConverge = true)._1
+
+  /** The LPA loop body shared by the fixed-round and converged forms;
+    * returns (labels, roundsRun) — the spec pins early stop via the count.
+    */
+  private[graft] def lpaDetail(edges: DataFrame, maxRounds: Int,
+                               stopOnConverge: Boolean): (DataFrame, Int) = {
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
     // Dedup AFTER symmetrizing: an input carrying both orientations of the
@@ -460,19 +484,32 @@ object Clustering {
       .withColumn("label", col("node")).localCheckpoint()
     val byVotes = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("n").desc, col("label"))
-    for (_ <- 1 to rounds) {
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
       val votes = sym
         .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
         .select(col("src"), col("label"))
         .unionByName(labels.select(col("node").as("src"), col("label")))
-      labels = votes.groupBy(col("src"), col("label"))
+      val next = votes.groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("n"))
         .withColumn("rk", row_number().over(byVotes))
         .filter(col("rk") === 1)
         .select(col("src").as("node"), col("label"))
         .localCheckpoint()
+      round += 1
+      if (stopOnConverge) {
+        // emptiness probe, not a full count: both relations are pinned
+        // checkpoints, the join is node-hash-partitioned, and LIMIT 1
+        // short-circuits the scan on the first changed label
+        converged = next
+          .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+          .filter(col("label") =!= col("prev"))
+          .limit(1).count() == 0L
+      }
+      labels = next
     }
-    labels
+    (labels, round)
   }
 
   /** Unrolled oracle for [[lpaCommunities]]: the same `rounds` synchronous
@@ -731,6 +768,12 @@ object Clustering {
     "graph_lpa_communities" -> ((s, dir) =>
       lpaCommunities(tradeEdgesDistinct(s, dir), rounds = 3)),
 
+    // convergence-stopped LPA under a 5-round cap — the fixed-point
+    // confluence makes the unrolled 5-round oracle exact whether the stop
+    // fires or the cap is hit (see lpaCommunitiesConverged)
+    "graph_lpa_converged" -> ((s, dir) =>
+      lpaCommunitiesConverged(tradeEdgesDistinct(s, dir), maxRounds = 5)),
+
     // link-prediction scores from the same seed cohort: customers sharing
     // ≥ 5 suppliers with a seed, scored by common count + neighbor Jaccard
     // (full hash oracle — exact integer counts, round-4 ratio)
@@ -801,6 +844,9 @@ object Clustering {
     "graph_kcore" -> kCoreOracleSql(k = 40, rounds = 8),
     "graph_sssp_bounded" -> ssspOracleSql(rounds = 3),
     "graph_lpa_communities" -> lpaOracleSql(rounds = 3),
+    // same unrolled recipe at the cap: by the fixed-point argument the
+    // engine's early-stopped labels equal the round-5 labels exactly
+    "graph_lpa_converged" -> lpaOracleSql(rounds = 5),
     // customer→supplier adjacency (no id offset needed: both sides of the
     // similarity are customers; suppliers only appear as join keys)
     "graph_link_prediction" ->

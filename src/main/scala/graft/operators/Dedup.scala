@@ -114,11 +114,18 @@ object Dedup {
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    // prefix length n − ⌈t·n⌉ + 1, float-guarded: t·n computed in binary
-    // can land a hair ABOVE the exact product and bump the ceil, SHORTENING
-    // the prefix and silently breaking completeness — the +1e-9 floor form
-    // only ever errs one token LONGER (more candidates, never fewer)
-    val plen = col("sz") - floor(lit(threshold) * col("sz") + lit(1e-9)) + 1
+    // prefix length n − ⌈t'·n⌉ + 1 with t' = t − 5e-5 — every candidate
+    // bound (prefix, positional, length) derives from the SAME loosened
+    // threshold the verify arm admits at (jac ≥ t − 5e-5 rounds up to t at
+    // round-4), so the candidate stage is provably a superset of the
+    // round-4 relation at any document size; with the strict t a doc of
+    // ≥ ~20k distinct shingles could pass the rounding admission yet be
+    // pruned. Float-guarded: t'·n computed in binary can land a hair ABOVE
+    // the exact product and bump the ceil, SHORTENING the prefix and
+    // silently breaking completeness — the +1e-9 floor form only ever errs
+    // one token LONGER (more candidates, never fewer).
+    val tLoose = threshold - 5e-5
+    val plen = col("sz") - floor(lit(tLoose) * col("sz") + lit(1e-9)) + 1
     val prefix = tok.join(dfreq, Seq("tok"))
       .withColumn("rk", row_number().over(byRarity))
       .join(sh.select(col("doc_id"), col("sz")), Seq("doc_id"))
@@ -133,7 +140,7 @@ object Dedup {
     // at sf0.1: 52M raw collision rows → 7.2M surviving the length +
     // positional filters BEFORE the distinct shuffle. (The −1e-9 is the
     // same ceil float-guard as plen, erring on the weaker bound.)
-    val needI = ceil(lit(threshold / (1 + threshold)) *
+    val needI = ceil(lit(tLoose / (1 + tLoose)) *
       (col("x.sz") + col("y.sz")) - lit(1e-9))
     // Length filter with the same float guard as plen/needI: t·sz computed
     // in binary can round a hair ABOVE the exact product at an exact
@@ -141,8 +148,8 @@ object Dedup {
     // pair — the −1e-9 only ever admits extra candidates (verified away).
     val cand = prefix.alias("x").join(prefix.alias("y"),
         col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
-          col("x.sz") >= lit(threshold) * col("y.sz") - lit(1e-9) &&
-          col("y.sz") >= lit(threshold) * col("x.sz") - lit(1e-9) &&
+          col("x.sz") >= lit(tLoose) * col("y.sz") - lit(1e-9) &&
+          col("y.sz") >= lit(tLoose) * col("x.sz") - lit(1e-9) &&
           lit(1) + least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk")) >= needI)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
@@ -198,20 +205,27 @@ object Dedup {
     val ranked = tok.join(dfreq, Seq("tok"))
       .withColumn("rk", row_number().over(byRarity))
       .join(sh.select(col("doc_id"), col("sz")), Seq("doc_id"))
-    // p = n − ⌈t·n⌉ + 1 with the family's ceil float-guard (−1e-9 only
-    // ever LENGTHENS the prefix: extra candidates, never a lost pair)
-    val plen = col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1
+    // p = n − ⌈t'·n⌉ + 1 with t' = t − 5e-5: BOTH pruning bounds (prefix
+    // length here, positional filter below) derive from the SAME loosened
+    // threshold the verify arm admits at (i/na ≥ t − 5e-5 rounds up to t at
+    // round-4), so the candidate stage is provably a superset of the
+    // round-4 relation at ANY document size — with the strict t a doc of
+    // ≥ ~20k distinct shingles could have i = ⌈t·n⌉ − 1 round up to t yet
+    // be pruned. The ceil float-guard (−1e-9) only ever LENGTHENS the
+    // prefix: extra candidates, never a lost pair.
+    val tLoose = threshold - 5e-5
+    val plen = col("sz") - ceil(lit(tLoose) * col("sz") - lit(1e-9)) + 1
     val prefix = ranked.filter(col("rk") <= plen)
       .select(col("tok"), col("doc_id").as("id_a"),
         col("sz").as("sz_a"), col("rk").as("rk_a"))
     // PPJoin positional filter, containment form: both token lists share
     // the global rarity order, so at the FIRST collision all common tokens
     // sit at rank ≥ rk on BOTH sides ⇒ I ≤ 1 + min(sz_a−rk_a, sz_b−rk_b);
-    // a qualifying pair needs I ≥ ⌈t·sz_a⌉ and its first collision always
+    // a qualifying pair needs I ≥ ⌈t'·sz_a⌉ and its first collision always
     // passes, so dropping failing rows loses no pair. The big casualty is
     // the GLOBALLY-shared moderately-rare token sitting deep in the
     // container's order — the cross-shard coincidence collision.
-    val needI = ceil(lit(threshold) * col("sz_a") - lit(1e-9))
+    val needI = ceil(lit(tLoose) * col("sz_a") - lit(1e-9))
     val cand = prefix
       .join(ranked.select(col("tok"), col("doc_id").as("id_b"),
         col("sz").as("sz_b"), col("rk").as("rk_b")), Seq("tok"))
@@ -219,10 +233,20 @@ object Dedup {
         lit(1) + least(col("sz_a") - col("rk_a"),
           col("sz_b") - col("rk_b")) >= needI)
       .select(col("id_a"), col("id_b")).distinct()
-    // verify with the EARLY-EXIT kernel: candidates that fail (the vast
-    // majority at t = 0.9) bail after ~(1−t)·|a| steps; the floor is
-    // loosened to the round-4 admission boundary (i/na ≥ t − 5e-5 rounds
-    // up to t), so the exact rounding contract below loses nothing
+    verifyContainment(cand, sh, threshold)
+  }
+
+  /** Shared exact-verify arm of the containment family: candidate pairs
+    * (id_a, id_b) are scored with the EARLY-EXIT kernel — candidates that
+    * fail (the vast majority at t = 0.9) bail after ~(1−t)·|a| merge steps;
+    * the floor is loosened to the round-4 admission boundary (i/na ≥
+    * t − 5e-5 rounds up to t), so the exact rounding contract below loses
+    * nothing. EVERY containment tier (exact-prefix and banded) funnels its
+    * candidates through this one kernel, which is what makes "approximate
+    * admissions ⊆ the exact relation" true BY CONSTRUCTION, not by gate.
+    */
+  private def verifyContainment(cand: DataFrame, sh: DataFrame,
+                                threshold: Double): DataFrame = {
     val minI = greatest(lit(1),
       ceil(lit(threshold - 5e-5) * col("na") - lit(1e-9))).cast("int")
     cand
@@ -236,6 +260,119 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("i").cast("double") / col("na"), 4).as("containment"))
       .filter(col("containment") >= threshold)
+  }
+
+  /** BANDED approximate containment join — the 100 TB twin of
+    * [[containmentPrefixPairs]]. The exact lane's asymptotic weakness is
+    * candidate growth: its prefix tokens probe FULL posting lists, and on
+    * a shared-vocabulary corpus a moderately-common shingle's posting list
+    * grows linearly with the corpus, making the candidate stage
+    * super-linear (measured 23× at 10× data at sf1). This tier changes the
+    * candidate-generation shape, not the relation:
+    *
+    *  1. df-capped postings — only DISCRIMINATIVE tokens generate
+    *     candidates; a super-common token's posting list is the quadratic
+    *     bomb, and it carries almost no signal (everyone has it).
+    *     Discriminativeness is RELATIVE: the cap is
+    *     max(`dfFloor`, `dfFrac`·N) — "appears in at most that fraction
+    *     of the corpus". An absolute cap is a scale-dependent constant: a
+    *     512-doc cap that admits 15% of a 3.3k corpus admits 1.5% of a
+    *     33k corpus, and at sf1 it silently starved most docs of any
+    *     banding signal (562/763 strong pairs missed, found by the sf1
+    *     gate run — the same class of bug as the r14 Hilbert 31-bit
+    *     grid). Candidate rows are bounded by Σ_prefix-token df with
+    *     df ≤ dfFrac·N; the RAREST-first prefix ordering keeps typical
+    *     probed df far below the cap, so growth is near-linear in
+    *     practice (measured, not assumed — see the slope rows).
+    *  2. rare-prefix banding — each contained doc probes only its
+    *     max(4, ⌈`probeFrac`·n⌉) rarest discriminative tokens. The exact
+    *     theorem's full prefix (≈ (1−t)·n) guarantees WEAK-pair recall,
+    *     which an approximate tier gives up anyway; probing half of it
+    *     halves the candidate join (the measured cost center: the hits
+    *     aggregate over the probe×posting collisions) while the
+    *     strong-pair guarantee below only needs misses < probes·(1 −
+    *     `hitFrac`), i.e. 0.02·n < 0.025·n at the defaults — preserved.
+    *  3. hits-floor admission — a candidate is verified iff it collides
+    *     on ≥ max(2, ⌈`hitFrac`·probes⌉) of the doc's probed prefix
+    *     tokens (probes = the prefix tokens the doc actually issued).
+    *     The floor does the work a per-doc rank cap cannot do honestly:
+    *     a rank cap truncates genuine OUTPUT when a doc has more true
+    *     containers than the cap (at sf1 one doc has 284 partners — a
+    *     popular quote inside a million wrapper pages is the 100 TB
+    *     version), and the rank window costs an extra shuffle+sort of
+    *     the whole candidate multiset. The floor instead kills the
+    *     1-hit coincidence tail (the vast majority of candidates)
+    *     inside the counting aggregate, admits every high-overlap
+    *     candidate however many there are, and needs no second shuffle.
+    *     STRONG-RECALL GUARANTEE at the defaults (probeFrac = 0.05,
+    *     hitFrac = 0.5): a pair with containment ≥ 0.98 misses ≤
+    *     ⌈0.02·n⌉ of the doc's shingles; even if EVERY miss lands among
+    *     the 0.05·n probes, ≥ 0.03·n ≥ 60% of probes hit ≥ the 50%
+    *     floor at any document size — the planted-wrapper pin is a
+    *     theorem, not a measurement. Weak pairs (barely over t) can
+    *     concentrate their misses in the probed prefix and fall under
+    *     the floor — the documented recall boundary of the approximate
+    *     tier.
+    *  4. exact verify — every candidate runs the same
+    *     [[verifyContainment]] kernel as the exact lane, so admissions are
+    *     a subset of the exact relation at the threshold by construction.
+    *
+    * What it can miss (the recall boundary, gated by
+    * `dedup_containment_banded_check`): a contained doc whose prefix
+    * tokens are ALL super-common (no discriminative signal to band on),
+    * or a barely-over-t pair whose misses concentrate in the probed
+    * prefix (under the hits floor). A quote/wrapper pair — the relation's
+    * raison d'être — shares the contained doc's RAREST shingles by
+    * construction and clears the floor by the ≥ 0.98 ⇒ ~80%-of-probes
+    * bound, so the gate pins strong-containment recall at 100%.
+    */
+  def containmentBandedPairs(d: DataFrame, threshold: Double,
+                             dfFrac: Double = 0.2, dfFloor: Long = 512,
+                             probeFrac: Double = 0.05,
+                             hitFrac: Double = 0.5): DataFrame = {
+    require(hitFrac > 0 && hitFrac <= 1 - 0.02 / math.max(probeFrac, 1e-9),
+      s"hitFrac=$hitFrac too high for probeFrac=$probeFrac — the " +
+        "strong-recall guarantee needs hitFrac ≤ 1 − 0.02/probeFrac " +
+        "(misses ≤ 2% of shingles can eat at most that fraction of probes)")
+    val sh = d.select(col("doc_id"), hashedShingles(col("text")).as("g"))
+      .withColumn("sz", size(col("g"))).filter(col("sz") > 0)
+      .localCheckpoint() // reused by ranking, candidate, and verify arms
+    // N from the checkpointed relation — one cheap count; the floor keeps
+    // tiny corpora from degenerating to "nothing is discriminative"
+    val dfCap = math.max(dfFloor, math.ceil(dfFrac * sh.count()).toLong)
+    val tok = sh.select(col("doc_id"), explode(col("g")).as("tok"))
+    val disc = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val tLoose = threshold - 5e-5
+    // rank only the discriminative tokens: the prefix is the p rarest of
+    // THOSE (p from the same loosened-threshold formula as the exact lane)
+    val ranked = tok.join(disc, Seq("tok"))
+      .withColumn("rk", row_number().over(byRarity))
+      .join(sh.select(col("doc_id"), col("sz")), Seq("doc_id"))
+    // probe budget: never more than the exact theorem's prefix (probing
+    // past it adds nothing a t-pair needs), never fewer than 4
+    val plen = col("sz") - ceil(lit(tLoose) * col("sz") - lit(1e-9)) + 1
+    val nprobe = least(plen,
+      greatest(lit(4), ceil(col("sz") * lit(probeFrac))))
+    val prefix = ranked.filter(col("rk") <= nprobe)
+      .select(col("tok"), col("doc_id").as("id_a"))
+    val post = tok.join(disc.select(col("tok")), Seq("tok"))
+      .select(col("tok"), col("doc_id").as("id_b"))
+    // probes actually issued per doc (≤ plen: a doc can have fewer
+    // discriminative tokens than its prefix length) — the admission floor
+    // derives from it; the join is N rows against the aggregated
+    // candidates, broadcast-sized
+    val probes = prefix.groupBy(col("id_a")).agg(count(lit(1)).as("n_probes"))
+    val cand = prefix.join(post, Seq("tok"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("hits"))
+      .join(probes, Seq("id_a"))
+      .filter(col("hits") >=
+        greatest(lit(2), ceil(col("n_probes") * lit(hitFrac))))
+      .select(col("id_a"), col("id_b"))
+    verifyContainment(cand, sh, threshold)
   }
 
   /** MinHash+LSH near-dup pairs: k=32 hashes, 4 bands × 8 rows; candidates
@@ -462,6 +599,50 @@ object Dedup {
     val hygiene = bandedAdm.agg(
       (count(lit(1)) - countDistinct(col("doc_id"))).cast("long").as("dup_admits"))
     nBatch.crossJoin(missing).crossJoin(exactDup).crossJoin(hygiene)
+  }
+
+  /** Semantic gate for [[containmentBandedPairs]] vs the exact lane, one
+    * row of counters (oracle-compared against a DuckDB-derived strong-pair
+    * count plus designed-zero contract columns):
+    *
+    *  - `n_strong` — exact-relation pairs with containment ≥ 0.98 (the
+    *    quote/wrapper population the asymmetric relation exists for);
+    *    DuckDB re-derives this quadratically, so the number is
+    *    cross-engine, not self-referential.
+    *  - `banded_not_in_exact` — banded admissions outside the exact
+    *    relation: 0 BY CONSTRUCTION (shared [[verifyContainment]] kernel);
+    *    a nonzero here means the subset contract itself broke.
+    *  - `strong_missed` — strong pairs the banded tier failed to admit:
+    *    the RECALL pin. A near-fully-contained doc shares its rarest
+    *    shingles with its container, so banding on the rare prefix must
+    *    catch it; this counter is the one a bad dfFrac/hitFrac would move.
+    *  - `dup_pairs` — duplicate (id_a, id_b) rows emitted: 0 (hygiene).
+    *
+    * Both tiers read the same checkpointed sub-corpus and run as
+    * concurrent actions so the gate prices the slower kernel, not the sum.
+    */
+  def containmentBandedInvariants(d: DataFrame, threshold: Double = 0.9,
+                                  dfFrac: Double = 0.2, dfFloor: Long = 512,
+                                  probeFrac: Double = 0.05,
+                                  hitFrac: Double = 0.5): DataFrame = {
+    val sub = d.filter(col("doc_id") % 3 === 0).localCheckpoint()
+    val outs = graft.Tuning.concurrently(Seq[() => DataFrame](
+      () => containmentPrefixPairs(sub, threshold).localCheckpoint(),
+      () => containmentBandedPairs(sub, threshold, dfFrac, dfFloor,
+        probeFrac, hitFrac).localCheckpoint()))
+    val (exact, banded) = (outs(0), outs(1))
+    val strong = exact.filter(col("containment") >= 0.98)
+    val nStrong = strong.agg(count(lit(1)).cast("long").as("n_strong"))
+    val notInExact = banded.select(col("id_a"), col("id_b"))
+      .join(exact, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("banded_not_in_exact"))
+    val missed = strong.select(col("id_a"), col("id_b"))
+      .join(banded, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("strong_missed"))
+    val hygiene = banded.agg(
+      (count(lit(1)) - countDistinct(col("id_a"), col("id_b")))
+        .cast("long").as("dup_pairs"))
+    nStrong.crossJoin(notInExact).crossJoin(missed).crossJoin(hygiene)
   }
 
   /** All-pairs embedding cosine ≥ threshold — a broadcast numeric kernel.
@@ -1435,6 +1616,21 @@ object Dedup {
       containmentPrefixPairs(docs(s, dir).filter(col("doc_id") % 3 === 0),
         threshold = 0.9)),
 
+    // the banded containment scale twin at the same threshold over the
+    // same sub-corpus (no full oracle: prefix membership tie-breaks on the
+    // xxhash64 token value; admissions ⊆ exact relation by the shared
+    // verify kernel; recall + hygiene oracle-gated by
+    // dedup_containment_banded_check)
+    "dedup_containment_banded" -> ((s, dir) =>
+      containmentBandedPairs(docs(s, dir).filter(col("doc_id") % 3 === 0),
+        threshold = 0.9)),
+
+    // the banded-containment semantic gate — strong-pair (containment
+    // ≥ 0.98) recall pinned at 100%, subset + hygiene counters designed
+    // zero, vs a DuckDB-derived quadratic strong-pair count
+    "dedup_containment_banded_check" -> ((s, dir) =>
+      containmentBandedInvariants(docs(s, dir))),
+
     // edit-distance near-dup pairs (exact length-bucket blocking + banded
     // levenshtein; oracle recomputes the unbanded distance over a<b pairs)
     "dedup_edit_distance" -> ((s, dir) =>
@@ -1646,6 +1842,21 @@ object Dedup {
         |WHERE len(a.g) > 0 AND
         |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g), 4)
         |    >= 0.9""".stripMargin,
+    // strong-pair count re-derived quadratically (same relation as the
+    // dedup_containment oracle at the 0.98 bar); the three contract
+    // columns are constants BY DESIGN (see containmentBandedInvariants)
+    "dedup_containment_banded_check" ->
+      """WITH sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, length(text) - 1), i -> text[i:i+2])) AS g
+        |FROM documents WHERE doc_id % 3 = 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_strong,
+        |  CAST(0 AS BIGINT) AS banded_not_in_exact,
+        |  CAST(0 AS BIGINT) AS strong_missed,
+        |  CAST(0 AS BIGINT) AS dup_pairs
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |WHERE len(a.g) > 0 AND
+        |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g), 4)
+        |    >= 0.98""".stripMargin,
     "dedup_incremental_bloom" ->
       // NOT EXISTS with plain equality, NOT `NOT IN`: a NULL text anywhere
       // in the corpus would turn every NOT IN into NULL (three-valued

@@ -586,10 +586,12 @@ object Relational {
     // desc, custkey) is engine-deterministic.
     // column-level lineage of the Q10 shape, extracted from the ANALYZED
     // plan (graft.serve.Lineage — the dbt-docs parity feature at COLUMN
-    // grain): which source (table, column) pairs each output column
-    // derives from. Deterministic plan metadata ⇒ a constant-table oracle
+    // grain), TYPED: 'data' edges (value flows into the column) plus
+    // 'indirect' edges (Filter/Join-condition attributes that select the
+    // column's rows without entering its value — the OpenLineage facet's
+    // split). Deterministic plan metadata ⇒ a constant-table oracle
     "meta_column_lineage" -> ((s, dir) =>
-      graft.serve.Lineage.lineageFrame(s,
+      graft.serve.Lineage.lineageFrameTyped(s,
         queries("q10_returned_items")(s, dir))),
 
     "q10_returned_items" -> ((s, dir) => {
@@ -1628,17 +1630,39 @@ object Relational {
         |JOIN big ON o_orderkey = big.l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     // the Q10 shape's column lineage is a PLAN property, deterministic by
-    // construction — the oracle is the expected constant table (an
-    // engine-side walk bug shows up as a wrong/missing row, not a flake)
+    // construction — the oracle is the expected constant edge set (an
+    // engine-side walk bug shows up as a wrong/missing row, not a flake).
+    // 'data' edges are the value flows; 'indirect' edges are the plan's
+    // Filter/Join-condition sources (o_orderdate, l_returnflag + the four
+    // join keys' six attributes), attached to every output column minus
+    // the sources it already carries as data — the same rule the engine
+    // applies, derived here declaratively from two hand-written tables
     "meta_column_lineage" ->
-      """SELECT * FROM (VALUES
+      """WITH direct(out_col, src_table, src_col) AS (VALUES
         |  ('c_custkey', 'customer', 'c_custkey'),
         |  ('c_name',    'customer', 'c_name'),
         |  ('c_acctbal', 'customer', 'c_acctbal'),
         |  ('n_name',    'nation',   'n_name'),
         |  ('revenue',   'lineitem', 'l_extendedprice'),
-        |  ('revenue',   'lineitem', 'l_discount'))
-        |t(out_col, src_table, src_col)""".stripMargin,
+        |  ('revenue',   'lineitem', 'l_discount')),
+        |ind(src_table, src_col) AS (VALUES
+        |  ('lineitem', 'l_returnflag'),
+        |  ('lineitem', 'l_orderkey'),
+        |  ('orders',   'o_orderdate'),
+        |  ('orders',   'o_orderkey'),
+        |  ('orders',   'o_custkey'),
+        |  ('customer', 'c_custkey'),
+        |  ('customer', 'c_nationkey'),
+        |  ('nation',   'n_nationkey')),
+        |outs(out_col) AS (VALUES
+        |  ('c_custkey'), ('c_name'), ('c_acctbal'), ('n_name'), ('revenue'))
+        |SELECT out_col, src_table, src_col, 'data' AS edge_type FROM direct
+        |UNION ALL
+        |SELECT o.out_col, i.src_table, i.src_col, 'indirect'
+        |FROM outs o CROSS JOIN ind i
+        |WHERE NOT EXISTS (SELECT 1 FROM direct d
+        |  WHERE d.out_col = o.out_col AND d.src_table = i.src_table
+        |    AND d.src_col = i.src_col)""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
         |  SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -517,10 +517,32 @@ object Retrieval {
   def compactTextIndex(spark: SparkSession, indexDir: String): Unit = {
     val fs = graft.io.AtomicPublish.fsFor(spark, indexDir)
     graft.io.DeltaStore.compactDeltas(spark, indexDir, "postings", "tokb",
-      preCommit = (stageDir, deltaDirs) => writeBm25Stats(fs, stageDir,
-        (s"$indexDir/postings" +: deltaDirs).map(readBm25Stats(fs, _))
-          .reduce(_ + _)))
+      preCommit = bm25StatsPreCommit(spark, indexDir))
   }
+
+  /** The BM25-stats merge that must travel with any text-index fold: the
+    * staged base's side file is the sum of the old base's and the folded
+    * deltas' (shared by [[compactTextIndex]] and [[maybeCompactTextIndex]]).
+    */
+  private def bm25StatsPreCommit(spark: SparkSession, indexDir: String)
+      : (String, Seq[String]) => Unit = {
+    val fs = graft.io.AtomicPublish.fsFor(spark, indexDir)
+    (stageDir, deltaDirs) => writeBm25Stats(fs, stageDir,
+      (s"$indexDir/postings" +: deltaDirs).map(readBm25Stats(fs, _))
+        .reduce(_ + _))
+  }
+
+  /** Auto-compaction for the text index: fold when live-delta bytes exceed
+    * `maxRatio` × base bytes ([[graft.io.DeltaStore.maybeCompact]] — the
+    * same trigger the vector stores run), with the BM25-stats merge riding
+    * the fold's preCommit hook. Returns whether a fold ran; a streaming
+    * ingest calls this after every micro-batch (the check is a directory
+    * walk, never a Spark job).
+    */
+  def maybeCompactTextIndex(spark: SparkSession, indexDir: String,
+                            maxRatio: Double = 0.2): Boolean =
+    graft.io.DeltaStore.maybeCompact(spark, indexDir, "postings", "tokb",
+      maxRatio, preCommit = bm25StatsPreCommit(spark, indexDir))
 
   /** BM25 served ENTIRELY from the persisted index — the classic
     * search-engine read path, and the reason inverted indexes exist: the

@@ -1231,6 +1231,20 @@ object Similarity {
                          indexDir: String): Unit =
     graft.io.DeltaStore.compactDeltas(spark, indexDir, "segments", "cell")
 
+  /** Auto-compaction for the IVF-PQ store: fold when live-delta bytes
+    * exceed `maxRatio` × base bytes ([[graft.io.DeltaStore.maybeCompact]]
+    * — the same trigger discipline the text index runs). A steady-state
+    * ingest calls this after each append: the un-compacted delta is an
+    * extra unpruned listing on EVERY search (measured 3.2× append_search
+    * slope at 10× data vs the compacted store's ~2.1×), so read cost, not
+    * file count, is what the ratio bounds. Returns whether a fold ran.
+    */
+  def maybeCompactIvfPqDeltas(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String,
+                              maxRatio: Double = 0.2): Boolean =
+    graft.io.DeltaStore.maybeCompact(spark, indexDir, "segments", "cell",
+      maxRatio)
+
   /** The IVF-PQ tier's semantic gate (the `_check` pattern): per-query
     * hygiene and the recall floor vs [[bruteForceTopK]]. A NEGATIVE floor
     * derives `min(cap, nProbe/cells)` from the auto-sized geometry — the
@@ -1415,6 +1429,15 @@ object Similarity {
   def compactIvfDeltas(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String): Unit =
     graft.io.DeltaStore.compactDeltas(spark, indexDir, "segments", "cell")
+
+  /** Auto-compaction for the int8 IVF store — see
+    * [[maybeCompactIvfPqDeltas]] for the trigger rationale.
+    */
+  def maybeCompactIvfDeltas(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String,
+                            maxRatio: Double = 0.2): Boolean =
+    graft.io.DeltaStore.maybeCompact(spark, indexDir, "segments", "cell",
+      maxRatio)
 
   /** Deterministic scratch location for the persisted-index battery entries,
     * keyed by the data directory so sf0.01 and sf0.1 never share an index.
@@ -1872,6 +1895,29 @@ object Similarity {
           iters = 3).count()
       if (!indexPathExists(s, s"$idx/delta/_SUCCESS"))
         appendToIvfPqIndex(e.filter(col("vec_id") % 10 === 0), idx).count()
+      searchIvfPqIndexWithDelta(e, idx, k = 10)
+    }),
+    // the SAME appended store after the auto-compaction folds the delta —
+    // the A/B for ann_ivfpq_append_search: a 10% delta exceeds the 0.2×0.5
+    // trigger ratio, maybeCompact folds it, and the recurring search pays
+    // one listing again (rows-only; fold purity spec-pinned — search
+    // results identical pre/post compaction). The _COMPACTED marker keeps
+    // the entry idempotent: once folded, the batch rows live in the base,
+    // so re-appending them would double-count.
+    "ann_ivfpq_compacted_search" -> ((s, dir) => {
+      val idx = indexDirFor(dir) + "-pq-compact"
+      val e = emb(s, dir)
+      val marker = s"$idx/_COMPACTED"
+      if (!indexPathExists(s, marker)) {
+        if (!indexPathExists(s, s"$idx/segments/_SUCCESS"))
+          buildIvfPqIndex(e.filter(col("vec_id") % 10 =!= 0), idx,
+            iters = 3).count()
+        appendToIvfPqIndex(e.filter(col("vec_id") % 10 === 0), idx).count()
+        require(maybeCompactIvfPqDeltas(s, idx, maxRatio = 0.05),
+          "auto-compaction trigger did not fire on a 10% delta")
+        val fs = graft.io.AtomicPublish.fsFor(s, idx)
+        fs.create(new org.apache.hadoop.fs.Path(marker), true).close()
+      }
       searchIvfPqIndexWithDelta(e, idx, k = 10)
     }),
     // IVF × int8 composition — quantized codes per trained cell, integer

@@ -2,7 +2,7 @@ package graft.serve
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LeafNode, LogicalPlan}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 
@@ -24,21 +24,37 @@ import org.apache.spark.sql.functions._
   * `ExprId`, never by name — self-joins of one table keep both sides'
   * distinct histories even though the column NAMES collide.
   *
-  * Scope contract (stated, not silent): this is DATA lineage of output
-  * columns — attributes referenced only by filters/join conditions
-  * influence which ROWS survive but do not appear in a column's lineage
-  * (the standard column-lineage definition, e.g. OpenLineage's). Driver-
-  * side plan metadata only; nothing here touches data or scales with it.
+  * Two edge types (the OpenLineage column-lineage facet's split):
+  *  - DATA — the attribute's value flows into the output column's value
+  *    (projection/aggregate/window expression inputs);
+  *  - INDIRECT — the attribute decides which ROWS reach the output
+  *    without entering any value: Filter-condition and Join-condition
+  *    references. A filter's influence is row-scoped, so its sources are
+  *    indirect inputs of EVERY output column (minus any the column
+  *    already carries as data lineage). Grouping keys and sort keys are
+  *    deliberately out of this edge set: group keys surface as DATA
+  *    lineage of the group columns, and a sort reorders without
+  *    selecting.
+  *
+  * Driver-side plan metadata only; nothing here touches data or scales
+  * with it.
   */
 object Lineage {
 
   /** (output column name → source (table, column) set), analyzed-plan walk. */
   def columnLineage(df: DataFrame): Map[String, Set[(String, String)]] = {
     val plan = df.queryExecution.analyzed
-    val byId = lineageOf(plan)
+    val byId = walk(plan)._1
     plan.output.map(a => a.name -> byId.getOrElse(a.exprId.id, Set.empty))
       .toMap
   }
+
+  /** The plan's INDIRECT source set: every (table, column) referenced by a
+    * Filter condition or Join condition anywhere in the subtree — the
+    * attributes that select rows without contributing values.
+    */
+  def indirectSources(df: DataFrame): Set[(String, String)] =
+    walk(df.queryExecution.analyzed)._2
 
   /** Lineage as a DataFrame for the battery: one row per
     * (out_col, src_table, src_col), deterministic ordering columns.
@@ -49,6 +65,24 @@ object Lineage {
       srcs.toSeq.map { case (t, c) => (out, t, c) }
     }
     rows.toDF("out_col", "src_table", "src_col")
+  }
+
+  /** Typed lineage frame: one row per (out_col, src_table, src_col,
+    * edge_type) with edge_type ∈ ('data', 'indirect'). Data edges are
+    * [[columnLineage]]'s; each output column additionally carries the
+    * plan-wide indirect source set MINUS its own data sources (a column
+    * whose value already flows from an attribute doesn't need the weaker
+    * edge too).
+    */
+  def lineageFrameTyped(s: SparkSession, df: DataFrame): DataFrame = {
+    import s.implicits._
+    val direct = columnLineage(df)
+    val indirect = indirectSources(df)
+    val rows = direct.toSeq.flatMap { case (out, srcs) =>
+      srcs.toSeq.map { case (t, c) => (out, t, c, "data") } ++
+        (indirect -- srcs).toSeq.map { case (t, c) => (out, t, c, "indirect") }
+    }
+    rows.toDF("out_col", "src_table", "src_col", "edge_type")
   }
 
   /** Table label for a leaf scan: the file-relation root's basename with
@@ -74,15 +108,18 @@ object Lineage {
       other.getClass.getSimpleName.stripSuffix("$")
   }
 
-  /** Bottom-up fold: ExprId.id → source set. */
-  private def lineageOf(plan: LogicalPlan): Map[Long, Set[(String, String)]] = {
+  /** Bottom-up fold: (ExprId.id → data-source set, subtree indirect set). */
+  private def walk(plan: LogicalPlan)
+      : (Map[Long, Set[(String, String)]], Set[(String, String)]) = {
     plan match {
       case leaf: LeafNode =>
         val t = tableNameOf(leaf)
-        leaf.output.map(a => a.exprId.id -> Set(t -> a.name)).toMap
+        (leaf.output.map(a => a.exprId.id -> Set(t -> a.name)).toMap,
+          Set.empty)
       case node =>
+        val childResults = node.children.map(walk)
         val fromChildren: Map[Long, Set[(String, String)]] =
-          node.children.map(lineageOf)
+          childResults.map(_._1)
             .foldLeft(Map.empty[Long, Set[(String, String)]]) { (acc, m) =>
               // a plan is a DAG on ExprIds; a collision means the same
               // attribute reached us twice (e.g. a CTE) — union is correct
@@ -90,6 +127,15 @@ object Lineage {
                 k -> (acc.getOrElse(k, Set.empty) ++ m.getOrElse(k, Set.empty))
               }.toMap
             }
+        // row-selecting conditions AT this node feed the indirect set
+        val hereIndirect: Set[(String, String)] = node match {
+          case f: Filter => refsOf(f.condition, fromChildren)
+          case j: Join =>
+            j.condition.map(refsOf(_, fromChildren)).getOrElse(Set.empty)
+          case _ => Set.empty
+        }
+        val indirect = childResults.map(_._2)
+          .foldLeft(hereIndirect)(_ ++ _)
         // attributes DEFINED at this node: any NamedExpression in its
         // expression list whose ExprId is not a plain child pass-through
         val defined: Map[Long, Set[(String, String)]] =
@@ -115,7 +161,7 @@ object Lineage {
                 .flatMap(e => refsOf(e, fromChildren)).toSet
               a.exprId.id -> all
             }.toMap
-        fromChildren ++ defined ++ produced
+        (fromChildren ++ defined ++ produced, indirect)
     }
   }
 

@@ -23,8 +23,13 @@ object TextIndexIngest {
   /** Start the ingest stream. Each non-empty micro-batch (needs `doc_id` +
     * `text` columns) writes one delta segment; `onBatch(batchId, n)` fires
     * after the segment lands with the number of postings appended.
+    *
+    * `compactRatio` (when set) runs the ratio-triggered auto-compaction
+    * after each landed segment ([[Retrieval.maybeCompactTextIndex]]) —
+    * same in-stream maintenance loop as [[VectorIngest.ivfIngestStream]].
     */
-  def textIngestStream(docs: DataFrame, indexDir: String)
+  def textIngestStream(docs: DataFrame, indexDir: String,
+                       compactRatio: Option[Double] = None)
                       (onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Row], batchId: Long) =>
@@ -33,6 +38,8 @@ object TextIndexIngest {
             segment = s"delta_b$batchId")
           val n = summary.agg(coalesce(sum(col("n_postings")), lit(0L)))
             .head().getLong(0)
+          compactRatio.foreach(r =>
+            Retrieval.maybeCompactTextIndex(batch.sparkSession, indexDir, r))
           onBatch(batchId, n)
         }
     }.start()

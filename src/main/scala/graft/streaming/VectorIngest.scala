@@ -30,9 +30,17 @@ object VectorIngest {
   /** Start the ingest stream. Each non-empty micro-batch (needs `vec_id` +
     * `embedding` columns) writes one delta segment; `onBatch(batchId, n)`
     * fires after the segment lands with the number of vectors appended.
+    *
+    * `compactRatio` (when set) runs the ratio-triggered auto-compaction
+    * after each landed segment ([[Similarity.maybeCompactIvfDeltas]]): the
+    * trigger check is a directory walk, and a fold runs only when the
+    * accumulated deltas actually exceed that fraction of the base — the
+    * maintenance loop a deployed index otherwise needs a side scheduler
+    * for.
     */
   def ivfIngestStream(vectors: DataFrame, indexDir: String,
-                      dim: Int = graft.Tables.EmbeddingDim)
+                      dim: Int = graft.Tables.EmbeddingDim,
+                      compactRatio: Option[Double] = None)
                      (onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery =
     vectors.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Row], batchId: Long) =>
@@ -40,6 +48,8 @@ object VectorIngest {
           val summary = Similarity.appendToIvfIndex(batch.toDF, indexDir,
             dim = dim, segment = s"delta_b$batchId")
           val n = summary.agg(sum(col("n_vectors"))).head().getLong(0)
+          compactRatio.foreach(r =>
+            Similarity.maybeCompactIvfDeltas(batch.sparkSession, indexDir, r))
           onBatch(batchId, n)
         }
     }.start()

@@ -13,7 +13,8 @@ class BenchSpec extends AnyFunSuite {
 
   test("a failed entry is an error record, never a timing") {
     val line = Bench.renderJson(Seq(
-      "good_query" -> Right(1.234),
+      "good_query" -> Right((1.234,
+        Some(Map("shuffle_bytes" -> 1024L, "spill_bytes" -> 0L)))),
       "broken_query" -> Left("org.apache.spark.sql.AnalysisException: " +
         "[DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES] \"ts\" has\nmixed types")),
       "/root/testdata/sf0.1")
@@ -24,14 +25,20 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("errors").get("broken_query").asText.contains("DATATYPE_MISMATCH"))
     assert(node.get("error_count").asInt === 1)
     assert(math.abs(node.get("value").asDouble - 1.234) < 1e-9)
+    // the data-volume record rides along; a failed entry never has one
+    assert(node.get("metrics").get("good_query").get("shuffle_bytes").asLong === 1024L)
+    assert(!node.get("metrics").has("broken_query"))
   }
 
   test("a clean run has an empty errors map and zero error_count") {
-    val line = Bench.renderJson(Seq("a" -> Right(0.5), "b" -> Right(0.25)), "sf")
+    val line = Bench.renderJson(
+      Seq("a" -> Right((0.5, None)), "b" -> Right((0.25, None))), "sf")
     val node = mapper.readTree(line)
     assert(node.get("errors").size === 0)
     assert(node.get("error_count").asInt === 0)
     assert(math.abs(node.get("value").asDouble - 0.75) < 1e-9)
     assert(node.get("queries").size === 2)
+    // capture-less entries (listener raced out) are omitted, not zeroed
+    assert(node.get("metrics").size === 0)
   }
 }

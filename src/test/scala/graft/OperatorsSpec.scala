@@ -221,6 +221,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L, 1.0)))
   }
 
+  test("Dedup: banded containment — subset of exact, planted wrappers always caught") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // real corpus: banded admissions ⊆ exact relation (shared verify kernel)
+    val exact = pairs(Dedup.containmentPrefixPairs(corpus, threshold = 0.9))
+    val banded = pairs(Dedup.containmentBandedPairs(corpus, threshold = 0.9))
+    assert(banded.subsetOf(exact), s"banded invented ${banded -- exact}")
+    assert(banded.nonEmpty, "vacuous banded tier")
+    // planted quote/wrapper corpus: every contained doc shares ALL its
+    // shingles (incl. the rarest) with its wrapper — banding must catch
+    // every (quote, wrapper) pair even among unrelated filler docs
+    val rnd = new scala.util.Random(7)
+    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val quotes = (1L to 8L).map(i => i -> randText(60))
+    val wrappers = quotes.map { case (i, q) =>
+      (100L + i) -> (randText(4) + q + randText(4)) }
+    val filler = (200L to 240L).map(i => i -> randText(80))
+    val planted = (quotes ++ wrappers ++ filler).toDF("doc_id", "text")
+    val got = pairs(Dedup.containmentBandedPairs(planted, threshold = 0.9))
+    quotes.foreach { case (i, _) =>
+      assert(got.contains((i, 100L + i)), s"missed planted wrapper pair $i")
+    }
+    // the hits floor is live: raising it to the guarantee ceiling
+    // (1 − 0.02/probeFrac = 0.6 at the default probe budget) can only
+    // shrink output, and the planted full-containment wrappers (every
+    // probe hits) still clear even that floor
+    val strict = pairs(Dedup.containmentBandedPairs(planted, threshold = 0.9,
+      hitFrac = 0.6))
+    assert(strict.subsetOf(got))
+    quotes.foreach { case (i, _) =>
+      assert(strict.contains((i, 100L + i)), s"strict floor lost wrapper pair $i")
+    }
+    // the guard is live: a floor above the guarantee ceiling is rejected
+    intercept[IllegalArgumentException] {
+      Dedup.containmentBandedPairs(planted, threshold = 0.9, hitFrac = 0.8)
+    }
+  }
+
   test("Dedup: blocked cosine kernel equals the broadcast kernel (real corpus)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -397,6 +437,33 @@ class OperatorsSpec extends AnyFunSuite {
     val deltaDirs = new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.startsWith("delta"))
     assert(deltaDirs.isEmpty, s"compaction left delta dirs: ${deltaDirs.toSeq}")
+  }
+
+  test("Similarity: ratio-triggered auto-compaction — no-op below, folds above, pure rewrite") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-autocompact-spec").toString
+    Similarity.buildIvfPqIndex(base, dir, iters = 3).count()
+    Similarity.appendToIvfPqIndex(batch, dir).count()
+    def deltaDirs() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("delta")).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val before = rows(Similarity.searchIvfPqIndexWithDelta(e, dir, k = 10))
+    // a ~10% delta under a generous 0.9 ratio: the trigger must NOT fire
+    assert(!Similarity.maybeCompactIvfPqDeltas(spark, dir, maxRatio = 0.9),
+      "trigger fired below the ratio")
+    assert(deltaDirs().nonEmpty, "no-op trigger deleted the delta")
+    // the same delta over a tight 0.01 ratio: fold runs, results identical
+    assert(Similarity.maybeCompactIvfPqDeltas(spark, dir, maxRatio = 0.01),
+      "trigger did not fire above the ratio")
+    assert(deltaDirs().isEmpty, s"fold left delta dirs: ${deltaDirs()}")
+    val after = rows(Similarity.searchIvfPqIndexWithDelta(e, dir, k = 10))
+    assert(after === before, "auto-compaction changed search results")
+    // idempotent: nothing left to fold
+    assert(!Similarity.maybeCompactIvfPqDeltas(spark, dir, maxRatio = 0.01))
   }
 
   test("Similarity: staged rebuild publishes atomically and scrubs crash leftovers") {

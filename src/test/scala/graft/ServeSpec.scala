@@ -55,6 +55,34 @@ class ServeSpec extends AnyFunSuite {
     assert(lin4("vec_id") === Set("embeddings" -> "vec_id"))
   }
 
+  test("Lineage: indirect edges — WHERE and join-key columns, minus own data sources") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val q = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("o_totalprice"), col("c_custkey"))
+    // the WHERE column appears as indirect-only: never in any column's
+    // data lineage, present in the plan's indirect source set
+    val direct = graft.serve.Lineage.columnLineage(q)
+    assert(!direct.values.exists(_.contains("customer" -> "c_mktsegment")))
+    val ind = graft.serve.Lineage.indirectSources(q)
+    assert(ind === Set("customer" -> "c_mktsegment",
+      "orders" -> "o_custkey", "customer" -> "c_custkey"))
+    // typed frame: every output column carries the indirect set minus its
+    // own data sources — c_custkey (a join key AND an output) must not
+    // carry itself as an indirect edge
+    val typed = graft.serve.Lineage.lineageFrameTyped(spark, q).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(typed.contains(("o_totalprice", "customer", "c_mktsegment", "indirect")))
+    assert(typed.contains(("o_totalprice", "customer", "c_custkey", "indirect")))
+    assert(typed.contains(("c_custkey", "orders", "o_custkey", "indirect")))
+    assert(!typed.contains(("c_custkey", "customer", "c_custkey", "indirect")))
+    assert(typed.contains(("c_custkey", "customer", "c_custkey", "data")))
+  }
+
   test("select: filters + deterministic pagination") {
     val e = freshEngine()
     val rows = e.select("serve_t", Seq(Eq("cat", "a")), orderBy = Seq("id")).collect()

@@ -524,6 +524,40 @@ class TemporalSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("lpaCommunitiesConverged: early stop on a pre-converged graph, " +
+    "fixed-point equality with the fixed-round form") {
+    // two disjoint triangles converge in ONE round (each node's closed
+    // neighborhood min is the triangle min, and that assignment is a fixed
+    // point); round 2 detects no change and stops — 2 rounds run of a cap
+    // of 10
+    def cliq(ns: Seq[Long]) = for { a <- ns; b <- ns if a < b } yield (a, b)
+    val tri = (cliq(Seq(1L, 2L, 3L)) ++ cliq(Seq(7L, 8L, 9L)))
+      .toDF("src", "dst")
+    val (labels, rounds) = Clustering.lpaDetail(tri, maxRounds = 10,
+      stopOnConverge = true)
+    assert(rounds === 2, s"expected stop at round 2, ran $rounds")
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+    // confluence: the early-stopped labels equal the fixed-round form at
+    // ANY round count past convergence — the property the shared unrolled
+    // oracle rests on
+    val fixed = Clustering.lpaCommunities(tri, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(fixed === got)
+    // a graph that does NOT converge under the cap runs all rounds and
+    // still equals the fixed-round labels (the cap-hit arm of the oracle
+    // argument): the bridged-clique graph oscillates at the bridge
+    val bridged = (cliq(Seq(1L, 2L, 3L, 4L)) ++ cliq(Seq(5L, 6L, 7L, 8L)) ++
+      Seq((4L, 5L))).toDF("src", "dst")
+    val (cl, cr) = Clustering.lpaDetail(bridged, maxRounds = 3,
+      stopOnConverge = true)
+    val fx = Clustering.lpaCommunities(bridged, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(cl.as[(Long, Long)].collect().toMap === fx,
+      s"capped converged run diverged from fixed-round at $cr rounds")
+  }
+
   test("linkPrediction: common counts, neighbor Jaccard, floor, seed-anchored") {
     // bipartite: node 1 → {10,11,12}, node 2 → {10,11}, node 3 → {12}
     val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
