@@ -278,6 +278,30 @@ class GateSpec extends AnyFunSuite {
     assert(clean.getAs[Long]("exact_admits_rejected") === 0L)
   }
 
+  test("containmentBandedInvariants: strong_missed fires when banding is starved") {
+    // planted quote/wrapper pairs on doc_ids divisible by 3 (the gate's
+    // sub-corpus filter): with a sane geometry the banded tier catches
+    // them all; with the discriminative-token supply deliberately starved
+    // (dfFloor = 0 and a vanishing dfFrac make NO token discriminative —
+    // no probes, no candidates) every strong pair is missed and the
+    // counter must fire — proving it is computed, not a constant
+    val rnd = new scala.util.Random(11)
+    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val quotes = (0L until 5L).map(i => i * 3 -> randText(60))
+    val wrappers = quotes.map { case (i, q) => (i + 300) -> ("xx" + q + "yy") }
+    val d = (quotes ++ wrappers).toDF("doc_id", "text")
+    val clean = Dedup.containmentBandedInvariants(d).head()
+    assert(clean.getAs[Long]("n_strong") >= 5L)
+    assert(clean.getAs[Long]("strong_missed") === 0L)
+    assert(clean.getAs[Long]("banded_not_in_exact") === 0L)
+    assert(clean.getAs[Long]("dup_pairs") === 0L)
+    val starved = Dedup.containmentBandedInvariants(d,
+      dfFrac = 1e-12, dfFloor = 0L).head()
+    assert(starved.getAs[Long]("strong_missed") === starved.getAs[Long]("n_strong"),
+      "starved banding should miss every strong pair")
+    assert(starved.getAs[Long]("strong_missed") > 0L)
+  }
+
   test("binPackFFDInvariants: overfull_bins fires against a mismatched contract") {
     import graft.operators.Packing
     // three ~40-token docs pack into one 512-token bin; checking that

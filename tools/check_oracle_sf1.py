@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""Full-battery oracle sweep at sf1 — the scale the gate never ran at.
+
+Correctness is proven at sf0.01 (full sweeps) + sf0.1 (per-entry on
+landing), but scale-dependent constants hide until data grows (the r14
+Hilbert 31-bit grid, the r15 absolute dfCap — both found ONLY by sf1
+runs). This replays the driver's t2 compare against a Verify dump made at
+sf1, with two honesty mechanisms the sf0.01 gate doesn't need:
+
+ - a HAND-CURATED skip list for the documented quadratic oracle twins
+   (DuckDB re-derives some relations all-pairs; at 16k docs that is
+   hundreds of millions of list_intersect calls — the SPARK side of those
+   entries still dumps and its row count is recorded);
+ - a per-query TIME BUDGET (duckdb interrupt from a timer thread) so one
+   unexpectedly-slow oracle can't stall the sweep silently — a timeout is
+   recorded as its own status, never as a pass.
+
+Usage:
+  python3 tools/check_oracle_sf1.py <sfdir> <verifyOutDir>
+          [--budget SECONDS] [--out CORRECTNESS_sf1.json]
+
+Dev tooling only — driver-side python stack (duckdb/pandas).
+"""
+import argparse
+import glob
+import json
+import sys
+import threading
+import time
+
+import duckdb
+import pandas as pd
+
+TABLES = ["lineitem", "orders", "customer", "part", "supplier", "nation",
+          "region", "events", "documents", "embeddings"]
+
+# Documented sf0.01-only quadratic (or otherwise scale-intractable) DuckDB
+# oracle twins. The ENGINE side of each entry still runs at sf1 (its row
+# count lands in the artifact); only the DuckDB re-derivation is skipped,
+# with the reason named. Keep reasons specific — "slow" is not a reason.
+SKIPS = {
+    "dedup_ngram_jaccard":
+        "oracle re-derives the relation ALL-PAIRS (list_intersect over "
+        "~139M doc pairs at sf1) — the documented quadratic yardstick; "
+        "engine lane verified at sf0.01/sf0.1, LSH twins carry scale",
+    "dedup_containment":
+        "quadratic oracle (ordered-pairs list_intersect) — same yardstick "
+        "contract as dedup_ngram_jaccard; banded twin carries scale",
+    "dedup_containment_banded_check":
+        "the n_strong column is the same quadratic re-derivation at the "
+        "0.98 bar; the SPARK side's designed-zero counters were verified "
+        "at sf1 by hand this round (763/763 strong caught, 0 violations)",
+    "dedup_embedding_cosine":
+        "oracle scores ~139M vector pairs (64-dim list_sum each) — "
+        "documented broadcast-kernel yardstick; LSH twin carries scale",
+    "dedup_edit_distance":
+        "oracle recomputes unbanded levenshtein over all a<b pairs in "
+        "each length bucket — quadratic in the bucket",
+    "mine_bitext_pairs":
+        "exact margin-criterion oracle is all-pairs across the language "
+        "split; the IVF tier (mine_bitext_ivf_*) carries scale",
+    "semdedup_check":
+        "cluster-internal all-pairs cosine re-derivation",
+    # Spark-side brute-force-baseline gates: each trains an index AND runs
+    # the all-pairs exact baseline at sf1 (the documented small-corpus
+    # yardstick kernels); their oracles are conservation rows whose values
+    # don't change shape with scale, and the recall/geometry behavior at
+    # sf1 is covered by the slope studies (probed fraction, recall vs
+    # floor). Excluded from the sf1 DUMP itself, so no spark rows either.
+    "ann_brute_topk":
+        "blocked exact all-pairs top-k over the full sf1 corpus — the "
+        "documented brute yardstick the approximate tiers bracket against",
+    "ann_ivf_lifecycle_check":
+        "runs the brute baseline at sf1 inside the gate",
+    "ann_ivfpq_check": "runs the brute baseline at sf1 inside the gate",
+    "ann_pq_check": "runs the brute baseline at sf1 inside the gate",
+    "ann_pq256_check": "runs the brute baseline at sf1 inside the gate",
+    "ann_recall_check": "runs the brute baseline at sf1 inside the gate",
+    "bitext_ivf_check":
+        "exact margin-criterion arm is all-pairs at sf1",
+    "dedup_clusters_lsh_check":
+        "exact-pair re-derivation arm is quadratic at sf1",
+}
+
+
+def connect(sfdir):
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
+                    f"read_parquet('{sfdir}/{tbl}.parquet')")
+    return con
+
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def spark_rows(outdir, name):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        return None
+    return pd.concat([pd.read_parquet(p) for p in files])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sfdir")
+    ap.add_argument("outdir")
+    ap.add_argument("--budget", type=float, default=300.0)
+    ap.add_argument("--out", default="CORRECTNESS_sf1.json")
+    args = ap.parse_args()
+
+    oracle = json.load(open(f"{args.outdir}/oracle_sql.json"))
+    con = connect(args.sfdir)
+    results = {}
+    n_ok = n_bad = n_skip = n_to = 0
+    for name, sql in sorted(oracle.items()):
+        got_raw = spark_rows(args.outdir, name)
+        if name in SKIPS:
+            results[name] = {
+                "status": "skipped_oracle",
+                "reason": SKIPS[name],
+                "spark_rows": None if got_raw is None else len(got_raw),
+            }
+            n_skip += 1
+            print(f"{name}: SKIP ({len(got_raw) if got_raw is not None else 'NO'}"
+                  f" spark rows) — {SKIPS[name][:60]}…")
+            continue
+        if got_raw is None:
+            results[name] = {"status": "no_spark_output"}
+            n_bad += 1
+            print(f"{name}: NO SPARK OUTPUT")
+            continue
+        timer = threading.Timer(args.budget, con.interrupt)
+        timer.start()
+        t0 = time.time()
+        try:
+            expected = norm(con.execute(sql).df())
+        except duckdb.InterruptException:
+            results[name] = {"status": "oracle_timeout",
+                             "budget_s": args.budget,
+                             "spark_rows": len(got_raw)}
+            n_to += 1
+            print(f"{name}: ORACLE TIMEOUT after {args.budget:.0f}s "
+                  f"({len(got_raw)} spark rows)")
+            continue
+        except Exception as e:  # noqa: BLE001 — recorded, never swallowed
+            results[name] = {"status": "oracle_error", "err": str(e)[:400]}
+            n_bad += 1
+            print(f"{name}: ORACLE ERROR {e}")
+            continue
+        finally:
+            timer.cancel()
+        got = norm(got_raw)
+        rec = {"status": "match", "spark_rows": len(got),
+               "oracle_rows": len(expected),
+               "oracle_s": round(time.time() - t0, 1)}
+        if list(got.columns) != list(expected.columns):
+            rec["status"] = "schema_mismatch"
+            rec["spark_cols"] = list(got.columns)
+            rec["oracle_cols"] = list(expected.columns)
+        elif not got.equals(expected):
+            rec["status"] = "value_mismatch"
+        if rec["status"] == "match":
+            n_ok += 1
+            print(f"{name}: MATCH rows={len(got)} ({rec['oracle_s']}s)")
+        else:
+            n_bad += 1
+            print(f"{name}: {rec['status'].upper()} "
+                  f"spark={len(got)} duck={len(expected)}")
+        results[name] = rec
+
+    summary = {"sf_dir": args.sfdir, "match": n_ok, "mismatch_or_error": n_bad,
+               "skipped_oracle": n_skip, "oracle_timeout": n_to,
+               "checked_total": len(oracle)}
+    with open(args.out, "w") as f:
+        json.dump({"summary": summary, "entries": results}, f, indent=1,
+                  sort_keys=True)
+    print(f"\n{n_ok} match, {n_bad} mismatch/error, {n_skip} skipped, "
+          f"{n_to} timeout (of {len(oracle)}) → {args.out}")
+    return 0 if n_bad == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
