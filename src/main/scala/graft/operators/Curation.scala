@@ -122,11 +122,16 @@ object Curation {
       .groupBy(col(groupCol))
       .agg(transform(sort_array(collect_list(struct(col("d"), col("s")))),
         t => round(t.getField("s"), 4).cast("double")).as("centroid"))
+    // + 0.0 normalizes IEEE negative zero: a tiny negative cosine rounds
+    // to -0.0, which stringifies differently from 0.0 in the cross-engine
+    // compare (found by the r15 sf1 sweep — one row in 20 000 landed
+    // exactly there; both engines get the same treatment)
     e.join(broadcast(cent), Seq(groupCol))
       .select(col("vec_id"), col(groupCol),
-        round(VectorFns.dotN(col("embedding"), col("centroid"), dim) /
+        (round(VectorFns.dotN(col("embedding"), col("centroid"), dim) /
           (VectorFns.l2normN(col("embedding"), dim) *
-            VectorFns.l2normN(col("centroid"), dim)), 4).as("cos_centroid"))
+            VectorFns.l2normN(col("centroid"), dim)), 4) + lit(0.0))
+          .as("cos_centroid"))
       .withColumn("outlier", col("cos_centroid") < minCos)
   }
 
@@ -550,7 +555,7 @@ object Curation {
         |      (SQRT(list_sum(list_transform(range(1, len(e.embedding) + 1),
         |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
         |       SQRT(list_sum(list_transform(range(1, len(c) + 1),
-        |        i -> c[i] * c[i])))), 4) AS cos_centroid
+        |        i -> c[i] * c[i])))), 4) + 0.0 AS cos_centroid
         |  FROM embeddings e JOIN cent USING (label))
         |SELECT vec_id, label, cos_centroid, cos_centroid < 0.0 AS outlier
         |FROM scored""".stripMargin,

@@ -565,6 +565,13 @@ object Layout {
     * resolves lateral column aliases within a SELECT list, so reusing one
     * name would silently bind a state expression to the stage's OWN new
     * alias instead of the previous stage's column.
+    *
+    * The quadrant multiplier is CAST to BIGINT explicitly: DuckDB types an
+    * integer literal as the smallest fitting width, so the 2^30 stage
+    * constant parses as INT32 and `× 2` overflows — but only on rows whose
+    * bit-15+ coordinates are set, which first exist at sf1 (l_partkey caps
+    * below 2^15 at sf0.1). Found by the r15 sf1 oracle sweep; the same
+    * scale-hides-the-constant class as the engine-side 31-bit grid fix.
     */
   private def hilbertChainSql(bits: Int): String = {
     val cols = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
@@ -580,7 +587,7 @@ object Layout {
          |  CASE WHEN (hy$k & $s) > 0 THEN hy$k
          |       WHEN (hx$k & $s) > 0 THEN $s - 1 - hx$k
          |       ELSE hx$k END AS hy${k + 1},
-         |  hd$k + ${s * s} *
+         |  hd$k + CAST(${s * s} AS BIGINT) *
          |    (CASE WHEN (hx$k & $s) > 0 AND (hy$k & $s) > 0 THEN 2
          |          WHEN (hx$k & $s) > 0 THEN 3
          |          WHEN (hy$k & $s) > 0 THEN 1 ELSE 0 END) AS hd${k + 1}

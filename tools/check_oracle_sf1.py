@@ -80,14 +80,31 @@ SKIPS = {
         "exact margin-criterion arm is all-pairs at sf1",
     "dedup_clusters_lsh_check":
         "exact-pair re-derivation arm is quadratic at sf1",
+    # DuckDB-side quadratic oracles that exceeded the 300 s budget on the
+    # first sf1 sweep — same yardstick contract as the list above (their
+    # SPARK sides dumped fine: 4 770 / 9 239 / 287 rows respectively).
+    "dedup_clusters":
+        "oracle re-derives exact-pair connected components from the "
+        "quadratic pair relation",
+    "dedup_incremental":
+        "oracle re-scores every (batch x corpus) pair's Jaccard",
+    "dedup_jaccard_prefix":
+        "oracle re-derives the pair relation quadratically "
+        "(list_intersect over all a<b pairs of the %3 sub-corpus)",
 }
 
 
 def connect(sfdir):
+    import os
     con = duckdb.connect()
     for tbl in TABLES:
+        path = f"{sfdir}/{tbl}.parquet"
+        # /root/testdata tables are single files; SynthScale's /tmp/sf1
+        # tables are Spark directory-parquet — glob the parts in that case
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
-                    f"read_parquet('{sfdir}/{tbl}.parquet')")
+                    f"read_parquet('{path}')")
     return con
 
 
