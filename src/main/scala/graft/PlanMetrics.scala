@@ -30,11 +30,14 @@ object PlanMetrics {
     * the original exchange — expanding would double-count its metrics).
     */
   def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-    val seen = scala.collection.mutable.HashSet[Int]()
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     def walk(n: SparkPlan): Seq[SparkPlan] = {
       // identity-dedup: AQE can surface the same stage object along two
-      // paths; metrics must count each physical node exactly once
-      if (!seen.add(System.identityHashCode(n))) return Nil
+      // paths; metrics must count each physical node exactly once.
+      // IdentityHashMap-backed set, not identityHashCode values — hash
+      // codes can collide, which would silently drop a subtree's metrics
+      if (!seen.add(n)) return Nil
       val next: Seq[SparkPlan] = n match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec        => Seq(q.plan)

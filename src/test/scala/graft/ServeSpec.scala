@@ -109,6 +109,32 @@ class ServeSpec extends AnyFunSuite {
     assert(spark.table("serve_t").count() === 4L)
   }
 
+  test("sql gateway lineage: WHERE column surfaces indirect-only through an ad-hoc query") {
+    // r15 verdict stretch: the V1 SQL surface exposes the same typed
+    // column lineage the DataFrame API gets — parsed+analyzed only, never
+    // executed, SELECT-only gate shared with sql()
+    val e = freshEngine()
+    graft.Tables(spark, "/root/testdata/sf0.001", "orders")
+      .createOrReplaceTempView("lineage_orders")
+    val typed = e.sqlLineage(
+      """SELECT o_orderkey, o_totalprice * 2 AS dbl
+        |FROM lineage_orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(typed.contains(("dbl", "orders", "o_totalprice", "data")))
+    assert(typed.contains(("o_orderkey", "orders", "o_orderkey", "data")))
+    // the WHERE column reaches every output column as indirect, never data
+    assert(typed.contains(("dbl", "orders", "o_orderpriority", "indirect")))
+    assert(typed.contains(("o_orderkey", "orders", "o_orderpriority", "indirect")))
+    assert(!typed.exists(t => t._3 == "o_orderpriority" && t._4 == "data"))
+    // the gate still guards the lineage surface
+    val err = intercept[IllegalArgumentException] {
+      e.sqlLineage("DROP TABLE lineage_orders")
+    }
+    assert(err.getMessage.contains("only SELECT"))
+  }
+
   test("result cache: plan-fingerprint hits, TTL expiry, invalidation") {
     var now = 0L
     val cache = new ResultCache(ttlSeconds = 10, clock = () => now)

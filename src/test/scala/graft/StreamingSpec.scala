@@ -703,6 +703,64 @@ class StreamingSpec extends AnyFunSuite {
       !f("segments/_FOLDED_DELTAS").exists)
   }
 
+  test("streaming IVF-PQ ingest with mid-stream auto-compaction ≡ the batch append path") {
+    // r15 verdict task #3: the IVF-PQ store gets the same
+    // one-segment-per-micro-batch ingest as the int8 index, PLUS the
+    // ratio-triggered fold running INSIDE the stream (compactRatio set low
+    // enough that the first landed delta exceeds it). Residual encoding is
+    // per-row under the frozen centroids+codebook, so (a) micro-batching
+    // must not change search results vs one batch append, and (b) a fold
+    // racing the next micro-batch must not lose or duplicate rows.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    val streamDir = java.nio.file.Files.createTempDirectory("ivfpq-stream").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("ivfpq-batch").toString
+    // identical deterministic build (seeded by xxhash64) in both stores
+    Similarity.buildIvfPqIndex(base, streamDir, cells = 12, iters = 3).count()
+    Similarity.buildIvfPqIndex(base, batchDir, cells = 12, iters = 3).count()
+    val input = MemoryStream[(Long, Array[Float])]
+    var landed = List.empty[(Long, Long)]
+    val q = graft.streaming.VectorIngest.ivfPqIngestStream(
+      input.toDF().toDF("vec_id", "embedding"), streamDir,
+      compactRatio = Some(0.01)) { (id, n) => landed ::= (id, n) }
+    try {
+      val rows = batch.select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect()
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      // the 0.01 ratio forces the fold after batch 0 — mid-stream
+      val afterFold = new java.io.File(streamDir).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("delta"))
+      assert(afterFold.isEmpty,
+        s"auto-compaction did not fold batch 0: ${afterFold.map(_.getName).mkString(",")}")
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      assert(landed.map(_._2).sum === rows.length,
+        s"delta segments lost vectors: $landed")
+      assert(landed.size === 2, s"expected 2 micro-batches, saw $landed")
+    } finally q.stop()
+    Similarity.appendToIvfPqIndex(batch, batchDir).count()
+    def pairs(dir: String) =
+      Similarity.searchIvfPqIndexWithDelta(e, dir, k = 10, nProbe = 9)
+        .collect().map(r => (r.getAs[Long]("q_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+    val streamed = pairs(streamDir)
+    val batched = pairs(batchDir)
+    assert(streamed === batched,
+      s"streamed IVF-PQ store drifted: missing=${(batched -- streamed).take(3)} " +
+        s"extra=${(streamed -- batched).take(3)}")
+    // final fold of whatever is still live: identical results, clean store
+    Similarity.compactIvfPqDeltas(spark, streamDir)
+    assert(pairs(streamDir) === batched, "post-stream compaction drifted")
+    val remaining = new java.io.File(streamDir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("delta"))
+    assert(remaining.isEmpty, remaining.map(_.getName).mkString(","))
+  }
+
   test("streaming funnel survives a checkpoint restart without double-emitting") {
     // The flatMapGroupsWithState funnel keeps (entered, emitted, pending)
     // per user; a restarted query must recover that state from the

@@ -56,7 +56,9 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--cpus", type=int, default=32)  # match the driver's
+    # local[32] and the slope baselines (r15 verdict task #6: a 16-cpu
+    # canonical record confounded isolated-to-isolated comparisons)
     ap.add_argument("--out", default="BENCH_LOCAL_isolated.json")
     ap.add_argument("--only", default=None,
                     help="comma-separated subset (skips listing)")
@@ -70,7 +72,7 @@ def main():
     print(f"[bench_isolated] {len(names)} entries in {len(chunks)} chunks "
           f"of <= {args.chunk}, runs={args.runs}, sf={args.sf}", file=sys.stderr)
 
-    queries, metrics, errors = {}, {}, {}
+    queries, colds, metrics, errors = {}, {}, {}, {}
     t0 = time.time()
     for i, chunk in enumerate(chunks):
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
@@ -96,6 +98,7 @@ def main():
             except OSError:
                 pass
         queries.update(rec.get("queries", {}))
+        colds.update(rec.get("cold", {}))
         metrics.update(rec.get("metrics", {}))
         errors.update(rec.get("errors", {}))
         done = sum(len(c) for c in chunks[:i + 1])
@@ -108,13 +111,15 @@ def main():
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "cold": colds,
         "metrics": metrics,
         "errors": errors,
         "error_count": len(errors),
         "sf": args.sf,
         "protocol": {"isolation": "fresh-JVM-per-chunk",
                      "chunk": args.chunk, "runs": args.runs,
-                     "cpus": args.cpus},
+                     "cpus": args.cpus,
+                     "timing": "queries=warm-min (sample 1 under cold)"},
     }
     line = json.dumps(record, sort_keys=True)
     with open(args.out, "w") as f:

@@ -18,10 +18,16 @@ TABLES = ["lineitem", "orders", "customer", "part", "supplier", "nation",
 
 
 def connect(sfdir: str):
+    import os
     con = duckdb.connect()
     for tbl in TABLES:
+        path = f"{sfdir}/{tbl}.parquet"
+        # /root/testdata tables are single files; SynthScale's /tmp/sf*
+        # tables are Spark directory-parquet - glob the parts in that case
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sfdir}/{tbl}.parquet')")
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 

@@ -197,7 +197,12 @@ def main():
                   sort_keys=True)
     print(f"\n{n_ok} match, {n_bad} mismatch/error, {n_skip} skipped, "
           f"{n_to} timeout (of {len(oracle)}) → {args.out}")
-    return 0 if n_bad == 0 else 1
+    # exit codes: 0 = all compared entries match AND nothing timed out;
+    # 1 = mismatch/error; 2 = no mismatch but some oracles timed out (those
+    # entries were never actually compared — callers must not read 2 as green)
+    if n_bad > 0:
+        return 1
+    return 2 if n_to > 0 else 0
 
 
 if __name__ == "__main__":
