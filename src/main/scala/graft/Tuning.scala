@@ -74,4 +74,29 @@ object Tuning {
     // budget — past that the caller should be blocking/banding, not fanning
     math.max(fanout(spark).toLong, byMemory).min(1L << 20).toInt
   }
+
+  /** Release the storage blocks behind a localCheckpoint'd frame that no
+    * later computation will read again. Iterative operators (LPA,
+    * pagerank, connected components, BFS/SSSP) pin one relation per round;
+    * without an explicit release every superseded round's blocks sit in
+    * the unified pool until the JVM GCs the DataFrame reference AND the
+    * async ContextCleaner drains — at sf10 that latency alone starved
+    * execution memory mid-round (UNABLE_TO_ACQUIRE_MEMORY in
+    * graph_lpa_converged, 16 GB heap). Resolves the materialized RDD via
+    * the checkpointed plan's LogicalRDD node (reflection: the class is
+    * private[sql]); silently a no-op on any other plan shape, so a caller
+    * cannot free something that was never pinned. NOTE a truncated-lineage
+    * frame is unrecomputable once freed — only call on relations the
+    * operator provably never touches again (the round it superseded).
+    */
+  def freeCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    try {
+      val plan = df.queryExecution.logical
+      if (plan.getClass.getSimpleName == "LogicalRDD")
+        plan.getClass.getMethods
+          .find(m => m.getName == "rdd" && m.getParameterCount == 0)
+          .map(_.invoke(plan))
+          .collect { case r: org.apache.spark.rdd.RDD[_] => r }
+          .foreach(_.unpersist(blocking = false))
+    } catch { case _: Throwable => () } // best-effort: leak, don't break
 }

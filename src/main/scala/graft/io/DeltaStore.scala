@@ -144,7 +144,13 @@ object DeltaStore {
     val all = (s"$indexDir/$base" +: deltas.map(_.toString))
       .map(q => spark.read.parquet(q)).reduce(_ unionByName _)
     val tmp = p(s"${base}_compacting")
-    all.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
+    // cluster on the partition column before the partitioned rewrite:
+    // reading base+deltas yields many input splits, and tasks×partitions
+    // output files would re-inflate the very store a compaction exists to
+    // shrink (the sf10 small-file finding) — one file per partition value
+    all.repartition(graft.Tuning.fanout(spark),
+        org.apache.spark.sql.functions.col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
     val mf = fs.create(new Path(tmp, FoldedManifest), true)
     try mf.write(deltas.map(_.getName).sorted.mkString("\n").getBytes("UTF-8"))
     finally mf.close()

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-cluster resolution: near-dup PAIRS (from any Dedup operator) →
   * connected components → one cluster id (= min member id) per document.
@@ -78,9 +79,11 @@ object Clustering {
       val cur = labelSum(jumped)
       converged = cur == prev
       prev = cur
+      graft.Tuning.freeCheckpoint(labels) // superseded round (sf10 lesson)
       labels = jumped
       it += 1
     }
+    graft.Tuning.freeCheckpoint(edges0) // loop-scoped; result is a checkpoint
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -131,6 +134,7 @@ object Clustering {
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     if (hasDangling) pr = pr.localCheckpoint()
     for (_ <- 1 to iters) {
+      val prevCp = pr // previous round's checkpoint (when hasDangling)
       val withDeg = pr.join(broadcast(outdeg), pr("id") === outdeg("src"), "left")
         .select(col("id"), col("pr"), col("deg"))
       // mass parked on dangling nodes, redistributed uniformly this round
@@ -147,7 +151,12 @@ object Clustering {
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("cin"), lit(0.0)) + lit(dangling / n)))
             .as("pr"))
-      if (hasDangling) pr = pr.localCheckpoint()
+      if (hasDangling) {
+        pr = pr.localCheckpoint()
+        // the superseded round's checkpoint is dead once the new one is
+        // materialized (freeCheckpoint no-ops on round 1's lazy init)
+        graft.Tuning.freeCheckpoint(prevCp)
+      }
     }
     pr
   }
@@ -476,10 +485,16 @@ object Clustering {
     // same pair (or a self-loop) would otherwise appear twice in sym and
     // double that neighbor's vote — LPA is frequency-sensitive, so edge
     // multiplicity here is a correctness bug, not a cosmetic one.
+    // DISK_ONLY: the symmetrized edge list is the corpus-sized relation
+    // read once per round; pinned DESERIALIZED in the unified pool it
+    // crowds the very execution memory each round's join+agg+window needs
+    // (at sf10: ~2 GB of protected storage on a 16 GB heap was the first
+    // half of the UNABLE_TO_ACQUIRE_MEMORY failure; superseded label
+    // checkpoints were the other half — see the freeCheckpoint calls)
     val sym = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     val byVotes = org.apache.spark.sql.expressions.Window
@@ -507,8 +522,13 @@ object Clustering {
           .filter(col("label") =!= col("prev"))
           .limit(1).count() == 0L
       }
+      // the superseded round's labels are dead the moment `next` is
+      // materialized and the probe has read both — release its blocks
+      // NOW instead of waiting for GC + ContextCleaner (the sf10 lesson)
+      graft.Tuning.freeCheckpoint(labels)
       labels = next
     }
+    graft.Tuning.freeCheckpoint(sym) // loop-scoped; the result never reads it
     (labels, round)
   }
 
@@ -628,7 +648,7 @@ object Clustering {
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val sym = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(true, StorageLevel.DISK_ONLY) // corpus-sized, read per round
     var visited = seeds.select(col("node").cast("long")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint()
     var frontier = visited
@@ -643,11 +663,20 @@ object Clustering {
         .localCheckpoint()
       done = next.isEmpty
       if (!done) {
+        val prevVisited = visited
+        val prevFrontier = frontier
         visited = visited.unionByName(next).localCheckpoint()
+        // superseded round state (unpersist is idempotent: at r=0
+        // prevFrontier IS prevVisited and the second call is a no-op)
+        graft.Tuning.freeCheckpoint(prevVisited)
+        graft.Tuning.freeCheckpoint(prevFrontier)
         frontier = next
+      } else {
+        graft.Tuning.freeCheckpoint(next) // empty probe round, never reused
       }
       r += 1
     }
+    graft.Tuning.freeCheckpoint(sym)
     visited
   }
 
@@ -674,19 +703,23 @@ object Clustering {
       col("w").cast("double"))
     val sym = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .localCheckpoint()
+      .localCheckpoint(true, StorageLevel.DISK_ONLY) // corpus-sized, read per round
     var dist = seeds.select(col("node").cast("long")).distinct()
       .withColumn("dist", lit(0.0)).localCheckpoint()
     for (_ <- 1 to maxHops) {
-      val relaxed = sym
-        .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionByName(relaxed)
+      val prev = dist
+      dist = dist.unionByName(relaxStep(sym, dist))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
+      graft.Tuning.freeCheckpoint(prev) // superseded round (sf10 lesson)
     }
+    graft.Tuning.freeCheckpoint(sym)
     dist
   }
+
+  private def relaxStep(sym: DataFrame, dist: DataFrame): DataFrame =
+    sym.join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+      .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
 
   /** Unrolled peeling oracle for [[kCore]]: `rounds` chained
     * symmetrize→degree→filter rounds in plain SQL. Peeling is confluent

@@ -177,9 +177,9 @@ object Dedup {
     // one token LONGER (more candidates, never fewer).
     val tLoose = threshold - 5e-5
     val plen = col("sz") - floor(lit(tLoose) * col("sz") + lit(1e-9)) + 1
-    val prefix = tok.join(dfreq, Seq("tok"))
+    val prefix = tok.join(dfreq.hint("merge"), Seq("tok"))
       .withColumn("rk", row_number().over(byRarity))
-      .join(sh.select(col("doc_id"), col("sz")), Seq("doc_id"))
+      .join(sh.select(col("doc_id"), col("sz")).hint("merge"), Seq("doc_id"))
       .filter(col("rk") <= plen)
       .select(col("tok"), col("doc_id"), col("sz"), col("rk"))
     // PPJoin positional filter: at a collision row, every OTHER common
@@ -197,7 +197,7 @@ object Dedup {
     // in binary can round a hair ABOVE the exact product at an exact
     // boundary ratio (e.g. t=0.8 with sizes 4:5), dropping a qualifying
     // pair — the −1e-9 only ever admits extra candidates (verified away).
-    val cand = prefix.alias("x").join(prefix.alias("y"),
+    val cand = prefix.hint("merge").alias("x").join(prefix.alias("y"),
         col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
           col("x.sz") >= lit(tLoose) * col("y.sz") - lit(1e-9) &&
           col("y.sz") >= lit(tLoose) * col("x.sz") - lit(1e-9) &&
@@ -254,9 +254,9 @@ object Dedup {
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    val ranked = tok.join(dfreq, Seq("tok"))
+    val ranked = tok.join(dfreq.hint("merge"), Seq("tok"))
       .withColumn("rk", row_number().over(byRarity))
-      .join(sh.select(col("doc_id"), col("sz")), Seq("doc_id"))
+      .join(sh.select(col("doc_id"), col("sz")).hint("merge"), Seq("doc_id"))
     // p = n − ⌈t'·n⌉ + 1 with t' = t − 5e-5: BOTH pruning bounds (prefix
     // length here, positional filter below) derive from the SAME loosened
     // threshold the verify arm admits at (i/na ≥ t − 5e-5 rounds up to t at
@@ -278,7 +278,7 @@ object Dedup {
     // the GLOBALLY-shared moderately-rare token sitting deep in the
     // container's order — the cross-shard coincidence collision.
     val needI = ceil(lit(tLoose) * col("sz_a") - lit(1e-9))
-    val cand = prefix
+    val cand = prefix.hint("merge")
       .join(ranked.select(col("tok"), col("doc_id").as("id_b"),
         col("sz").as("sz_b"), col("rk").as("rk_b")), Seq("tok"))
       .filter(col("id_a") =!= col("id_b") &&
@@ -410,9 +410,9 @@ object Dedup {
     val tLoose = threshold - 5e-5
     // rank only the discriminative tokens: the prefix is the p rarest of
     // THOSE (p from the same loosened-threshold formula as the exact lane)
-    val ranked = tok.join(disc, Seq("tok"))
+    val ranked = tok.join(disc.hint("merge"), Seq("tok"))
       .withColumn("rk", row_number().over(byRarity))
-      .join(sh.select(col("doc_id"), col("sz")), Seq("doc_id"))
+      .join(sh.select(col("doc_id"), col("sz")).hint("merge"), Seq("doc_id"))
     // probe budget: never more than the exact theorem's prefix (probing
     // past it adds nothing a t-pair needs), never fewer than 4
     val plen = col("sz") - ceil(lit(tLoose) * col("sz") - lit(1e-9)) + 1
@@ -420,17 +420,23 @@ object Dedup {
       greatest(lit(4), ceil(col("sz") * lit(probeFrac))))
     val prefix = ranked.filter(col("rk") <= nprobe)
       .select(col("tok"), col("doc_id").as("id_a"))
-    val post = tok.join(disc.select(col("tok")), Seq("tok"))
+    val post = tok.join(disc.select(col("tok")).hint("merge"), Seq("tok"))
       .select(col("tok"), col("doc_id").as("id_b"))
     // probes actually issued per doc (≤ plen: a doc can have fewer
     // discriminative tokens than its prefix length) — the admission floor
-    // derives from it; the join is N rows against the aggregated
-    // candidates, broadcast-sized
+    // derives from it. Every join in this candidate stage carries a
+    // merge hint: all of these relations (postings, discriminative-token
+    // list, per-doc probe counts) scale WITH THE CORPUS, and at sf10 the
+    // md5-derived low-overlap corpus put two of them under the session's
+    // 64 MB COMPRESSED auto-broadcast threshold while their in-memory
+    // hash relations were GBs — two concurrent AQE broadcast builds
+    // OOM'd a 16 GB driver. A corpus-scaling side must never broadcast;
+    // the OUTPUT-scaling verify joins below keep their AQE freedom
     val probes = prefix.groupBy(col("id_a")).agg(count(lit(1)).as("n_probes"))
-    val cand = prefix.join(post, Seq("tok"))
+    val cand = prefix.hint("merge").join(post, Seq("tok"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("hits"))
-      .join(probes, Seq("id_a"))
+      .join(probes.hint("merge"), Seq("id_a"))
       .filter(col("hits") >=
         greatest(lit(2), ceil(col("n_probes") * lit(hitFrac))))
       .select(col("id_a"), col("id_b"))

@@ -373,6 +373,7 @@ object Retrieval {
     Seq((b, n)).toDF("buckets", "n_postings")
       .write.mode("overwrite").parquet(s"$staging/meta")
     post.withColumn("tokb", pmod(xxhash64(col("tok")), lit(b)).cast("int"))
+      .repartition(graft.Tuning.fanout(s), col("tokb")) // one file per bucket, not tasks×buckets
       .write.mode("overwrite").partitionBy("tokb")
       .parquet(s"$staging/postings")
     writeBm25Stats(fs, s"$staging/postings", stats)
@@ -442,7 +443,8 @@ object Retrieval {
     val post = tokenPostings(batch)
       .withColumn("tokb", pmod(xxhash64(col("tok")), lit(b)).cast("int"))
       .localCheckpoint()
-    post.write.mode("overwrite").partitionBy("tokb")
+    post.repartition(graft.Tuning.fanout(s), col("tokb"))
+      .write.mode("overwrite").partitionBy("tokb")
       .parquet(s"$indexDir/$segment")
     val docCounts = batch.agg(count(lit(1)),
       count(when(col("text").isNotNull, lit(1)))).head

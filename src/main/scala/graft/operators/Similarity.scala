@@ -545,16 +545,50 @@ object Similarity {
     (c, p)
   }
 
+  /** Widen a narrow (few-split parquet) corpus to the core count before an
+    * iterative or compute-heavy pass. Found by the first sf10 probe (r16):
+    * the 200k-vector corpus is two parquet splits, so EVERY Lloyd/encode
+    * round ran its NearestCentroid/PqEncode work on 2 of 32 cores —
+    * tens of minutes of 6%-utilized training. The scan stays at the file
+    * split count (cheap IO); the exchange moves one corpus of bytes and
+    * buys core-count compute parallelism per round. Same guard pattern as
+    * the pair-kernel lanes (`getNumPartitions` plans without running).
+    */
+  private def widenForCompute(d: DataFrame): DataFrame = {
+    val par = graft.Tuning.fanout(d.sparkSession)
+    if (d.rdd.getNumPartitions < par) d.repartition(par) else d
+  }
+
+  /** Cluster rows on the partition column before a `partitionBy("cell")`
+    * write. Without it every writer task holds rows of most cells, so a
+    * store write emits tasks×cells files — measured by the first sf10
+    * probe: 28 682 files for a 180k-vector IVF-PQ index, and every search
+    * paid the file-open metadata tax (files_read ≈ the whole store). At
+    * 100 TB that shape is fatal (millions of 4 kB files). Hash-clustering
+    * on `cell` lands each cell entirely in one task → exactly one file
+    * per cell per write; the shuffle it costs is one corpus pass the
+    * write was already paying in IO.
+    */
+  private def clusterByCell(d: DataFrame): DataFrame =
+    d.repartition(graft.Tuning.fanout(d.sparkSession), col("cell"))
+
   def kMeansCentroids(e: DataFrame, cells: Int, iters: Int = 4,
                       dim: Int = graft.Tables.EmbeddingDim): Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = e
+    // pin the (widened) training input ONCE: without it the seeds top-k
+    // AND every Lloyd round re-execute the whole upstream subtree (found
+    // with the sf10 probe: the 200k-vector IVF-PQ build sat 40+ min
+    // re-deriving its input per round). At 100 TB the training input is
+    // a bounded sample by contract (see [[pqTrainCodebooks]]' scaladoc),
+    // so the pinned blocks are small by design.
+    val ew = widenForCompute(e).localCheckpoint()
+    var cents: Array[Array[Double]] = ew
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cells)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(cents.nonEmpty, "k-means needs a nonempty corpus")
     var it = 0
     while (it < iters) {
-      val updated = e
+      val updated = ew
         .select(graft.functions.NearestCentroid(col("embedding"), cents, dim).as("cell"),
           col("embedding"))
         .groupBy(col("cell"))
@@ -739,9 +773,11 @@ object Similarity {
     */
   private def buildQuantizedIndex(part: DataFrame, cents: Array[Array[Double]],
                                   dim: Int): DataFrame =
+    // widen BEFORE the assignment pass: NearestCentroid over √N cells is
+    // the expensive half, and a two-split parquet corpus would run it on
+    // two cores (the sf10 finding)
     quantizeInt8(
-      kMeansAssign(part, cents, dim)
-        .repartition(graft.Tuning.fanout(part.sparkSession)),
+      kMeansAssign(widenForCompute(part), cents, dim),
       "embedding", dim, qCol = "qv", qnCol = "qn")
       .select(col("vec_id"), col("cell"), col("qv"), col("qn"))
 
@@ -832,7 +868,13 @@ object Similarity {
                        dim: Int = graft.Tables.EmbeddingDim): Array[Double] = {
     require(dim % m == 0, s"dim=$dim must split into m=$m equal blocks")
     val subDim = dim / m
-    val seeds: Array[Array[Float]] = e
+    // same pin as [[kMeansCentroids]]: the training input is constant
+    // across rounds (for the IVF-PQ path it is the residual frame, which
+    // depends on the FROZEN coarse centroids, not the codebook being
+    // trained) — one materialization; seeds AND every round read the
+    // pinned blocks instead of re-deriving the upstream subtree
+    val ew = widenForCompute(e).localCheckpoint()
+    val seeds: Array[Array[Float]] = ew
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ks)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
@@ -846,7 +888,7 @@ object Similarity {
         .cast("double")).as(s"d$i"))
     var it = 0
     while (it < iters) {
-      val updated = e
+      val updated = ew
         .select(col("embedding"),
           posexplode(graft.functions.PqEncode(col("embedding"), cb, m, subDim, ks)))
         .withColumnsRenamed(Map("pos" -> "block", "col" -> "code"))
@@ -1028,7 +1070,7 @@ object Similarity {
   def ivfPqTrainCodebooks(e: DataFrame, cents: Array[Array[Double]],
                           m: Int = 16, ks: Int = 32, iters: Int = 3,
                           dim: Int = graft.Tables.EmbeddingDim): Array[Double] = {
-    val resid = kMeansAssign(e, cents, dim)
+    val resid = kMeansAssign(widenForCompute(e), cents, dim)
       .join(broadcast(centroidFrame(e.sparkSession, cents)), Seq("cell"))
       .select(col("vec_id"),
         residualF(col("embedding"), col("centroid"), dim).as("embedding"))
@@ -1050,8 +1092,9 @@ object Similarity {
                                 cb: Array[Double], m: Int, ks: Int,
                                 dim: Int): DataFrame = {
     val subDim = dim / m
-    kMeansAssign(part, cents, dim)
-      .repartition(graft.Tuning.fanout(part.sparkSession))
+    // widen before the assignment (not after): NearestCentroid over √N
+    // cells is the heavy pass, and a two-split corpus ran it on 2 cores
+    kMeansAssign(widenForCompute(part), cents, dim)
       .join(broadcast(centroidFrame(part.sparkSession, cents)), Seq("cell"))
       .withColumn("codes", graft.functions.PqEncode(
         residualF(col("embedding"), col("centroid"), dim), cb, m, subDim, ks))
@@ -1162,7 +1205,7 @@ object Similarity {
       .parquet(s"$staging/centroids")
     Seq((m, ks, dim / m, cb.toSeq)).toDF("m", "ks", "sub_dim", "codebook")
       .write.mode("overwrite").parquet(s"$staging/codebook")
-    buildIvfPqSegment(e, cents, cb, m, ks, dim)
+    clusterByCell(buildIvfPqSegment(e, cents, cb, m, ks, dim))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$staging/segments")
     graft.io.AtomicPublish.publish(fs, indexDir, staging,
@@ -1218,7 +1261,7 @@ object Similarity {
     val meta = s.read.parquet(s"$indexDir/codebook").head()
     val (m, ks) = (meta.getAs[Int]("m"), meta.getAs[Int]("ks"))
     val cb = meta.getAs[scala.collection.Seq[Double]]("codebook").toArray
-    buildIvfPqSegment(batch, cents, cb, m, ks, dim)
+    clusterByCell(buildIvfPqSegment(batch, cents, cb, m, ks, dim))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/$segment")
     s.read.parquet(s"$indexDir/$segment")
@@ -1347,7 +1390,7 @@ object Similarity {
     graft.io.AtomicPublish.scrubStaging(fs, staging)
     centroidFrame(s, cents).write.mode("overwrite")
       .parquet(s"$staging/centroids")
-    buildQuantizedIndex(e, cents, dim)
+    clusterByCell(buildQuantizedIndex(e, cents, dim))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$staging/segments")
     graft.io.AtomicPublish.publish(fs, indexDir, staging,
@@ -1404,7 +1447,7 @@ object Similarity {
     val cents = s.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
-    buildQuantizedIndex(batch, cents, dim)
+    clusterByCell(buildQuantizedIndex(batch, cents, dim))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/$segment")
     s.read.parquet(s"$indexDir/$segment")

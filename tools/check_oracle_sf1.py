@@ -46,6 +46,14 @@ SKIPS = {
     "dedup_containment":
         "quadratic oracle (ordered-pairs list_intersect) — same yardstick "
         "contract as dedup_ngram_jaccard; banded twin carries scale",
+    "dedup_containment_lowoverlap":
+        "oracle re-derives the md5-hex corpus relation all-pairs (20k x "
+        "20k list_intersect at sf1); engine output verified against the "
+        "planted-wrapper count at sf1 by hand (see COVERAGE.md)",
+    "dedup_containment_lowoverlap_check":
+        "n_strong is the same quadratic re-derivation; the SPARK side's "
+        "counters verified at sf1 by hand (strong_missed=0 against the "
+        "planted count)",
     "dedup_containment_banded_check":
         "the n_strong column is the same quadratic re-derivation at the "
         "0.98 bar; the SPARK side's designed-zero counters were verified "
@@ -59,25 +67,13 @@ SKIPS = {
     "mine_bitext_pairs":
         "exact margin-criterion oracle is all-pairs across the language "
         "split; the IVF tier (mine_bitext_ivf_*) carries scale",
-    "semdedup_check":
-        "cluster-internal all-pairs cosine re-derivation",
-    # Spark-side brute-force-baseline gates: each trains an index AND runs
-    # the all-pairs exact baseline at sf1 (the documented small-corpus
-    # yardstick kernels); their oracles are conservation rows whose values
-    # don't change shape with scale, and the recall/geometry behavior at
-    # sf1 is covered by the slope studies (probed fraction, recall vs
-    # floor). Excluded from the sf1 DUMP itself, so no spark rows either.
-    "ann_brute_topk":
-        "blocked exact all-pairs top-k over the full sf1 corpus — the "
-        "documented brute yardstick the approximate tiers bracket against",
-    "ann_ivf_lifecycle_check":
-        "runs the brute baseline at sf1 inside the gate",
-    "ann_ivfpq_check": "runs the brute baseline at sf1 inside the gate",
-    "ann_pq_check": "runs the brute baseline at sf1 inside the gate",
-    "ann_pq256_check": "runs the brute baseline at sf1 inside the gate",
-    "ann_recall_check": "runs the brute baseline at sf1 inside the gate",
-    "bitext_ivf_check":
-        "exact margin-criterion arm is all-pairs at sf1",
+    # r16: the seven recall/agreement gates + ann_brute_topk + semdedup_check
+    # formerly skipped here now RUN at sf1 — the brute arm is O(Q*N) with the
+    # every-100th panel (Q=200 at sf1: 4M scored pairs, minutes, measured
+    # 552 s for all eight in one isolated dump). First sf1 run found and
+    # fixed a real scale bug (flat-PQ fixed rerank list: recall 0.672 vs
+    # the 0.8 floor; N-aware budget restored 0.8415). Measured recall is
+    # recorded in COVERAGE.md via graft.RecallProbe.
     "dedup_clusters_lsh_check":
         "exact-pair re-derivation arm is quadratic at sf1",
     # DuckDB-side quadratic oracles that exceeded the 300 s budget on the
