@@ -75,6 +75,31 @@ object Tuning {
     math.max(fanout(spark).toLong, byMemory).min(1L << 20).toInt
   }
 
+  /** Storage level for loop-invariant pinned relations (the symmetrized
+    * edge list an iterative graph operator re-reads every round): DISK_ONLY
+    * once the relation is big enough to crowd the unified pool's protected
+    * storage region, plain MEMORY_AND_DISK below that. The sf10 probe
+    * motivated DISK_ONLY (a ~2 GB deserialized edge pin on a 16 GB heap was
+    * half of graph_lpa_converged's UNABLE_TO_ACQUIRE_MEMORY), but pinning a
+    * 13 MB sf0.1 edge list to disk taxes every round with a serialize +
+    * disk round trip the small case never needed — measured +30-120% on the
+    * whole graph family. The cutover is sized from the plan's estimated
+    * bytes against a budget derived from the ACTUAL heap
+    * (`spark.graft.pin.memBudgetFraction`, default 0.05 — at 16 GB that is
+    * ~800 MB, so the sf10 shape still goes to disk and every battery scale
+    * stays in memory), not a constant tuned for either environment.
+    */
+  def pinLevel(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.storage.StorageLevel = {
+    val frac = df.sparkSession.conf
+      .getOption("spark.graft.pin.memBudgetFraction")
+      .map(_.toDouble).getOrElse(0.05)
+    val budget = (Runtime.getRuntime.maxMemory * frac).toLong
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > budget) org.apache.spark.storage.StorageLevel.DISK_ONLY
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  }
+
   /** Release the storage blocks behind a localCheckpoint'd frame that no
     * later computation will read again. Iterative operators (LPA,
     * pagerank, connected components, BFS/SSSP) pin one relation per round;

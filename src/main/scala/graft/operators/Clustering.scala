@@ -485,16 +485,19 @@ object Clustering {
     // same pair (or a self-loop) would otherwise appear twice in sym and
     // double that neighbor's vote — LPA is frequency-sensitive, so edge
     // multiplicity here is a correctness bug, not a cosmetic one.
-    // DISK_ONLY: the symmetrized edge list is the corpus-sized relation
-    // read once per round; pinned DESERIALIZED in the unified pool it
-    // crowds the very execution memory each round's join+agg+window needs
-    // (at sf10: ~2 GB of protected storage on a 16 GB heap was the first
-    // half of the UNABLE_TO_ACQUIRE_MEMORY failure; superseded label
-    // checkpoints were the other half — see the freeCheckpoint calls)
-    val sym = e0.unionByName(
+    // The symmetrized edge list is the corpus-sized relation read once per
+    // round; pinned DESERIALIZED in the unified pool a LARGE one crowds the
+    // very execution memory each round's join+agg+window needs (at sf10:
+    // ~2 GB of protected storage on a 16 GB heap was the first half of the
+    // UNABLE_TO_ACQUIRE_MEMORY failure; superseded label checkpoints were
+    // the other half — see the freeCheckpoint calls). Storage level is
+    // size-adaptive ([[graft.Tuning.pinLevel]]): DISK_ONLY past the memory
+    // budget (the sf10 shape), in-memory below it — a blanket DISK_ONLY
+    // taxed every small-scale round with a serialize+disk round trip.
+    val symPlan = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val sym = symPlan.localCheckpoint(true, graft.Tuning.pinLevel(symPlan))
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     val byVotes = org.apache.spark.sql.expressions.Window
@@ -646,9 +649,10 @@ object Clustering {
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val sym = e0.unionByName(
+    val symPlan = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY) // corpus-sized, read per round
+    // corpus-sized, read per round — level adapts to the pin's size
+    val sym = symPlan.localCheckpoint(true, graft.Tuning.pinLevel(symPlan))
     var visited = seeds.select(col("node").cast("long")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint()
     var frontier = visited
@@ -701,9 +705,10 @@ object Clustering {
   def ssspBounded(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("double"))
-    val sym = e0.unionByName(
+    val symPlan = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY) // corpus-sized, read per round
+    // corpus-sized, read per round — level adapts to the pin's size
+    val sym = symPlan.localCheckpoint(true, graft.Tuning.pinLevel(symPlan))
     var dist = seeds.select(col("node").cast("long")).distinct()
       .withColumn("dist", lit(0.0)).localCheckpoint()
     for (_ <- 1 to maxHops) {

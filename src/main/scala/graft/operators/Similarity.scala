@@ -554,9 +554,24 @@ object Similarity {
     * buys core-count compute parallelism per round. Same guard pattern as
     * the pair-kernel lanes (`getNumPartitions` plans without running).
     */
-  private def widenForCompute(d: DataFrame): DataFrame = {
-    val par = graft.Tuning.fanout(d.sparkSession)
-    if (d.rdd.getNumPartitions < par) d.repartition(par) else d
+  /** Right-size a compute-heavy pass's partitioning. Widen-only by default
+    * (the sf10-probe fix: tens of MB on 2 parquet splits ran Lloyd/encode
+    * on 2 of 32 cores); with `narrow = true` — used ONLY for the
+    * checkpointed TRAINING-loop inputs, whose partition count every round
+    * re-pays — also shrink when the input is far below the per-task
+    * budget: at sf0.1 the blanket 2×cores widening turned each of the
+    * 6-8 training rounds into 64 near-empty task launches (2k vectors ≈
+    * 31 rows/task), pure scheduling latency. Target = estimated plan
+    * bytes / 256 KB, clamped to the 2×cores ceiling — scale-adaptive, not
+    * a constant tuned for either local mode or a cluster.
+    */
+  private def widenForCompute(d: DataFrame, narrow: Boolean = false): DataFrame = {
+    val maxPar = graft.Tuning.fanout(d.sparkSession)
+    val est = d.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = (est / (256L << 10)).min(BigInt(maxPar)).max(BigInt(1)).toInt
+    val cur = d.rdd.getNumPartitions
+    if (cur < target || (narrow && cur > target * 4)) d.repartition(target)
+    else d
   }
 
   /** Cluster rows on the partition column before a `partitionBy("cell")`
@@ -580,7 +595,7 @@ object Similarity {
     // re-deriving its input per round). At 100 TB the training input is
     // a bounded sample by contract (see [[pqTrainCodebooks]]' scaladoc),
     // so the pinned blocks are small by design.
-    val ew = widenForCompute(e).localCheckpoint()
+    val ew = widenForCompute(e, narrow = true).localCheckpoint()
     var cents: Array[Array[Double]] = ew
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cells)
       .select(col("embedding")).collect()
@@ -873,7 +888,7 @@ object Similarity {
     // depends on the FROZEN coarse centroids, not the codebook being
     // trained) — one materialization; seeds AND every round read the
     // pinned blocks instead of re-deriving the upstream subtree
-    val ew = widenForCompute(e).localCheckpoint()
+    val ew = widenForCompute(e, narrow = true).localCheckpoint()
     val seeds: Array[Array[Float]] = ew
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ks)
       .select(col("embedding")).collect()
