@@ -100,6 +100,29 @@ object Tuning {
     else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   }
 
+  /** Eagerly pin a relation whose PARTITIONING later plans must see — the
+    * loop-invariant side of an iterative per-round join, pre-partitioned by
+    * the join key so every round reuses the exchange. Under AQE the
+    * checkpoint's `LogicalRDD` records `UnknownPartitioning` (the adaptive
+    * plan hides the final exchange's partitioning), so the join re-shuffles
+    * the pin every round anyway — verified with an executed-plan probe
+    * (plans/r16/graph_lpa_round_*.txt). Materializing the checkpoint with
+    * AQE off for just this one query keeps the `HashPartitioning` visible;
+    * the storage level is still the size-adaptive [[pinLevel]]. The conf
+    * flip is scoped to the materialization (the pinned plan executes
+    * eagerly inside) and restored in a finally — callers run it before any
+    * concurrent arms are launched.
+    */
+  def pinPartitioned(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val old = conf.get(key, "true")
+    conf.set(key, "false")
+    try df.localCheckpoint(true, pinLevel(df))
+    finally conf.set(key, old)
+  }
+
   /** Release the storage blocks behind a localCheckpoint'd frame that no
     * later computation will read again. Iterative operators (LPA,
     * pagerank, connected components, BFS/SSSP) pin one relation per round;

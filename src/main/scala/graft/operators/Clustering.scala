@@ -137,20 +137,25 @@ object Clustering {
       val prevCp = pr // previous round's checkpoint (when hasDangling)
       val withDeg = pr.join(broadcast(outdeg), pr("id") === outdeg("src"), "left")
         .select(col("id"), col("pr"), col("deg"))
-      // mass parked on dangling nodes, redistributed uniformly this round
-      val dangling =
-        if (!hasDangling) 0.0
-        else withDeg.filter(col("deg").isNull)
-          .agg(coalesce(sum(col("pr")), lit(0.0))).head.getDouble(0)
+      // mass parked on dangling nodes, redistributed uniformly this round —
+      // carried as a broadcast one-row aggregate INSIDE the round's plan
+      // (a cross join against the rank update), not a driver collect: the
+      // collect form ran a second full action per round just to turn the
+      // scalar into a literal, doubling the loop's job count (guide §5:
+      // the driver should do almost no data work)
+      val dmass = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dmass"))
       val contribs = e.join(broadcast(withDeg.filter(col("deg").isNotNull)),
           e("src") === col("id"))
         .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("cin"))
-      pr = nodes.join(broadcast(contribs), Seq("id"), "left")
-        .select(col("id"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("cin"), lit(0.0)) + lit(dangling / n)))
-            .as("pr"))
+      var next = nodes.join(broadcast(contribs), Seq("id"), "left")
+      if (hasDangling) next = next.crossJoin(broadcast(dmass))
+      pr = next.select(col("id"),
+        (lit((1.0 - damping) / n) +
+          lit(damping) * (coalesce(col("cin"), lit(0.0)) +
+            (if (hasDangling) col("dmass") / n else lit(0.0))))
+          .as("pr"))
       if (hasDangling) {
         pr = pr.localCheckpoint()
         // the superseded round's checkpoint is dead once the new one is
@@ -494,10 +499,23 @@ object Clustering {
     // size-adaptive ([[graft.Tuning.pinLevel]]): DISK_ONLY past the memory
     // budget (the sf10 shape), in-memory below it — a blanket DISK_ONLY
     // taxed every small-scale round with a serialize+disk round trip.
+    // Pre-partition the loop-invariant edge list by the join key ONCE
+    // (explicit count so AQE never coalesces it away): every round's
+    // labels⋈sym join then reuses the checkpoint's hash(dst) partitioning
+    // instead of re-exchanging the corpus-sized relation per round — the
+    // single biggest per-round shuffle, measured 110 MB over 5 rounds at
+    // sf0.1 before the change (guide §2.4: two operations keyed the same
+    // way share one exchange).
+    // Partition count MUST equal the session's shuffle partitions: the
+    // per-round join reuses sym's hash(dst) partitioning only when the
+    // other side's exchange lands on the same count (EnsureRequirements
+    // re-shuffled a 64-partition pin back to 32 when they disagreed).
+    val symPar = edges.sparkSession.sessionState.conf.numShufflePartitions
     val symPlan = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val sym = symPlan.localCheckpoint(true, graft.Tuning.pinLevel(symPlan))
+      .repartition(symPar, col("dst"))
+    val sym = graft.Tuning.pinPartitioned(symPlan)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     val byVotes = org.apache.spark.sql.expressions.Window
@@ -505,11 +523,24 @@ object Clustering {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
+      // shuffle_hash on the label side: a sort-merge join would re-SORT
+      // the pinned corpus-sized sym every round (its partitioning is
+      // reused, its ordering is not); hashing the per-node label relation
+      // streams sym unsorted — and never broadcasts a corpus-scaling
+      // relation (the r16-probe AQE-broadcast lesson).
       val votes = sym
-        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .join(labels.select(col("node").as("dst"), col("label"))
+          .hint("shuffle_hash"), Seq("dst"))
         .select(col("src"), col("label"))
         .unionByName(labels.select(col("node").as("src"), col("label")))
-      val next = votes.groupBy(col("src"), col("label"))
+      // One explicit hash(src) exchange feeds BOTH the vote count and the
+      // argmax window: hash(src) satisfies the (src,label) aggregation's
+      // clustering (subset rule) AND the window's, so the agg's
+      // (src,label) exchange and the window's (src) exchange both
+      // disappear — 3 exchanges per round → 1 (guide §2.4, one exchange
+      // shared by operations keyed the same way).
+      val next = votes.repartition(symPar, col("src"))
+        .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("n"))
         .withColumn("rk", row_number().over(byVotes))
         .filter(col("rk") === 1)
@@ -649,10 +680,15 @@ object Clustering {
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // corpus-sized, read per round: pre-partitioned by the per-round join
+    // key and pinned with its partitioning visible (Tuning.pinPartitioned),
+    // so the frontier join never re-exchanges the edge list; storage level
+    // adapts to the pin's size
+    val symPar = edges.sparkSession.sessionState.conf.numShufflePartitions
     val symPlan = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
-    // corpus-sized, read per round — level adapts to the pin's size
-    val sym = symPlan.localCheckpoint(true, graft.Tuning.pinLevel(symPlan))
+      .repartition(symPar, col("src"))
+    val sym = graft.Tuning.pinPartitioned(symPlan)
     var visited = seeds.select(col("node").cast("long")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint()
     var frontier = visited
@@ -660,7 +696,8 @@ object Clustering {
     var done = false
     while (r < maxHops && !done) {
       val next = sym
-        .join(frontier.select(col("node").as("src")), Seq("src"))
+        .join(frontier.select(col("node").as("src")).hint("shuffle_hash"),
+          Seq("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("hop", lit(r + 1))
@@ -705,10 +742,14 @@ object Clustering {
   def ssspBounded(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("double"))
+    // corpus-sized, read per round: pre-partitioned by the relaxation join
+    // key and pinned with its partitioning visible (Tuning.pinPartitioned)
+    // — see bfsHops; storage level adapts to the pin's size
+    val symPar = edges.sparkSession.sessionState.conf.numShufflePartitions
     val symPlan = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-    // corpus-sized, read per round — level adapts to the pin's size
-    val sym = symPlan.localCheckpoint(true, graft.Tuning.pinLevel(symPlan))
+      .repartition(symPar, col("src"))
+    val sym = graft.Tuning.pinPartitioned(symPlan)
     var dist = seeds.select(col("node").cast("long")).distinct()
       .withColumn("dist", lit(0.0)).localCheckpoint()
     for (_ <- 1 to maxHops) {
@@ -722,8 +763,12 @@ object Clustering {
     dist
   }
 
+  // shuffle_hash on the reached-set side: a sort-merge join would re-SORT
+  // the pinned edge list every round (its partitioning is reused, its
+  // ordering is not) — same reasoning as the LPA vote join
   private def relaxStep(sym: DataFrame, dist: DataFrame): DataFrame =
-    sym.join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+    sym.join(dist.select(col("node").as("src"), col("dist"))
+        .hint("shuffle_hash"), Seq("src"))
       .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
 
   /** Unrolled peeling oracle for [[kCore]]: `rounds` chained

@@ -260,24 +260,41 @@ object Layout {
     li(s, dir).filter(col("l_linenumber") === 1)
       .repartition(4)
       .write.mode("append").parquet(path)
-    val inc = bloomIndexAppend(s, path, base, "l_orderkey", expectedPerFile, fpp)
-    val full = bloomIndexOfFiles(s, path, "l_orderkey", expectedPerFile, fpp)
+    // Materialize both index relations ONCE (r16 optimization pass): each
+    // is consumed by 3-4 downstream counter actions, and un-checkpointed
+    // every action re-ran the full corpus-scan Bloom build — the `full`
+    // rebuild alone was re-executed three times per entry. The two builds
+    // are independent action chains, so they materialize concurrently.
+    val Seq(inc, full) = graft.Tuning.concurrently(Seq[() => DataFrame](
+      () => bloomIndexAppend(s, path, base, "l_orderkey", expectedPerFile, fpp)
+        .localCheckpoint(),
+      () => bloomIndexOfFiles(s, path, "l_orderkey", expectedPerFile, fpp)
+        .localCheckpoint()))
     // (file, n_rows) multiset equality via symmetric exceptAll (a
     // full-outer on the key columns would coalesce them and hide misses)
     def basename(c: Column): Column = element_at(split(c, "/"), -1)
     val incF = inc.select(basename(col("file")).as("f"), col("n_rows"))
     val fullF = full.select(basename(col("file")).as("f"), col("n_rows"))
-    val filesMismatch = incF.exceptAll(fullF).count() + fullF.exceptAll(incF).count()
     val keys = bloomProbeKeys(s, dir)
-    val prInc = bloomPrunedRead(s, path, inc, "l_orderkey", keys)
-    val prFull = bloomPrunedRead(s, path, full, "l_orderkey", keys)
-    val probeMismatch = math.abs(prInc.filesRead - prFull.filesRead)
-    val found = prInc.data.count()
-    val expected = s.read.parquet(path)
-      .filter(col("l_orderkey").isin(keys: _*)).count()
+    // independent counter actions over the pinned indexes — price the
+    // slowest, not the sum
+    val Seq(filesMismatch: java.lang.Long, probeFound: (Long, Long, Long),
+        expected: java.lang.Long) =
+      graft.Tuning.concurrently(Seq[() => Any](
+        () => Long.box(incF.exceptAll(fullF).count() +
+          fullF.exceptAll(incF).count()),
+        () => {
+          val prInc = bloomPrunedRead(s, path, inc, "l_orderkey", keys)
+          val prFull = bloomPrunedRead(s, path, full, "l_orderkey", keys)
+          (prInc.data.count(), prInc.filesRead, prFull.filesRead)
+        },
+        () => Long.box(s.read.parquet(path)
+          .filter(col("l_orderkey").isin(keys: _*)).count())))
+    val (found, incFilesRead, fullFilesRead) = probeFound
+    val probeMismatch = math.abs(incFilesRead - fullFilesRead)
     import s.implicits._
-    Seq((found, expected - found, filesMismatch, probeMismatch,
-        if (inc.count() > baseFiles) 1L else 0L))
+    Seq((found, expected.longValue - found, filesMismatch.longValue,
+        probeMismatch, if (inc.count() > baseFiles) 1L else 0L))
       .toDF("rows_found", "missed_rows", "files_mismatch",
         "probe_files_mismatch", "append_ok")
   }

@@ -238,14 +238,14 @@ object Similarity {
     val dimO = Some(dim)
     def widen(d: DataFrame): DataFrame =
       if (d.rdd.getNumPartitions < par) d.repartition(par) else d
-    // probed top-k of `queries` against `coll`: train, assign, probe,
-    // score. Geometry auto-sizes PER COLLECTION (cells = 0 default): the
-    // source and target collections of a real mining run differ in size,
-    // so each arm derives its own √N cell count and cells^(2/3) probes.
+    // probed top-k of `queries` against `coll` with PRE-TRAINED centroids:
+    // assign, probe, score. Geometry auto-sizes PER COLLECTION (cells = 0
+    // default): the source and target collections of a real mining run
+    // differ in size, so each arm derives its own √N cell count and
+    // cells^(2/3) probes.
     def probedTopK(queries: DataFrame, coll: DataFrame,
+                   cents: Array[Array[Double]], p: Int,
                    outQ: String, outN: String, outRk: String): DataFrame = {
-      val (c, p) = resolveGeometry(coll.count(), cells, nProbe, dim)
-      val cents = kMeansCentroids(coll, c, iters, dim)
       val assigned = kMeansAssign(coll, cents, dim)
       val probed = probeCellsOf(queries, centroidFrame(s, cents), p, dimO)
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -263,12 +263,29 @@ object Similarity {
     val q = e.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         normC(col("embedding"), dimO).as("qnrm"))
-    val fwd = probedTopK(q, tgt, "q_id", "tgt_id", "rk").localCheckpoint()
+    // The forward search feeds the backward one (its candidates become the
+    // backward queries), but the two TRAININGS are independent — run both
+    // Lloyd loops as concurrent action chains ([[graft.Tuning.concurrently]])
+    // so the serial critical path carries one training, not two (the r16
+    // optimization pass: each training is a latency-bound collect loop).
+    val Seq((centsT, pT), (centsS, pS)) =
+      graft.Tuning.concurrently(Seq[() => (Array[Array[Double]], Int)](
+        () => {
+          val (c, p) = resolveGeometry(tgt.count(), cells, nProbe, dim)
+          (kMeansCentroids(tgt, c, iters, dim), p)
+        },
+        () => {
+          val (c, p) = resolveGeometry(src.count(), cells, nProbe, dim)
+          (kMeansCentroids(src, c, iters, dim), p)
+        }))
+    val fwd = probedTopK(q, tgt, centsT, pT, "q_id", "tgt_id", "rk")
+      .localCheckpoint()
     val cand = fwd.select(col("tgt_id")).distinct()
       .join(tgt, col("tgt_id") === col("vec_id"))
       .select(col("tgt_id").as("q_id"), col("embedding").as("q_emb"),
         normC(col("embedding"), dimO).as("qnrm"))
-    val bwd = probedTopK(cand, src, "tgt_id", "src_id", "brk").localCheckpoint()
+    val bwd = probedTopK(cand, src, centsS, pS, "tgt_id", "src_id", "brk")
+      .localCheckpoint()
     bitextAssemble(fwd, bwd, k)
   }
 
