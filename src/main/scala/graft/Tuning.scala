@@ -5,16 +5,35 @@ import org.apache.spark.sql.SparkSession
 /** Shared partitioning heuristics. */
 object Tuning {
 
+  /** How many sibling [[concurrently]] arms share the executor from the
+    * CURRENT thread (1 = the whole application). Concurrent gate arms used
+    * to each fan out to 2×cores partitions, so an n-arm gate kept n×2×cores
+    * tasks in flight in one JVM — measured as the r16 anti-scaling cluster
+    * (bitext_ivf_check 22.9 s at 32 cores vs 8.3 s at 8: the arms contend
+    * for cores, memory and GC instead of splitting them). Thread-local so
+    * each arm's plans size themselves from their actual share; nested
+    * [[concurrently]] calls multiply (2 arms × 2 inner trainings = share 4).
+    */
+  private val armShare = new ThreadLocal[Int] { override def initialValue(): Int = 1 }
+  private[graft] def currentArmShare: Int = armShare.get()
+
+  /** Executor cores available to THIS thread's plans: total parallelism
+    * divided by the number of concurrent arms sharing the session.
+    */
+  def availableCores(spark: SparkSession): Int =
+    math.max(1, spark.sparkContext.defaultParallelism / armShare.get())
+
   /** Fan-out partition count for compute-bound stages — pair loops,
-    * band-key passes, broadcast-join fan-out chains: 2× the executor cores
-    * with a floor of 8. Used as an EXPLICIT `repartition(n, ...)` count
+    * band-key passes, broadcast-join fan-out chains: 2× the cores AVAILABLE
+    * to this thread (total cores / concurrent arms, see [[armShare]]) with
+    * a floor of 8. Used as an EXPLICIT `repartition(n, ...)` count
     * rather than relying on `spark.sql.shuffle.partitions`: these stages
     * are compute-bound, not byte-bound, and AQE (which only sees shuffle
     * bytes) would coalesce a small shuffle onto one core and serialize the
     * downstream loop.
     */
   def fanout(spark: SparkSession): Int =
-    math.max(spark.sparkContext.defaultParallelism * 2, 8)
+    math.max(availableCores(spark) * 2, 8)
 
   /** Run independent Spark actions concurrently and return their results
     * in input order — the standard concurrent-actions pattern: the
@@ -31,11 +50,21 @@ object Tuning {
     */
   def concurrently[T](thunks: Seq[() => T]): Seq[T] = {
     if (thunks.lengthCompare(2) < 0) return thunks.map(_())
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    // each arm sees its share of the executor (parent share × sibling
+    // count) so fanout()/availableCores() size the arm's repartitions to
+    // the cores it will actually get, not the whole machine — the r17
+    // anti-scaling fix. Set INSIDE the pool thread (plans are built there);
+    // cleared in a finally so pooled threads never leak a stale share.
+    val parentShare = armShare.get()
+    val nArms = thunks.size
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nArms)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
-      val fs = thunks.map(t => scala.concurrent.Future(t()))
+      val fs = thunks.map(t => scala.concurrent.Future {
+        armShare.set(parentShare * nArms)
+        try t() finally armShare.remove()
+      })
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(fs),
         scala.concurrent.duration.Duration.Inf)
@@ -91,10 +120,32 @@ object Tuning {
     */
   def pinLevel(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.storage.StorageLevel = {
-    val frac = df.sparkSession.conf
+    val spark = df.sparkSession
+    val frac = spark.conf
       .getOption("spark.graft.pin.memBudgetFraction")
       .map(_.toDouble).getOrElse(0.05)
-    val budget = (Runtime.getRuntime.maxMemory * frac).toLong
+    // Pinned blocks live in EXECUTOR storage memory — under local[*] that
+    // is the driver JVM's heap, but on a cluster it is the executors'
+    // unified pools, so the budget is sized from spark.executor.memory ×
+    // spark.memory.fraction × live executor count (the r16 advisor fix: a
+    // driver-heap budget on a cluster compares against the wrong memory
+    // and ignores executor count entirely). `spark.graft.pin.memBudgetBytes`
+    // overrides the whole derivation for deployments that know better.
+    val budget = spark.conf.getOption("spark.graft.pin.memBudgetBytes")
+      .map(_.toLong).getOrElse {
+        val sc = spark.sparkContext
+        val poolBytes =
+          if (sc.isLocal) Runtime.getRuntime.maxMemory
+          else {
+            val execHeap = sc.getConf.getSizeAsBytes("spark.executor.memory", "1g")
+            val memFrac = sc.getConf.getDouble("spark.memory.fraction", 0.6)
+            // statusTracker lists driver + executors; floor at 1 so a
+            // just-started dynamic-allocation app never divides by zero
+            val nExec = math.max(1, sc.statusTracker.getExecutorInfos.length - 1)
+            (execHeap * memFrac * nExec).toLong
+          }
+        (poolBytes * frac).toLong
+      }
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est > budget) org.apache.spark.storage.StorageLevel.DISK_ONLY
     else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -106,22 +157,55 @@ object Tuning {
     * checkpoint's `LogicalRDD` records `UnknownPartitioning` (the adaptive
     * plan hides the final exchange's partitioning), so the join re-shuffles
     * the pin every round anyway — verified with an executed-plan probe
-    * (plans/r16/graph_lpa_round_*.txt). Materializing the checkpoint with
-    * AQE off for just this one query keeps the `HashPartitioning` visible;
-    * the storage level is still the size-adaptive [[pinLevel]]. The conf
-    * flip is scoped to the materialization (the pinned plan executes
-    * eagerly inside) and restored in a finally — callers run it before any
-    * concurrent arms are launched.
+    * (plans/r16/graph_lpa_round_*.txt). The checkpoint is therefore
+    * materialized with AQE off — but under a CLONED session (same
+    * SparkContext/shared state, copied SQLConf), never by flipping the
+    * caller's session conf: the r16 form's non-atomic set/restore was a
+    * latent race for any caller inside [[concurrently]] (another thread's
+    * query planned in that window silently lost AQE, and two overlapping
+    * pins could clobber each other's restore). The materialized
+    * `LogicalRDD` leaf — partitioning recorded — is re-rooted under the
+    * caller's session, so downstream plans are indistinguishable from the
+    * old form's output. Storage level is still the size-adaptive
+    * [[pinLevel]]. Safe from any thread, including concurrent arms and
+    * per-round loop pins.
     */
   def pinPartitioned(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.adaptive.enabled"
-    val old = conf.get(key, "true")
-    conf.set(key, "false")
-    try df.localCheckpoint(true, pinLevel(df))
-    finally conf.set(key, old)
+    import org.apache.spark.sql.GraftInternals
+    val parent = df.sparkSession
+    val child = pinSessionFor(parent)
+    val pinned = GraftInternals
+      .ofRows(child, GraftInternals.logicalPlan(df))
+      .localCheckpoint(true, pinLevel(df))
+    GraftInternals.ofRows(parent, GraftInternals.logicalPlan(pinned))
   }
+
+  /** The AQE-off clone used by [[pinPartitioned]], cached per parent
+    * session: cloning builds a whole SessionState, which measured as
+    * ~0.2 s per call once the CC loop started pinning every round — the
+    * clone's conf never changes after creation, and concurrent actions on
+    * one session are safe, so one clone serves every pin. Keyed on the
+    * parent's shuffle-partition setting too: a pin's partition count must
+    * track the session conf (see callers), so a conf change invalidates
+    * the cached clone. WeakHashMap so a dropped session doesn't leak its
+    * clone.
+    */
+  private val pinSessions =
+    new java.util.WeakHashMap[SparkSession, (String, SparkSession)]()
+  private def pinSessionFor(parent: SparkSession): SparkSession =
+    pinSessions.synchronized {
+      import org.apache.spark.sql.GraftInternals
+      val nowPar = parent.conf.get("spark.sql.shuffle.partitions", "")
+      Option(pinSessions.get(parent)) match {
+        case Some((par, child)) if par == nowPar => child
+        case _ =>
+          val child = GraftInternals.cloneSession(parent)
+          child.conf.set("spark.sql.adaptive.enabled", "false")
+          pinSessions.put(parent, (nowPar, child))
+          child
+      }
+    }
 
   /** Release the storage blocks behind a localCheckpoint'd frame that no
     * later computation will read again. Iterative operators (LPA,

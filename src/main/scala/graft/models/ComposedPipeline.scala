@@ -125,8 +125,25 @@ object ComposedPipeline {
           "dim_company", "dim_filings", "dim_date"),
         r => Facts.buildFact("R", r("stg_num"), r("stg_pre"), r("stg_sub"),
           r("dim_company"), r("dim_filings"), r("dim_date"), rowCap = None))))
+    // Project each staging pin to the union of the columns its downstream
+    // consumers actually read BEFORE checkpointing (guide §6, scan
+    // narrowing): the full stg_sub pin carried four columns nothing reads
+    // (CITYBA, BAPH, ACCEPTED, Ticker — dim_company re-derives Ticker from
+    // INSTANCE), stg_num five (VERSION, DDATE, QTRS, FOOTNOTE) and stg_pre
+    // two (VERSION, PLABEL). A projection cannot change the row multiset,
+    // so every consumer sees identical data — it only shrinks the
+    // materialized blocks and the per-consumer scan width. The dim pins are
+    // NOT projected: both are DISTINCT outputs, where dropping a column
+    // could collapse rows and change join multiplicity.
+    val pinCols: Map[String, Seq[String]] = Map(
+      "stg_sub" -> Seq("ADSH", "CIK", "NAME", "COUNTRYBA", "STPRBA", "ZIPBA",
+        "BAS1", "BAS2", "FILED", "INSTANCE"),
+      "stg_num" -> Seq("ADSH", "TAG", "UOM", "VALUE", "VERSION_TAG"),
+      "stg_pre" -> Seq("ADSH", "STMT", "TAG", "VERSION_TAG"))
     val registry = g.run(rawTables(s, dir), materialize = {
-      case (m, df) if m.materialization.isInstanceOf[Table] => df.localCheckpoint()
+      case (m, df) if m.materialization.isInstanceOf[Table] =>
+        pinCols.get(m.name).fold(df)(cs => df.select(cs.map(col): _*))
+          .localCheckpoint()
       case (_, df) => df
     })(s)
     registry("fct")

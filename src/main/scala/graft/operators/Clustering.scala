@@ -31,26 +31,71 @@ object Clustering {
     * cluster_id = min doc_id of the component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges0 = pairs.select(col("id_a").cast("long").as("src"),
+    // Per-round exchange sharing (guide §2.4, the LPA treatment): the
+    // symmetrized edge list — the corpus-sized relation every round's vote
+    // join re-reads BY src — is pre-partitioned by src and pinned with its
+    // partitioning visible (Tuning.pinPartitioned), and each round's labels
+    // are pinned partitioned by the node id, which IS partition-stable
+    // across rounds (label values are not). With both pins at the session's
+    // shuffle-partition count the vote join runs with NO exchange on either
+    // side, and the compress join's b-side reuses the round partitioning;
+    // only the dst-keyed min aggregate, the a-side label exchange and the
+    // next round's id pin shuffle — all node-sized, never the edge list.
+    // shuffle_hash hints on the node-sized sides: a sort-merge join would
+    // re-SORT the pinned edge list every round (partitioning is reused,
+    // ordering is not). Scale note (advisor r16): a ShuffledHashJoin build
+    // side cannot spill on inner joins, so shuffle partitions must scale
+    // with |nodes| for this operator — same documented contract as LPA's
+    // vote join.
+    // SCALE GATE: the pinned-round treatment pays a fixed per-round price
+    // (one id-keyed pin exchange, symPar-task stages) that only the edge
+    // list's per-round exchange can repay. Below the point where the r16
+    // sizing (~500k edges/partition) would have filled the session's
+    // shuffle-partition count anyway, keep the r16 shape: edges coalesced
+    // to the graph's size, plain checkpoints, AQE free to coalesce the
+    // node-sized rounds — measured 1.6-1.9× FASTER at sf0.1 (tiny pair
+    // graphs) than unconditional pinning. At or past it (e.g. the sf10
+    // trade graph: ~280M sym edges → parts ≥ 32), every round's edge
+    // re-exchange dominates and the pinned path removes it.
+    val symPar = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val sym0 = pairs.select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
-      .localCheckpoint()
-    // Size the loop's partitioning to the GRAPH, not to the pair-generation
-    // job that produced it: every round re-reads the checkpointed edges, so
-    // a small graph inheriting 64 upstream partitions pays 64 near-empty
-    // tasks per stage per round. ~500k edges per partition, floor 1.
+    val edges0 = sym0.localCheckpoint()
     val edgeCount = edges0.count()
-    val parts = math.max(1L, math.min(edges0.rdd.getNumPartitions.toLong,
-      edgeCount / 500000L + 1L)).toInt
-    // coalesce is narrow — each round reads the cached checkpoint blocks
-    // through it, so no second materialization (and no duplicate copy of
-    // the edge set in storage memory)
+    // ~500k edges/partition (the r16 sizing); conf-exposed so a spec can
+    // force the big path on a test-sized graph and pin path equivalence
+    val perPart = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.edgesPerPartition").map(_.toLong)
+      .getOrElse(500000L)
+    val bigGraph = edgeCount / perPart + 1L >= symPar
     val edges =
-      if (parts < edges0.rdd.getNumPartitions) edges0.coalesce(parts)
-      else edges0
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      if (bigGraph) {
+        // re-pin partitioned by the per-round join key; the plain
+        // checkpoint above fed the sizing count and is released below
+        val pinned = graft.Tuning.pinPartitioned(
+          edges0.repartition(symPar, col("src")))
+        graft.Tuning.freeCheckpoint(edges0)
+        pinned
+      } else {
+        val parts = math.max(1L, math.min(edges0.rdd.getNumPartitions.toLong,
+          edgeCount / 500000L + 1L)).toInt
+        // coalesce is narrow — each round reads the cached checkpoint
+        // blocks through it, so no second materialization
+        if (parts < edges0.rdd.getNumPartitions) edges0.coalesce(parts)
+        else edges0
+      }
+    def pinRound(d: DataFrame): DataFrame =
+      if (bigGraph) graft.Tuning.pinPartitioned(d) else d.localCheckpoint()
+    // hints only make sense on the big path (stream the pinned edge list
+    // unsorted); on a tiny graph they would only block AQE's broadcast pick
+    def shj(d: DataFrame): DataFrame =
+      if (bigGraph) d.hint("shuffle_hash") else d
+    // big path: distinct() already hash-partitions by id at symPar; the pin
+    // records that partitioning without a second exchange
+    var labels = pinRound(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
 
     def labelSum(df: DataFrame): Long = {
       val r = df.agg(sum(col("label"))).head
@@ -63,19 +108,26 @@ object Clustering {
     while (!converged && it < maxIter) {
       // min over self + neighbor labels (partial agg shuffles only minima;
       // no self-union — join + least keeps the plan free of duplicate
-      // attribute lineage across union branches)
-      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+      // attribute lineage across union branches). Both sides pre-hashed on
+      // the join key: no exchange, labels build per partition.
+      val nbrMin = edges.join(shj(labels),
+          edges("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nl"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
+      val stepped = labels.join(shj(nbrMin), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-      // pointer jumping: follow the label one hop (label nodes are nodes too)
-      val jumped = stepped.as("a")
-        .join(stepped.select(col("id").as("lid"), col("label").as("llabel")).as("b"),
+      // pointer jumping: follow the label one hop (label nodes are nodes
+      // too). The b-side keeps the round's id partitioning; only the
+      // a-side exchanges, by label. Big path: the round output is
+      // re-pinned partitioned by id so the next round's joins reuse it.
+      val jumped0 = stepped.as("a")
+        .join(shj(stepped.select(col("id").as("lid"), col("label").as("llabel")))
+          .as("b"),
           col("a.label") === col("b.lid"), "left")
         .select(col("a.id").as("id"),
           coalesce(col("b.llabel"), col("a.label")).as("label"))
-        .localCheckpoint()
+      val jumped = pinRound(
+        if (bigGraph) jumped0.repartition(symPar, col("id")) else jumped0)
       val cur = labelSum(jumped)
       converged = cur == prev
       prev = cur
@@ -83,7 +135,11 @@ object Clustering {
       labels = jumped
       it += 1
     }
-    graft.Tuning.freeCheckpoint(edges0) // loop-scoped; result is a checkpoint
+    // loop-scoped; result is a checkpoint. On the small path `edges` can be
+    // a coalesce VIEW of edges0 (freeCheckpoint is a no-op on non-leaf
+    // plans), so release the underlying checkpoint too.
+    graft.Tuning.freeCheckpoint(edges)
+    graft.Tuning.freeCheckpoint(edges0)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -611,11 +667,22 @@ object Clustering {
     */
   def linkPrediction(edges: DataFrame, seeds: DataFrame,
                      minCommon: Int): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint() // reused: candidates + both degree arms
+    // The LPA treatment (guide §2.4/§3.1): the distinct edge list is reused
+    // by candidates + both degree arms, and the candidate join — the
+    // corpus-sized posting-list probe — consumes it BY dst. Pin it
+    // pre-partitioned by dst (count = the session's shuffle partitions, or
+    // EnsureRequirements re-exchanges both sides) so the candidate join
+    // streams the pin with no exchange and no sort: the seed-adjacency side
+    // takes a shuffle_hash hint (seed-bounded, never corpus-scaling, so the
+    // per-partition build is small; a sort-merge join would re-SORT the
+    // pinned corpus side instead).
+    val symPar = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = graft.Tuning.pinPartitioned(
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .distinct().repartition(symPar, col("dst")))
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val se = e.join(seeds.select(col("node").cast("long").as("src")), Seq("src"))
-    val common = se.select(col("src").as("id_a"), col("dst"))
+    val common = se.select(col("src").as("id_a"), col("dst")).hint("shuffle_hash")
       .join(e.select(col("dst"), col("src").as("id_b")), Seq("dst"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))

@@ -138,9 +138,10 @@ object Similarity {
   def marginBitextPairs(e: DataFrame, k: Int = 4,
                         dim: Option[Int] = None): DataFrame = {
     require(k >= 1, s"marginBitextPairs needs k >= 1, got $k")
-    val par = graft.Tuning.fanout(e.sparkSession)
-    def widen(d: DataFrame): DataFrame =
-      if (d.rdd.getNumPartitions < par) d.repartition(par) else d
+    // bytes-aware, core-share-floored widening (see widenForCompute): the
+    // two cartesian scoring arms are the compute kernel, and inside a
+    // concurrent gate they get their share of the cores, not all of them
+    def widen(d: DataFrame): DataFrame = widenForCompute(d)
     val src = e.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id"), col("embedding"),
         normC(col("embedding"), dim).as("nrm"))
@@ -234,10 +235,10 @@ object Similarity {
     require(k >= 1 && (cells == 0 || nProbe <= cells),
       s"need nProbe <= cells (or 0 = auto), got k=$k cells=$cells nProbe=$nProbe")
     val s = e.sparkSession
-    val par = graft.Tuning.fanout(s)
     val dimO = Some(dim)
-    def widen(d: DataFrame): DataFrame =
-      if (d.rdd.getNumPartitions < par) d.repartition(par) else d
+    // share-aware, bytes-floored widening — same rationale as the exact
+    // tier's (see widenForCompute)
+    def widen(d: DataFrame): DataFrame = widenForCompute(d)
     // probed top-k of `queries` against `coll` with PRE-TRAINED centroids:
     // assign, probe, score. Geometry auto-sizes PER COLLECTION (cells = 0
     // default): the source and target collections of a real mining run
@@ -452,12 +453,12 @@ object Similarity {
   private def ivfSearch(corpusCells: DataFrame, cent: DataFrame, e: DataFrame,
                         k: Int, nProbe: Int, dim: Option[Int]): DataFrame = {
     val probed = probeCells(e, cent, nProbe, dim)
-    val par = graft.Tuning.fanout(e.sparkSession)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    // corpus streams (repartitioned), the tiny probed set broadcasts — a
-    // shuffle join on `cell` would cap parallelism at the number of cells
-    corpusCells
-      .repartition(par)
+    // corpus streams (widened to the thread's core share — bytes-aware,
+    // never an unconditional 2×all-cores fan-out), the tiny probed set
+    // broadcasts — a shuffle join on `cell` would cap parallelism at the
+    // number of cells
+    widenForCompute(corpusCells)
       .withColumn("nrm", normC(col("embedding"), dim))
       .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -581,6 +582,17 @@ object Similarity {
     * 31 rows/task), pure scheduling latency. Target = estimated plan
     * bytes / 256 KB, clamped to the 2×cores ceiling — scale-adaptive, not
     * a constant tuned for either local mode or a cluster.
+    *
+    * The 2×cores ceiling divides across concurrent gate arms
+    * ([[graft.Tuning.fanout]] is share-aware — the r17 anti-scaling fix:
+    * five arms each fanning to 2×ALL cores kept 10×cores tasks in flight
+    * in one JVM). A variant that additionally FLOORED one-shot targets at
+    * the available core count (the r16 advisor's under-fan worry) was
+    * measured and REJECTED: it repartitioned tiny append batches (2k rows)
+    * to a full core count, regressing ann_ivf_append_topk +19% isolated
+    * with shuffle_bytes +15%, while the entries the floor was meant to help
+    * were flat — the bytes target alone tracks the real work at every
+    * measured scale.
     */
   private def widenForCompute(d: DataFrame, narrow: Boolean = false): DataFrame = {
     val maxPar = graft.Tuning.fanout(d.sparkSession)
@@ -1587,25 +1599,45 @@ object Similarity {
       val f = floors(name)
       if (f >= 0) f else math.min(cap, fraction)
     }
-    // The five verification subtrees (exact baseline + four approximate
-    // tiers) are independent until the overlap join, so their eager
-    // checkpoints are submitted as concurrent actions
+    // The verification subtrees are independent until the overlap join, so
+    // their eager checkpoints are submitted as concurrent actions
     // ([[graft.Tuning.concurrently]]): sequential materialization priced
     // this gate at the SUM of its kernels (~17 s at sf0.1); concurrent
     // submission prices it near the slowest tier. Each subtree is
     // deterministic (fixed hyperplanes, deterministic seeding), so the
     // counters are unaffected by submission order.
-    val mats = graft.Tuning.concurrently(Seq[() => DataFrame](
+    //
+    // r17 restructure (guide §5, reuse vs recompute — within this entry
+    // only, nothing crosses entries): the ivf and ivf_quantized tiers train
+    // k-means on IDENTICAL deterministic inputs (same corpus, same autoC,
+    // same iters, same seeding) → identical centroids, so the gate now
+    // trains ONCE — phase 1 runs the exact baseline, the two
+    // geometry-independent tiers and the single training concurrently;
+    // phase 2 runs the two probed searches off the shared centroids. One
+    // full Lloyd loop of duplicate work disappears; each tier's search
+    // plan is byte-identical to its standalone entry's.
+    val s = e.sparkSession
+    val ph1 = graft.Tuning.concurrently(Seq[() => AnyRef](
       () => bruteForceTopK(e, k, dim = Some(dim))
-        .select(col("q_id"), col("neighbor_id")).localCheckpoint(),
-      () => ivfTopKKMeans(e, k, cells = autoC, nProbe = autoP, iters = 3)
-        .select(col("q_id"), col("neighbor_id")).localCheckpoint(),
-      () => ivfQuantizedTopK(e, k, cells = autoC, nProbe = autoP, iters = 3)
         .select(col("q_id"), col("neighbor_id")).localCheckpoint(),
       () => lshTopK(e, k)
         .select(col("q_id"), col("neighbor_id")).localCheckpoint(),
       () => quantizedTopK(e, k)
-        .select(col("q_id"), col("neighbor_id")).localCheckpoint()))
+        .select(col("q_id"), col("neighbor_id")).localCheckpoint(),
+      () => kMeansCentroids(e, autoC, iters = 3, dim)))
+    val cents = ph1(3).asInstanceOf[Array[Array[Double]]]
+    val ph2 = graft.Tuning.concurrently(Seq[() => DataFrame](
+      () => ivfSearch(kMeansAssign(e, cents, dim), centroidFrame(s, cents),
+          e, k, autoP, Some(dim))
+        .select(col("q_id"), col("neighbor_id")).localCheckpoint(),
+      () => {
+        val corpusQ = buildQuantizedIndex(e, cents, dim).localCheckpoint()
+        searchQuantizedIndex(e, corpusQ, cents, k, autoP,
+            rerankFactor = 4, dim)
+          .select(col("q_id"), col("neighbor_id")).localCheckpoint()
+      }))
+    val mats = Seq(ph1(0).asInstanceOf[DataFrame], ph2(0), ph2(1),
+      ph1(1).asInstanceOf[DataFrame], ph1(2).asInstanceOf[DataFrame])
     val brutePairs = mats(0)
     def tier(name: String, floor: Double, a: DataFrame): DataFrame = {
       val perQ = a.groupBy(col("q_id")).agg(count(lit(1)).as("n"),

@@ -84,35 +84,62 @@ object Checks {
 
   /** Column-level profile — the dbt-docs / warehouse-stats analog: one row
     * per column with row/null/distinct counts and min/max (stringified so
-    * every type fits one schema). ONE scan for all columns; the per-column
-    * rows are unpivoted from the single aggregated row.
+    * every type fits one schema).
     *
-    * Distinct counts: `exact = true` uses `countDistinct`, which Catalyst
-    * plans as an Expand — the scan's rows are REPLICATED once per distinct
-    * aggregate, so profiling k columns exactly multiplies aggregation input
-    * k-fold. For wide tables at scale pass `exact = false`:
-    * `approx_count_distinct` (HLL) keeps the single-pass shape with no
-    * expansion, at ~2% error — the standard warehouse-stats tradeoff.
+    * Distinct counts: `exact = true` (r17 form) runs one TWO-LEVEL
+    * aggregate per column — group by the column's value (partial-aggregated,
+    * so the shuffle moves one row per distinct value per partition), then
+    * fold the value counts into the row/null/distinct/min/max summary —
+    * unioned across columns. The pre-r17 single-aggregate form used k
+    * `countDistinct`s, which Catalyst plans as an Expand REPLICATING the
+    * scan's rows once per distinct aggregate (k+1-fold aggregation input):
+    * measured 2.6 s at 32 cores vs 0.4 s at 8 on a 4-column 100k-row
+    * profile — the Expand shuffle dominated and anti-scaled. The per-column
+    * scans each prune to ONE column, and all branches run inside one job.
+    * For wide tables at scale pass `exact = false`:
+    * `approx_count_distinct` (HLL) keeps a single-pass single-scan shape
+    * with no expansion, at ~2% error — the standard warehouse-stats
+    * tradeoff.
     */
   def profile(df: DataFrame, columns: Seq[String] = Nil,
               exact: Boolean = true): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
-    val distinctOf: String => org.apache.spark.sql.Column =
-      if (exact) c => countDistinct(col(c)) else c => approx_count_distinct(col(c))
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__cnt_$c"),
-        distinctOf(c).as(s"__dst_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    } :+ count(lit(1)).as("__rows")
-    val stats = df.agg(aggs.head, aggs.tail: _*)
-    val perCol = cols.map { c =>
-      struct(lit(c).as("column"), col("__rows").as("n_rows"),
-        (col("__rows") - col(s"__cnt_$c")).as("n_nulls"),
-        col(s"__dst_$c").as("n_distinct"),
-        col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
+    if (exact) {
+      // per column: value-counts (partial agg; only distinct values cross
+      // the exchange) → one-row summary. count(__v) counts non-null group
+      // keys = exact distinct; sum of counts where the key is null = nulls;
+      // min/max over group keys = min/max over values (nulls excluded by
+      // min/max semantics in both forms).
+      val perCol = cols.map { c =>
+        df.groupBy(col(c).as("__v"))
+          .agg(count(lit(1)).as("__n"))
+          .agg(
+            coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+            coalesce(sum(when(col("__v").isNull, col("__n")).otherwise(0L)),
+              lit(0L)).as("n_nulls"),
+            count(col("__v")).as("n_distinct"),
+            min(col("__v")).cast("string").as("min_value"),
+            max(col("__v")).cast("string").as("max_value"))
+          .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_value"), col("max_value"))
+      }
+      perCol.reduce(_ unionByName _)
+    } else {
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"__cnt_$c"),
+          approx_count_distinct(col(c)).as(s"__dst_$c"),
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"))
+      } :+ count(lit(1)).as("__rows")
+      val stats = df.agg(aggs.head, aggs.tail: _*)
+      val perCol = cols.map { c =>
+        struct(lit(c).as("column"), col("__rows").as("n_rows"),
+          (col("__rows") - col(s"__cnt_$c")).as("n_nulls"),
+          col(s"__dst_$c").as("n_distinct"),
+          col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
+      }
+      stats.select(explode(array(perCol: _*)).as("p")).select("p.*")
     }
-    stats.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
 
   final case class CheckResult(name: String, violations: Long) {
