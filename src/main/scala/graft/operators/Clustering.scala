@@ -91,11 +91,24 @@ object Clustering {
     // unsorted); on a tiny graph they would only block AQE's broadcast pick
     def shj(d: DataFrame): DataFrame =
       if (bigGraph) d.hint("shuffle_hash") else d
-    // big path: distinct() already hash-partitions by id at symPar; the pin
-    // records that partitioning without a second exchange
-    var labels = pinRound(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
+    // big path: pin the BARE distinct id set (records an unambiguous
+    // hash(id) — pinning after the label alias is added records
+    // hash(LABEL) instead, because alias-aware partitioning propagation
+    // normalizes to the alias, and every round then re-exchanges both
+    // label uses; caught by the committed round-plan probe). The label
+    // column rides as a lazy projection OVER the pin, whose alias-aware
+    // planning satisfies joins on either column with no exchange.
+    // labelsLeaf is the materialized frame behind `labels` (freeCheckpoint
+    // releases leaves only; on the big path round 1's `labels` is a
+    // projection view over the pin)
+    var labelsLeaf =
+      if (bigGraph)
+        graft.Tuning.pinPartitioned(edges.select(col("src").as("id")).distinct())
+      else
+        edges.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id")).localCheckpoint()
+    var labels =
+      if (bigGraph) labelsLeaf.withColumn("label", col("id")) else labelsLeaf
 
     def labelSum(df: DataFrame): Long = {
       val r = df.agg(sum(col("label"))).head
@@ -131,7 +144,8 @@ object Clustering {
       val cur = labelSum(jumped)
       converged = cur == prev
       prev = cur
-      graft.Tuning.freeCheckpoint(labels) // superseded round (sf10 lesson)
+      graft.Tuning.freeCheckpoint(labelsLeaf) // superseded round (sf10 lesson)
+      labelsLeaf = jumped
       labels = jumped
       it += 1
     }
@@ -583,7 +597,11 @@ object Clustering {
       // the pinned corpus-sized sym every round (its partitioning is
       // reused, its ordering is not); hashing the per-node label relation
       // streams sym unsorted — and never broadcasts a corpus-scaling
-      // relation (the r16-probe AQE-broadcast lesson).
+      // relation (the r16-probe AQE-broadcast lesson). Scale contract
+      // (advisor r16): a ShuffledHashJoin build side cannot spill on inner
+      // joins, so per-task build memory is |nodes|/shuffle-partitions —
+      // deployments must scale spark.sql.shuffle.partitions with node
+      // count for the iterative graph operators (same note on CC/BFS/SSSP).
       val votes = sym
         .join(labels.select(col("node").as("dst"), col("label"))
           .hint("shuffle_hash"), Seq("dst"))

@@ -138,10 +138,16 @@ object Similarity {
   def marginBitextPairs(e: DataFrame, k: Int = 4,
                         dim: Option[Int] = None): DataFrame = {
     require(k >= 1, s"marginBitextPairs needs k >= 1, got $k")
-    // bytes-aware, core-share-floored widening (see widenForCompute): the
-    // two cartesian scoring arms are the compute kernel, and inside a
-    // concurrent gate they get their share of the cores, not all of them
-    def widen(d: DataFrame): DataFrame = widenForCompute(d)
+    // CORES-based widening, deliberately NOT the bytes-based
+    // widenForCompute: these are cartesian scoring arms (every corpus row
+    // is scored against |Q| broadcast queries), so input bytes undercount
+    // the work |Q|-fold — a bytes target fanned the exact arm to 3
+    // partitions at sf0.1 and the entry regressed 2.5× in-suite. The
+    // fanout is share-aware, so inside a concurrent gate the arm sizes to
+    // its share of the cores, not the whole machine.
+    val par = graft.Tuning.fanout(e.sparkSession)
+    def widen(d: DataFrame): DataFrame =
+      if (d.rdd.getNumPartitions < par) d.repartition(par) else d
     val src = e.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id"), col("embedding"),
         normC(col("embedding"), dim).as("nrm"))
@@ -236,9 +242,12 @@ object Similarity {
       s"need nProbe <= cells (or 0 = auto), got k=$k cells=$cells nProbe=$nProbe")
     val s = e.sparkSession
     val dimO = Some(dim)
-    // share-aware, bytes-floored widening — same rationale as the exact
-    // tier's (see widenForCompute)
-    def widen(d: DataFrame): DataFrame = widenForCompute(d)
+    // cores-based (share-aware) widening — same cartesian-arm rationale as
+    // the exact tier's: scoring work is per (row × probed query), so input
+    // bytes undercount it
+    val par = graft.Tuning.fanout(s)
+    def widen(d: DataFrame): DataFrame =
+      if (d.rdd.getNumPartitions < par) d.repartition(par) else d
     // probed top-k of `queries` against `coll` with PRE-TRAINED centroids:
     // assign, probe, score. Geometry auto-sizes PER COLLECTION (cells = 0
     // default): the source and target collections of a real mining run
@@ -453,12 +462,15 @@ object Similarity {
   private def ivfSearch(corpusCells: DataFrame, cent: DataFrame, e: DataFrame,
                         k: Int, nProbe: Int, dim: Option[Int]): DataFrame = {
     val probed = probeCells(e, cent, nProbe, dim)
+    val par = graft.Tuning.fanout(e.sparkSession)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    // corpus streams (widened to the thread's core share — bytes-aware,
-    // never an unconditional 2×all-cores fan-out), the tiny probed set
-    // broadcasts — a shuffle join on `cell` would cap parallelism at the
-    // number of cells
-    widenForCompute(corpusCells)
+    // corpus streams widened to the thread's core share (fanout is
+    // arm-share-aware; bytes-based sizing was rejected here — scoring work
+    // is per (row × probed query), which input bytes undercount), the tiny
+    // probed set broadcasts — a shuffle join on `cell` would cap
+    // parallelism at the number of cells
+    (if (corpusCells.rdd.getNumPartitions < par) corpusCells.repartition(par)
+     else corpusCells)
       .withColumn("nrm", normC(col("embedding"), dim))
       .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
